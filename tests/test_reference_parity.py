@@ -1,0 +1,133 @@
+"""Golden parity against the torch reference implementation.
+
+These tests import the reference's model modules (torch-only, no torchvision
+needed), bridge reference-trained weights into yogo_tpu via the torch bridge,
+and assert forward-pass agreement at the export-parity tolerance the reference
+itself uses (rtol 1e-3 / atol 1e-5, reference: yogo/utils/export_model.py:127-133).
+Skipped automatically when /root/reference or torch is unavailable.
+"""
+
+import numpy as np
+import pytest
+
+from tests.reference_helper import import_reference_model, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo or torch unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def torch():
+    import torch
+
+    torch.manual_seed(0)
+    return torch
+
+
+@pytest.mark.parametrize(
+    "model_version",
+    ["base_model", "silu_model", "half_filters", "depth_ver_0", "depth_ver_3"],
+)
+def test_forward_parity(torch, model_version, tmp_path):
+    ref_model_mod, ref_defns = import_reference_model()
+
+    import jax.numpy as jnp
+
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.utils.torch_bridge import state_dict_to_variables
+
+    hw = (96, 128)
+    num_classes = 5
+    ref = ref_model_mod.YOGO(
+        img_size=hw,
+        anchor_w=0.0425,
+        anchor_h=0.0555,
+        num_classes=num_classes,
+        inference=True,
+        model_func=ref_defns.MODELS[model_version],
+    )
+    ref.eval()
+
+    ours = YOGO.create(
+        hw, 0.0425, 0.0555, num_classes, model_version=model_version
+    )
+    assert ours.grid == ref.get_grid_size()
+
+    variables = state_dict_to_variables(ref.state_dict(), ours.defn)
+
+    x_np = np.random.default_rng(42).integers(0, 255, (2, 1, *hw)).astype(np.uint8)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x_np.copy())).numpy()
+    our_out = np.asarray(ours.apply(variables, jnp.asarray(x_np), inference=True))
+
+    assert ref_out.shape == our_out.shape
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-3, atol=1e-5)
+
+
+def test_forward_parity_training_mode_logits(torch):
+    """Training-mode forward (raw class logits, BN batch stats) also agrees."""
+    ref_model_mod, ref_defns = import_reference_model()
+
+    import jax.numpy as jnp
+
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.utils.torch_bridge import state_dict_to_variables
+
+    hw = (64, 96)
+    ref = ref_model_mod.YOGO(
+        img_size=hw,
+        anchor_w=0.04,
+        anchor_h=0.06,
+        num_classes=3,
+        inference=False,
+        model_func=ref_defns.MODELS["base_model"],
+    )
+    ref.eval()  # eval BN so running stats are used on both sides
+
+    ours = YOGO.create(hw, 0.04, 0.06, 3, model_version="base_model")
+    variables = state_dict_to_variables(ref.state_dict(), ours.defn)
+
+    x_np = np.random.default_rng(7).integers(0, 255, (1, 1, *hw)).astype(np.uint8)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x_np.copy())).numpy()
+    our_out = np.asarray(ours.apply(variables, jnp.asarray(x_np), inference=False))
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-3, atol=1e-5)
+
+
+def test_pth_roundtrip(torch, tmp_path):
+    """save_pth -> reference from_pth load -> forward parity."""
+    ref_model_mod, ref_defns = import_reference_model()
+
+    import jax
+
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.utils.torch_bridge import load_pth, save_pth
+
+    hw = (64, 96)
+    ours = YOGO.create(
+        hw, 0.0425, 0.0555, 4, model_version="base_model", normalize_images=False
+    )
+    variables = ours.init(jax.random.key(0))
+    pth = tmp_path / "model.pth"
+    save_pth(
+        pth, ours, variables, classes=["a", "b", "c", "d"], step=17, epoch=3
+    )
+
+    # reference can load it
+    ref_net, ref_cfg = ref_model_mod.YOGO.from_pth(str(pth), inference=True)
+    assert ref_cfg["step"] == 17
+    assert ref_cfg["class_names"] == ["a", "b", "c", "d"]
+
+    # and we can load it back
+    m2, v2, meta = load_pth(pth, inference=True)
+    assert m2.grid == ours.grid
+    assert meta["step"] == 17
+
+    import jax.numpy as jnp
+
+    x_np = np.random.default_rng(3).integers(0, 255, (1, 1, *hw)).astype(np.uint8)
+    with torch.no_grad():
+        ref_out = ref_net(torch.from_numpy(x_np.copy())).numpy()
+    our_out = np.asarray(m2.apply(v2, jnp.asarray(x_np), inference=True))
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-3, atol=1e-5)

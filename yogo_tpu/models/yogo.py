@@ -1,0 +1,387 @@
+"""TPU-native YOGO model.
+
+Functional re-design of the reference model wrapper (reference:
+yogo/model.py:13-313):
+  - backbone: a single spec-driven flax module (NHWC layout - TPU's native
+    conv layout - instead of torch's NCHW),
+  - decode head: pure-jnp YOLO9000 "direct location prediction"
+    (reference: yogo/model.py:267-313),
+  - config (img size, anchors, multipliers, grid) lives in a frozen dataclass
+    rather than torch buffers; checkpoints carry it as metadata.
+
+The public prediction tensor keeps the reference layout (B, 5+C, Sy, Sx) with
+channels [xc, yc, w, h, objectness, *classes], all in [0,1] image coords.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from yogo_tpu.models.defns import ConvSpec, ModelDefn, get_model_defn
+from yogo_tpu.ops.grid import cell_offsets, grid_size
+
+Array = jax.Array
+
+WH_CLAMP = 80.0  # exp overflow guard (reference: yogo/model.py:284-287)
+
+
+def kaiming_normal_fan_out(a: float = 0.01):
+    """Kaiming-normal, fan_out mode, leaky-relu gain - matching the reference
+    weight init (reference: yogo/model.py:79-87). For an HWIO conv kernel,
+    fan_out = out_channels * kh * kw."""
+
+    gain = float(np.sqrt(2.0 / (1.0 + a**2)))
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, _, out = shape
+        std = gain / np.sqrt(out * kh * kw)
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+def _activation(name: Optional[str]):
+    if name is None:
+        return lambda x: x
+    if name == "leaky_relu":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.01)
+    if name == "silu":
+        return jax.nn.silu
+    if name == "gelu":
+        return jax.nn.gelu
+    raise ValueError(f"unknown activation {name}")
+
+
+class ConvStack(nn.Module):
+    """Spec-driven conv backbone (covers 11 of the 12 reference architectures)."""
+
+    blocks: Tuple[ConvSpec, ...]
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool = False) -> Array:
+        for i, s in enumerate(self.blocks):
+            conv_cls = nn.ConvTranspose if s.transpose else nn.Conv
+            x = conv_cls(
+                features=s.out,
+                kernel_size=(s.kernel, s.kernel),
+                strides=(s.stride, s.stride),
+                padding=[(s.padding, s.padding), (s.padding, s.padding)],
+                use_bias=s.bias,
+                kernel_init=kaiming_normal_fan_out(),
+                bias_init=nn.initializers.zeros,
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                name=f"conv{i}",
+            )(x)
+            if s.bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=self.compute_dtype,
+                    param_dtype=jnp.float32,
+                    name=f"bn{i}",
+                )(x)
+            x = _activation(s.act)(x)
+            if s.dropout > 0:
+                # Dropout2d semantics: drop whole channels per sample
+                # (reference: yogo/model_defns.py Dropout2d blocks)
+                x = nn.Dropout(
+                    rate=s.dropout,
+                    broadcast_dims=(1, 2),
+                    deterministic=not train,
+                    name=f"drop{i}",
+                )(x)
+        return x
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        inp = x
+        x = nn.Conv(
+            self.dim,
+            (7, 7),
+            padding=[(3, 3), (3, 3)],
+            feature_group_count=self.dim,
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+            name="dwconv",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32, name="norm")(x)
+        x = nn.Dense(4 * self.dim, dtype=self.compute_dtype, name="pwconv1")(x)
+        x = jax.nn.gelu(x)
+        x = nn.Dense(self.dim, dtype=self.compute_dtype, name="pwconv2")(x)
+        gamma = self.param(
+            "gamma", nn.initializers.constant(1e-6), (self.dim,), jnp.float32
+        )
+        return inp + gamma * x
+
+
+class ConvNeXtSmall(nn.Module):
+    """Native flax ConvNeXt-Small trunk + YOGO format head
+    (reference: yogo/model_defns.py:533-558, which uses timm)."""
+
+    num_outputs: int  # 5 + num_classes
+    compute_dtype: Any = jnp.float32
+    depths: Tuple[int, ...] = (3, 3, 27, 3)
+    dims: Tuple[int, ...] = (96, 192, 384, 768)
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool = False) -> Array:
+        # stem: patchify
+        x = nn.Conv(
+            self.dims[0],
+            (4, 4),
+            strides=(4, 4),
+            padding="VALID",
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+            name="stem_conv",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32, name="stem_norm")(x)
+        for stage, (depth, dim) in enumerate(zip(self.depths, self.dims)):
+            if stage > 0:
+                x = nn.LayerNorm(
+                    epsilon=1e-6, param_dtype=jnp.float32, name=f"down{stage}_norm"
+                )(x)
+                x = nn.Conv(
+                    dim,
+                    (2, 2),
+                    strides=(2, 2),
+                    padding="VALID",
+                    dtype=self.compute_dtype,
+                    param_dtype=jnp.float32,
+                    name=f"down{stage}_conv",
+                )(x)
+            for blk in range(depth):
+                x = ConvNeXtBlock(
+                    dim, self.compute_dtype, name=f"stage{stage}_block{blk}"
+                )(x)
+        # "format time!" head: 1x1 conv to 5+C then stride-4 transpose upsample
+        x = nn.Conv(
+            self.num_outputs,
+            (1, 1),
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+            name="format_conv",
+        )(x)
+        x = nn.ConvTranspose(
+            self.num_outputs,
+            (4, 4),
+            strides=(4, 4),
+            padding="VALID",
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+            name="format_up",
+        )(x)
+        return x
+
+
+def decode_predictions(
+    raw: Array,
+    cxs: Array,
+    cys: Array,
+    anchor_w: float,
+    anchor_h: float,
+    width_multiplier: float = 1.0,
+    height_multiplier: float = 1.0,
+    inference: bool = False,
+) -> Array:
+    """YOLO9000 direct-location decode (reference: yogo/model.py:277-313).
+
+    raw: (B, Sy, Sx, 5+C) NHWC backbone output.
+    Returns (B, Sy, Sx, 5+C): [xc, yc, w, h, objectness, *classes].
+    Classes stay raw logits during training, softmax at inference.
+    """
+    raw = raw.astype(jnp.float32)
+    Sy, Sx = raw.shape[1], raw.shape[2]
+    tx, ty, tw, th, to = (raw[..., i] for i in range(5))
+    cls = raw[..., 5:]
+
+    xc = jax.nn.sigmoid(tx) * (1.0 / Sx) + cxs
+    yc = jax.nn.sigmoid(ty) * (1.0 / Sy) + cys
+    w = anchor_w * jnp.exp(jnp.minimum(tw, WH_CLAMP)) * width_multiplier
+    h = anchor_h * jnp.exp(jnp.minimum(th, WH_CLAMP)) * height_multiplier
+    obj = jax.nn.sigmoid(to)
+    if inference:
+        cls = jax.nn.softmax(cls, axis=-1)
+    return jnp.concatenate(
+        [jnp.stack([xc, yc, w, h, obj], axis=-1), cls], axis=-1
+    )
+
+
+@dataclass(frozen=True)
+class YOGO:
+    """Static model configuration + functional forward.
+
+    Mirrors the reference YOGO wrapper's buffers (reference:
+    yogo/model.py:35-65) as plain fields. `resize` reproduces
+    `resize_model` (reference: yogo/model.py:236-265) functionally: a new
+    config with recomputed grids and width/height multipliers.
+    """
+
+    img_size: Tuple[int, int]  # (H, W)
+    anchor_w: float
+    anchor_h: float
+    num_classes: int
+    is_rgb: bool = False
+    normalize_images: bool = False
+    clip_value: float = 1.0
+    model_version: str = "base_model"
+    height_multiplier: float = 1.0
+    width_multiplier: float = 1.0
+    compute_dtype: Any = jnp.float32
+
+    # ------------------------------------------------------------------ setup
+    @property
+    def defn(self) -> ModelDefn:
+        return get_model_defn(self.model_version)(self.num_classes, self.is_rgb)
+
+    @property
+    def input_channels(self) -> int:
+        return 3 if self.is_rgb else 1
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        """(Sx, Sy) for the current img_size."""
+        h, w = self.img_size
+        return grid_size(self.defn.blocks, h, w)
+
+    @property
+    def Sx(self) -> int:
+        return self.grid[0]
+
+    @property
+    def Sy(self) -> int:
+        return self.grid[1]
+
+    def module(self) -> nn.Module:
+        defn = self.defn
+        if defn.family == "convnext":
+            return ConvNeXtSmall(
+                num_outputs=5 + self.num_classes, compute_dtype=self.compute_dtype
+            )
+        return ConvStack(blocks=defn.blocks, compute_dtype=self.compute_dtype)
+
+    # ------------------------------------------------------------- param init
+    def init(self, rng: jax.Array) -> Dict[str, Any]:
+        h, w = self.img_size
+        dummy = jnp.zeros((1, h, w, self.input_channels), jnp.float32)
+        return self.module().init({"params": rng}, dummy, train=False)
+
+    def num_params(self, variables: Dict[str, Any]) -> int:
+        return sum(
+            int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"])
+        )
+
+    # ---------------------------------------------------------------- forward
+    def _to_nhwc(self, x: Array) -> Array:
+        """Accept reference-layout input: (B,C,H,W), (C,H,W) or (H,W);
+        uint8 or float (reference: yogo/model.py:267-273)."""
+        if x.ndim == 2:
+            x = x[None, None]
+        elif x.ndim == 3:
+            x = x[None]
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(jnp.float32)
+        return jnp.transpose(x, (0, 2, 3, 1))
+
+    def apply(
+        self,
+        variables: Dict[str, Any],
+        x: Array,
+        *,
+        train: bool = False,
+        inference: bool = False,
+        rngs: Optional[Dict[str, jax.Array]] = None,
+        mutable: bool = False,
+        channels_last: bool = False,
+    ):
+        """Forward pass: raw input -> decoded (B, 5+C, Sy, Sx) predictions.
+
+        With mutable=True (training) returns (preds, new_model_state).
+        """
+        if not channels_last:
+            x = self._to_nhwc(x)
+        elif not jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(jnp.float32)
+        x = x.astype(self.compute_dtype)
+
+        module = self.module()
+        if mutable:
+            raw, new_state = module.apply(
+                variables, x, train=train, rngs=rngs, mutable=["batch_stats"]
+            )
+        else:
+            raw = module.apply(variables, x, train=train, rngs=rngs)
+
+        Sx, Sy = self.grid
+        cxs, cys = cell_offsets(Sx, Sy)
+        out = decode_predictions(
+            raw,
+            jnp.asarray(cxs),
+            jnp.asarray(cys),
+            self.anchor_w,
+            self.anchor_h,
+            self.width_multiplier,
+            self.height_multiplier,
+            inference=inference,
+        )
+        out = jnp.transpose(out, (0, 3, 1, 2))  # -> (B, 5+C, Sy, Sx)
+        if mutable:
+            return out, new_state
+        return out
+
+    # ----------------------------------------------------------------- resize
+    def resize(
+        self, img_height: Optional[int] = None, img_width: Optional[int] = None
+    ) -> "YOGO":
+        """Fully-convolutional crop-resize (reference: yogo/model.py:236-265).
+
+        Multipliers rescale predicted w/h back to original-image fractions;
+        they compose with any existing resize by being computed against the
+        un-multiplied original size.
+        """
+        org_h = self.img_size[0] * self.height_multiplier
+        org_w = self.img_size[1] * self.width_multiplier
+        new_h = int(img_height or self.img_size[0])
+        new_w = int(img_width or self.img_size[1])
+        return dataclasses.replace(
+            self,
+            img_size=(new_h, new_w),
+            height_multiplier=float(org_h / new_h),
+            width_multiplier=float(org_w / new_w),
+        )
+
+    def with_compute_dtype(self, dtype: Any) -> "YOGO":
+        return dataclasses.replace(self, compute_dtype=dtype)
+
+    # ----------------------------------------------------------- construction
+    @classmethod
+    def create(
+        cls,
+        img_size: Tuple[int, int],
+        anchor_w: float,
+        anchor_h: float,
+        num_classes: int,
+        **kwargs,
+    ) -> "YOGO":
+        return cls(
+            img_size=(int(img_size[0]), int(img_size[1])),
+            anchor_w=float(anchor_w),
+            anchor_h=float(anchor_h),
+            num_classes=int(num_classes),
+            **kwargs,
+        )

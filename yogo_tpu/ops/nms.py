@@ -1,0 +1,125 @@
+"""Non-maximal suppression: TPU-native fixed-capacity kernel + host oracle.
+
+The reference delegates NMS to torchvision's CUDA/C++ kernel per-image on
+dynamically-shaped, host-filtered predictions (reference:
+yogo/utils/prediction_formatting.py:81-86). On TPU that pattern - dynamic
+shapes and a device->host sync per image - is the enemy, so the device path
+here is:
+
+  1. top-K by objectness over all grid cells (static K),
+  2. one (K, K) IoU matrix per image,
+  3. greedy suppression resolved by fixed-point iteration
+     (keep[j] <- no higher-scored *kept* box overlaps j), which converges to
+     exactly the sequential greedy result (the recurrence has a unique fixed
+     point) in ~chain-depth iterations instead of K sequential steps,
+
+all batched over the image axis and fully inside jit. Tie-breaking follows
+torch: stable sort, strictly-greater-than-threshold suppression.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yogo_tpu.ops.boxes import box_area
+
+Array = jax.Array
+
+
+def nms_numpy(
+    boxes: np.ndarray, scores: np.ndarray, iou_threshold: float
+) -> np.ndarray:
+    """Host greedy NMS oracle with torchvision semantics.
+
+    boxes: (N, 4) xyxy; scores: (N,). Returns kept indices sorted by
+    descending score (stable).
+    """
+    boxes = np.asarray(boxes, np.float32)
+    scores = np.asarray(scores, np.float32)
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        iou = inter / (areas[i] + areas - inter)
+        suppressed |= iou > iou_threshold
+        suppressed[i] = True  # kept, but never revisited
+    return np.asarray(keep, np.int64)
+
+
+def _greedy_keep_from_suppression(suppress: Array) -> Array:
+    """Resolve greedy NMS from a strictly-upper-triangular suppression matrix.
+
+    suppress[i, j] = True means box i (higher-ranked) suppresses box j.
+    Returns keep mask over the ranked axis. Fixed-point iteration:
+    keep[j] = not any_i(suppress[i, j] & keep[i]); the recurrence's fixed
+    point is unique and equals sequential greedy NMS.
+    """
+    k = suppress.shape[-1]
+
+    def cond(state):
+        keep, prev_keep, it = state
+        return jnp.logical_and(jnp.any(keep != prev_keep), it < k + 1)
+
+    def body(state):
+        keep, _, it = state
+        new_keep = ~jnp.any(suppress & keep[..., :, None], axis=-2)
+        return new_keep, keep, it + 1
+
+    keep0 = jnp.ones(suppress.shape[:-1], bool)
+    first = ~jnp.any(suppress & keep0[..., :, None], axis=-2)
+    keep, _, _ = jax.lax.while_loop(cond, body, (first, keep0, jnp.int32(0)))
+    return keep
+
+
+@partial(jax.jit, static_argnames=("iou_threshold",))
+def nms_fixed(
+    boxes: Array, scores: Array, valid: Array, iou_threshold: float
+) -> Array:
+    """Greedy NMS over padded, fixed-size inputs (single image).
+
+    boxes: (K, 4) xyxy, scores: (K,), valid: (K,) bool padding mask.
+    Returns keep mask (K,) in the ORIGINAL box order (not rank order).
+    """
+    k = boxes.shape[0]
+    neg_inf = jnp.finfo(scores.dtype).min
+    ranked_scores = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-ranked_scores, stable=True)  # rank -> original idx
+
+    rboxes = boxes[order]
+    rvalid = valid[order]
+
+    area = box_area(rboxes)
+    lt = jnp.maximum(rboxes[:, None, :2], rboxes[None, :, :2])
+    rb = jnp.minimum(rboxes[:, None, 2:], rboxes[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    iou = inter / (area[:, None] + area[None, :] - inter)
+
+    upper = jnp.triu(jnp.ones((k, k), bool), k=1)  # i strictly above j in rank
+    suppress = (iou > iou_threshold) & upper & rvalid[:, None] & rvalid[None, :]
+    keep_ranked = _greedy_keep_from_suppression(suppress) & rvalid
+
+    keep = jnp.zeros((k,), bool).at[order].set(keep_ranked)
+    return keep
+
+
+def batched_nms(
+    boxes: Array, scores: Array, valid: Array, iou_threshold: float
+) -> Array:
+    """vmapped fixed-capacity NMS: (B, K, 4), (B, K), (B, K) -> keep (B, K)."""
+    return jax.vmap(lambda b, s, v: nms_fixed(b, s, v, iou_threshold))(
+        boxes, scores, valid
+    )

@@ -1,0 +1,261 @@
+"""Prediction formatting / postprocessing.
+
+Two complementary paths replacing the reference's per-image host loops
+(reference: yogo/utils/prediction_formatting.py:23-156, yogo/infer.py:39-124):
+
+  * host path (`format_preds`): exact reference semantics with dynamic
+    shapes, used for small-scale eval, drawing, and txt/npy export parity.
+  * device path (`format_preds_batched`, `count_class_predictions`): fully
+    jitted, fixed-capacity (padded top-K) versions of filter->NMS->count that
+    run batched on TPU with no host sync - the infer hot loop.
+
+Thresholds follow the reference exactly: objectness strictly > obj_thresh,
+NMS at iou_thresh with score = max(class_probs) * objectness (0 disables),
+then max(class_probs) strictly > min_class_confidence_threshold (0 disables).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Literal, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yogo_tpu.ops.nms import batched_nms, nms_numpy
+
+Array = jax.Array
+
+BoxFormat = Literal["xyxy", "cxcywh"]
+VALID_BOX_FORMATS = ("xyxy", "cxcywh")
+
+# default fixed capacity for the device path; ~6x the realistic max object
+# count per 772x1032 brightfield image, far above obj>0.5 survivors in practice
+DEFAULT_MAX_DETECTIONS = 1024
+
+
+def _cxcywh_to_xyxy_np(b: np.ndarray) -> np.ndarray:
+    out = np.empty_like(b)
+    out[:, 0] = b[:, 0] - b[:, 2] / 2
+    out[:, 1] = b[:, 1] - b[:, 3] / 2
+    out[:, 2] = b[:, 0] + b[:, 2] / 2
+    out[:, 3] = b[:, 1] + b[:, 3] / 2
+    return out
+
+
+def format_preds(
+    pred: np.ndarray,
+    obj_thresh: float = 0.5,
+    iou_thresh: float = 0.5,
+    box_format: BoxFormat = "cxcywh",
+    min_class_confidence_threshold: float = 0.0,
+) -> np.ndarray:
+    """Host-side exact formatter: (5+C, Sy, Sx) -> (N, 5+C).
+
+    Reference-equivalent pipeline (reference:
+    yogo/utils/prediction_formatting.py:23-93): objectness filter, optional
+    box conversion, NMS on xyxy boxes with score max(class)*objectness,
+    class-confidence filter. Returns boxes in `box_format`.
+    """
+    pred = np.asarray(pred)
+    if pred.ndim != 3:
+        raise ValueError(
+            "argument to format_preds should be unbatched - expected shape "
+            f"(pred_dim, Sy, Sx), got {pred.shape}"
+        )
+    if box_format not in VALID_BOX_FORMATS:
+        raise ValueError(
+            f"invalid box format {box_format}; valid formats: {VALID_BOX_FORMATS}"
+        )
+
+    pred_dim = pred.shape[0]
+    flat = pred.reshape(pred_dim, -1).T  # (Sy*Sx, pred_dim)
+
+    keep = flat[:, 4] > obj_thresh
+    preds = flat[keep].astype(np.float32, copy=True)
+
+    if box_format == "xyxy":
+        preds[:, :4] = _cxcywh_to_xyxy_np(preds[:, :4])
+        nms_boxes = preds[:, :4]
+    else:
+        nms_boxes = _cxcywh_to_xyxy_np(preds[:, :4])
+
+    if iou_thresh > 0 and len(preds):
+        scores = preds[:, 5:].max(axis=1) * preds[:, 4]
+        keep_idx = nms_numpy(nms_boxes, scores, iou_thresh)
+        preds = preds[keep_idx]
+
+    if min_class_confidence_threshold > 0 and len(preds):
+        preds = preds[preds[:, 5:].max(axis=1) > min_class_confidence_threshold]
+
+    return preds
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "obj_thresh",
+        "iou_thresh",
+        "min_class_confidence_threshold",
+        "max_detections",
+    ),
+)
+def format_preds_batched(
+    preds: Array,
+    obj_thresh: float = 0.5,
+    iou_thresh: float = 0.5,
+    min_class_confidence_threshold: float = 0.0,
+    max_detections: int = DEFAULT_MAX_DETECTIONS,
+) -> Dict[str, Array]:
+    """Device-side batched formatter: (B, 5+C, Sy, Sx) -> padded detections.
+
+    Returns dict of fixed-shape arrays:
+        boxes_cxcywh (B, K, 4), boxes_xyxy (B, K, 4), objectness (B, K),
+        class_probs (B, K, C), valid (B, K) bool, in descending-objectness
+        order per image.
+
+    Capacity note: K = min(max_detections, cells). If more than K cells pass
+    the objectness threshold the lowest-objectness survivors are dropped (the
+    reference keeps all; with obj_thresh 0.5 real images yield far fewer).
+    """
+    b, pred_dim, sy, sx = preds.shape
+    cells = sy * sx
+    k = min(max_detections, cells)
+    flat = preds.reshape(b, pred_dim, cells).transpose(0, 2, 1)  # (B, cells, D)
+
+    obj = flat[..., 4]
+    passing = obj > obj_thresh
+    # top-K by objectness, masked entries sink to the bottom
+    sort_key = jnp.where(passing, obj, -1.0)
+    top_val, top_idx = jax.lax.top_k(sort_key, k)
+    valid = top_val > 0  # -1 markers are invalid; obj itself is > 0 by sigmoid
+    valid = valid & (top_val > obj_thresh)
+
+    sel = jnp.take_along_axis(flat, top_idx[..., None], axis=1)  # (B, K, D)
+    boxes_cxcywh = sel[..., :4]
+    cx, cy, w, h = (boxes_cxcywh[..., i] for i in range(4))
+    boxes_xyxy = jnp.stack(
+        [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1
+    )
+    objectness = sel[..., 4]
+    class_probs = sel[..., 5:]
+
+    if iou_thresh > 0:
+        scores = class_probs.max(axis=-1) * objectness
+        keep = batched_nms(boxes_xyxy, scores, valid, iou_thresh)
+        valid = valid & keep
+
+    if min_class_confidence_threshold > 0:
+        valid = valid & (
+            class_probs.max(axis=-1) > min_class_confidence_threshold
+        )
+
+    return {
+        "boxes_cxcywh": boxes_cxcywh,
+        "boxes_xyxy": boxes_xyxy,
+        "objectness": objectness,
+        "class_probs": class_probs,
+        "valid": valid,
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "obj_thresh",
+        "iou_thresh",
+        "min_class_confidence_threshold",
+        "max_detections",
+    ),
+)
+def count_class_predictions(
+    preds: Array,
+    obj_thresh: float = 0.5,
+    iou_thresh: float = 0.5,
+    min_class_confidence_threshold: float = 0.0,
+    max_detections: int = DEFAULT_MAX_DETECTIONS,
+) -> Array:
+    """Fused on-device class counting (replaces the reference's per-image host
+    loop, reference: yogo/infer.py:60-124): filter -> NMS -> argmax ->
+    per-class histogram. (B, 5+C, Sy, Sx) -> (C,) int32 counts."""
+    f = format_preds_batched(
+        preds,
+        obj_thresh=obj_thresh,
+        iou_thresh=iou_thresh,
+        min_class_confidence_threshold=min_class_confidence_threshold,
+        max_detections=max_detections,
+    )
+    num_classes = f["class_probs"].shape[-1]
+    cls = jnp.argmax(f["class_probs"], axis=-1)  # (B, K)
+    onehot = jax.nn.one_hot(cls, num_classes, dtype=jnp.int32)
+    return jnp.sum(onehot * f["valid"][..., None].astype(jnp.int32), axis=(0, 1))
+
+
+def count_cells_for_formatted_preds(
+    formatted_class_predictions: np.ndarray,
+    min_confidence_threshold: Optional[float] = None,
+) -> np.ndarray:
+    """Host per-class counter over (N, C) class-prob rows (reference:
+    yogo/infer.py:90-124): argmax, filter max prob strictly > threshold,
+    histogram."""
+    p = np.asarray(formatted_class_predictions)
+    if p.ndim != 2:
+        raise ValueError(
+            "expected formatted_class_predictions of shape (N, num_classes); "
+            f"got {p.shape}"
+        )
+    if min_confidence_threshold is not None and not (
+        0 <= min_confidence_threshold <= 1
+    ):
+        raise ValueError(
+            "min_confidence_threshold should be between 0 and 1; "
+            f"is {min_confidence_threshold}"
+        )
+    thresh = min_confidence_threshold or 0.0
+    n_classes = p.shape[1]
+    if len(p) == 0:
+        return np.zeros(n_classes, np.int64)
+    values = p.max(axis=1)
+    indices = p.argmax(axis=1)
+    kept = indices[values > thresh]
+    return np.bincount(kept, minlength=n_classes).astype(np.int64)
+
+
+def format_to_numpy(
+    img_id: int,
+    prediction_tensor: np.ndarray,
+    img_h: int,
+    img_w: int,
+    np_dtype=np.float32,
+) -> np.ndarray:
+    """Scope .npy export schema (reference:
+    yogo/utils/prediction_formatting.py:96-156): (8+C, N) rows =
+    [img_id, tlx*w, tly*h, brx*w, bry*h, objectness, argmax label,
+    peak prob, *class probs]."""
+    filtered = format_preds(prediction_tensor, box_format="xyxy").T  # (5+C, N)
+    n = filtered.shape[1]
+
+    img_ids = np.full(n, img_id, dtype=np_dtype)
+    tlx = filtered[0] * img_w
+    tly = filtered[1] * img_h
+    brx = filtered[2] * img_w
+    bry = filtered[3] * img_h
+    objectness = filtered[4].astype(np_dtype)
+    all_confs = filtered[5:].astype(np_dtype)
+    pred_labels = np.argmax(all_confs, axis=0).astype(np.uint8)
+    pred_probs = all_confs[pred_labels, np.arange(n)]
+
+    return np.vstack(
+        (
+            img_ids,
+            tlx.astype(np_dtype),
+            tly.astype(np_dtype),
+            brx.astype(np_dtype),
+            bry.astype(np_dtype),
+            objectness,
+            pred_labels.astype(np_dtype),
+            pred_probs.astype(np_dtype),
+            all_confs,
+        )
+    )
