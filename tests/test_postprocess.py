@@ -1,0 +1,233 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yogo_tpu.ops.nms import batched_nms, nms_fixed, nms_numpy
+from yogo_tpu.ops.postprocess import (
+    count_cells_for_formatted_preds,
+    count_class_predictions,
+    format_preds,
+    format_preds_batched,
+    format_to_numpy,
+)
+
+
+# ---------------------------------------------------------------- NMS kernel
+def random_boxes(rng, n, scale=1.0):
+    cx, cy = rng.uniform(0.2, 0.8, (2, n))
+    w, h = rng.uniform(0.02, 0.3, (2, n)) * scale
+    return np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1).astype(
+        np.float32
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_nms_fixed_matches_host_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n = 64
+    boxes = random_boxes(rng, n, scale=3.0)  # big boxes -> many overlaps
+    scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    keep_ref = set(nms_numpy(boxes, scores, 0.5).tolist())
+    keep_dev = np.asarray(
+        nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(n, bool), 0.5)
+    )
+    assert set(np.nonzero(keep_dev)[0].tolist()) == keep_ref
+
+
+def test_nms_fixed_respects_padding():
+    rng = np.random.default_rng(5)
+    boxes = random_boxes(rng, 16, scale=3.0)
+    scores = rng.uniform(0.1, 1.0, 16).astype(np.float32)
+    valid = np.zeros(16, bool)
+    valid[:9] = True
+    keep = np.asarray(
+        nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5)
+    )
+    assert not keep[9:].any()
+    keep_ref = set(nms_numpy(boxes[:9], scores[:9], 0.5).tolist())
+    assert set(np.nonzero(keep[:9])[0].tolist()) == keep_ref
+
+
+def test_batched_nms_agrees_per_image():
+    rng = np.random.default_rng(7)
+    b, n = 4, 48
+    boxes = np.stack([random_boxes(rng, n, 2.0) for _ in range(b)])
+    scores = rng.uniform(0.1, 1, (b, n)).astype(np.float32)
+    keep = np.asarray(
+        batched_nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones((b, n), bool), 0.4)
+    )
+    for i in range(b):
+        ref = set(nms_numpy(boxes[i], scores[i], 0.4).tolist())
+        assert set(np.nonzero(keep[i])[0].tolist()) == ref
+
+
+def test_nms_suppression_chain():
+    """a suppresses b, b would suppress c, but b is gone -> c survives."""
+    boxes = np.array(
+        [
+            [0.0, 0.0, 1.0, 1.0],
+            [0.05, 0.05, 1.05, 1.05],  # overlaps a heavily
+            [0.55, 0.55, 1.55, 1.55],  # overlaps b heavily, a only slightly
+        ],
+        np.float32,
+    )
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    keep = np.asarray(
+        nms_fixed(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(3, bool), 0.5)
+    )
+    np.testing.assert_array_equal(keep, [True, False, True])
+    np.testing.assert_array_equal(
+        sorted(nms_numpy(boxes, scores, 0.5).tolist()), [0, 2]
+    )
+
+
+# --------------------------------------------------- format_preds (host path)
+# Vectors equivalent to the reference's unit tests
+# (reference: tests/test_utils_tensor_formatting.py:8-68)
+def _grid(pred_dim=12, s=4):
+    return np.zeros((pred_dim, s, s), np.float32)
+
+
+def test_format_preds_empty():
+    out = format_preds(_grid())
+    assert out.shape == (0, 12)
+
+
+def test_format_preds_objectness_filter():
+    g = _grid()
+    g[4, 0, 0] = 1.0
+    g[5, :, :] = 1.0
+    out = format_preds(g)
+    assert out.shape == (1, 12)
+    np.testing.assert_allclose(out[0], g[:, 0, 0])
+
+
+def test_format_preds_cxcywh_passthrough():
+    g = _grid()
+    g[5, :, :] = 1.0
+    g[4, 1, 1] = 1.0
+    g[0, 1, 1], g[1, 1, 1], g[2, 1, 1], g[3, 1, 1] = 0.5, 0.5, 0.1, 0.1
+    out = format_preds(g)
+    np.testing.assert_allclose(out[0], g[:, 1, 1])
+
+
+def test_format_preds_xyxy_conversion():
+    g = _grid()
+    g[5, :, :] = 1.0
+    g[4, 1, 1] = 1.0
+    g[0, 1, 1], g[1, 1, 1], g[2, 1, 1], g[3, 1, 1] = 0.5, 0.5, 0.1, 0.1
+    out = format_preds(g, box_format="xyxy")
+    np.testing.assert_allclose(out[0, :4], [0.45, 0.45, 0.55, 0.55], atol=1e-6)
+
+
+def test_format_preds_rejects_batched():
+    with pytest.raises(ValueError):
+        format_preds(np.zeros((1, 12, 4, 4), np.float32))
+    with pytest.raises(ValueError):
+        format_preds(_grid(), box_format="bad")  # type: ignore[arg-type]
+
+
+def test_format_preds_min_class_confidence():
+    g = _grid()
+    g[4, 0, 0] = 0.9
+    g[5:, 0, 0] = 1 / 7
+    g[4, 2, 2] = 0.9
+    g[5, 2, 2] = 0.95
+    out = format_preds(g, min_class_confidence_threshold=0.5)
+    assert out.shape == (1, 12)
+    assert out[0, 5] == pytest.approx(0.95)
+
+
+# ------------------------------------------------- device-path equivalences
+def make_fake_preds(rng, b=2, c=4, sy=6, sx=8, frac=0.3):
+    pred = rng.uniform(0, 1, (b, 5 + c, sy, sx)).astype(np.float32)
+    pred[:, 4] = (rng.uniform(0, 1, (b, sy, sx)) < frac) * rng.uniform(
+        0.55, 1.0, (b, sy, sx)
+    )
+    pred[:, 2:4] *= 0.2  # reasonable w/h
+    return pred
+
+
+def test_format_preds_batched_matches_host():
+    rng = np.random.default_rng(11)
+    preds = make_fake_preds(rng)
+    out = {
+        k: np.asarray(v)
+        for k, v in format_preds_batched(
+            jnp.asarray(preds), max_detections=48
+        ).items()
+    }
+    for i in range(preds.shape[0]):
+        host = format_preds(preds[i])  # cxcywh
+        nvalid = out["valid"][i].sum()
+        assert nvalid == len(host)
+        dev_boxes = out["boxes_cxcywh"][i][out["valid"][i]]
+        # same set of boxes (device is objectness-sorted, host is cell-order)
+        host_sorted = host[np.argsort(-host[:, 4], kind="stable")]
+        np.testing.assert_allclose(dev_boxes, host_sorted[:, :4], atol=1e-6)
+
+
+def test_count_class_predictions_matches_host():
+    rng = np.random.default_rng(13)
+    preds = make_fake_preds(rng, b=3)
+    dev_counts = np.asarray(
+        count_class_predictions(jnp.asarray(preds), max_detections=48)
+    )
+    host_counts = np.zeros(4, np.int64)
+    for i in range(preds.shape[0]):
+        f = format_preds(preds[i])
+        if len(f):
+            host_counts += count_cells_for_formatted_preds(f[:, 5:])
+    np.testing.assert_array_equal(dev_counts, host_counts)
+
+
+# -------------------------------------------------- counting (host), parity
+# with reference tests/test_count_predictions.py:7-42
+def test_count_simple():
+    inp = np.zeros((3, 5))
+    inp[:, 0] = 1
+    np.testing.assert_array_equal(
+        count_cells_for_formatted_preds(inp), [3, 0, 0, 0, 0]
+    )
+
+
+def test_count_float():
+    row = np.array([0.1, 0.2, 0.3, 0.4])
+    inp = np.stack([row] * 3)
+    np.testing.assert_array_equal(count_cells_for_formatted_preds(inp), [0, 0, 0, 3])
+
+
+def test_count_threshold_filters_all():
+    inp = np.tile([0.2, 0.4, 0.2, 0.2], (3, 1))
+    np.testing.assert_array_equal(
+        count_cells_for_formatted_preds(inp, min_confidence_threshold=0.6),
+        [0, 0, 0, 0],
+    )
+
+
+def test_count_threshold_partial():
+    inp = np.array(
+        [[0.2, 0.7, 0.2, 0.2], [0.2, 0.4, 0.2, 0.2], [0.2, 0.4, 0.9, 0.2]]
+    )
+    np.testing.assert_array_equal(
+        count_cells_for_formatted_preds(inp, min_confidence_threshold=0.6),
+        [0, 1, 1, 0],
+    )
+
+
+# ------------------------------------------------------------ npy schema
+def test_format_to_numpy_schema():
+    rng = np.random.default_rng(17)
+    pred = make_fake_preds(rng, b=1, c=7)[0]
+    arr = format_to_numpy(3, pred, img_h=772, img_w=1032)
+    assert arr.shape[0] == 8 + 7
+    assert (arr[0] == 3).all()
+    n = arr.shape[1]
+    f = format_preds(pred, box_format="xyxy")
+    assert n == len(f)
+    if n:
+        np.testing.assert_allclose(arr[1], f[:, 0] * 1032, rtol=1e-5)
+        np.testing.assert_allclose(arr[4], f[:, 3] * 772, rtol=1e-5)
+        # peak prob == class probs at argmax row
+        labels = arr[6].astype(int)
+        np.testing.assert_allclose(arr[7], arr[8 + labels, np.arange(n)])

@@ -53,7 +53,9 @@ def nms_numpy(
         xx2 = np.minimum(boxes[i, 2], boxes[:, 2])
         yy2 = np.minimum(boxes[i, 3], boxes[:, 3])
         inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
-        iou = inter / (areas[i] + areas - inter)
+        union = areas[i] + areas - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            iou = np.where(union > 0, inter / union, 0.0)
         suppressed |= iou > iou_threshold
         suppressed[i] = True  # kept, but never revisited
     return np.asarray(keep, np.int64)
