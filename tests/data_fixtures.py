@@ -1,0 +1,68 @@
+"""Programmatic fake-data fixtures: tiny PNGs + YOLO label txts + definition
+YAMLs, generated into tmp dirs (equivalent coverage to the reference's static
+tests/fake-data tree, reference: tests/test_dataset_definition.py:20-158)."""
+
+from pathlib import Path
+
+import numpy as np
+import yaml
+from PIL import Image
+
+CLASSES = ["healthy", "ring", "misc"]
+
+
+def make_image(path: Path, h=40, w=56, seed=0):
+    rng = np.random.default_rng(seed)
+    arr = np.full((h, w), 220, np.uint8)
+    arr += rng.integers(0, 20, (h, w)).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def make_label_file(path: Path, rows):
+    with open(path, "w") as f:
+        f.write("\n".join(" ".join(str(v) for v in r) for r in rows))
+
+
+def make_pair_dirs(root: Path, name: str, n_images=3, boxes_per_image=2, seed=0):
+    """Create images_<name>/ + labels_<name>/ with matching files."""
+    img_dir = root / f"images_{name}"
+    lbl_dir = root / f"labels_{name}"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    lbl_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n_images):
+        make_image(img_dir / f"img_{i}.png", seed=seed * 100 + i)
+        rows = []
+        for _ in range(boxes_per_image):
+            cls = int(rng.integers(0, len(CLASSES)))
+            xc, yc = rng.uniform(0.2, 0.8, 2).round(4)
+            w, h = rng.uniform(0.1, 0.2, 2).round(4)
+            rows.append([cls, xc, yc, w, h])
+        make_label_file(lbl_dir / f"img_{i}.txt", rows)
+    return img_dir, lbl_dir
+
+
+def write_defn(path: Path, dataset_pairs=None, test_pairs=None, defn_paths=None,
+               test_defn_paths=None, classes=CLASSES, split=None, thumbs=None):
+    data = {"class_names": list(classes)}
+    paths = {}
+    for i, (img, lbl) in enumerate(dataset_pairs or []):
+        paths[f"pair{i}"] = {"image_path": str(img), "label_path": str(lbl)}
+    for i, d in enumerate(defn_paths or []):
+        paths[f"defn{i}"] = {"defn_path": str(d)}
+    if paths:
+        data["dataset_paths"] = paths
+    tpaths = {}
+    for i, (img, lbl) in enumerate(test_pairs or []):
+        tpaths[f"tpair{i}"] = {"image_path": str(img), "label_path": str(lbl)}
+    for i, d in enumerate(test_defn_paths or []):
+        tpaths[f"tdefn{i}"] = {"defn_path": str(d)}
+    if tpaths:
+        data["test_paths"] = tpaths
+    if split is not None:
+        data["dataset_split_fractions"] = split
+    if thumbs is not None:
+        data["thumbnail_augmentation"] = thumbs
+    with open(path, "w") as f:
+        yaml.safe_dump(data, f)
+    return path

@@ -58,16 +58,26 @@ def yogo_loss(
     iou_weight: float = 5.0,
     classify_weight: float = 1.0,
     label_smoothing: float = 0.01,
+    image_mask: Array | None = None,
 ) -> Tuple[Array, Dict[str, Array]]:
     """preds: (B, 5+C, Sy, Sx) decoded predictions (class logits);
-    labels: (B, 6, Sy, Sx) [mask, x1, y1, x2, y2, class].
+    labels: (B, 6, Sy, Sx) [mask, x1, y1, x2, y2, class];
+    image_mask: optional (B,) 0/1 validity for padded batches - padded
+    images contribute nothing and normalization uses the real-image count.
     Returns (total_loss, components dict of f32 scalars)."""
     preds = preds.astype(jnp.float32)
     labels = labels.astype(jnp.float32)
-    batch_size = preds.shape[0]
     num_classes = preds.shape[1] - 5
 
-    mask = labels[:, 0]  # (B, Sy, Sx)
+    if image_mask is None:
+        batch_size = jnp.float32(preds.shape[0])
+        img_w = jnp.ones((preds.shape[0], 1, 1), jnp.float32)
+    else:
+        image_mask = image_mask.astype(jnp.float32)
+        batch_size = jnp.maximum(jnp.sum(image_mask), 1.0)
+        img_w = image_mask[:, None, None]
+
+    mask = labels[:, 0] * img_w  # (B, Sy, Sx)
 
     # ---- IoU term: full grid, masked ------------------------------------
     pred_boxes = jnp.moveaxis(preds[:, :4], 1, -1)  # (B, Sy, Sx, 4) cxcywh
@@ -94,8 +104,8 @@ def yogo_loss(
     classification_loss = classify_weight * jnp.sum(mask * ce) / batch_size
 
     # ---- objectness term --------------------------------------------------
-    sq_err = (preds[:, 4] - mask) ** 2
-    obj_weights = mask * (1.0 - no_obj_weight) + no_obj_weight
+    sq_err = (preds[:, 4] - labels[:, 0]) ** 2
+    obj_weights = (labels[:, 0] * (1.0 - no_obj_weight) + no_obj_weight) * img_w
     objectness_loss = jnp.sum(sq_err * obj_weights) / batch_size
 
     total = objectness_loss + iou_loss + classification_loss
