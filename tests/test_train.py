@@ -1,0 +1,247 @@
+"""Training-stack tests: optimizer recipe, train step over the virtual
+8-device mesh, checkpointing, full tiny Trainer run (the reference has NO
+training-loop tests - this improves on its test strategy per SURVEY §4)."""
+
+import json
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.data_fixtures import CLASSES, make_pair_dirs, write_defn
+from yogo_tpu.models.yogo import YOGO
+from yogo_tpu.parallel.mesh import get_mesh
+from yogo_tpu.train import (
+    TrainState,
+    Trainer,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from yogo_tpu.utils.checkpoint import (
+    load_any,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def tiny_model():
+    return YOGO.create((48, 64), 0.08, 0.1, len(CLASSES),
+                       model_version="quarter_filters")
+
+
+def make_state(model, tx, seed=0):
+    v = model.init(jax.random.key(seed))
+    return TrainState(
+        params=v["params"],
+        batch_stats=v.get("batch_stats", {}),
+        opt_state=tx.init(v["params"]),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def fake_batch(model, b=8, n_obj=2, seed=0):
+    rng = np.random.default_rng(seed)
+    h, w = model.img_size
+    imgs = rng.integers(0, 255, (b, 1, h, w)).astype(np.uint8)
+    Sx, Sy = model.grid
+    labels = np.zeros((b, 6, Sy, Sx), np.float32)
+    for i in range(b):
+        for _ in range(n_obj):
+            cx, cy = rng.uniform(0.2, 0.8, 2)
+            bw, bh = rng.uniform(0.1, 0.2, 2)
+            ii = int((2 * cx) * Sx // 2)
+            jj = int((2 * cy) * Sy // 2)
+            labels[i, :, jj, ii] = [
+                1, cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2,
+                rng.integers(0, 3),
+            ]
+    mask = np.ones(b, np.float32)
+    return imgs, labels, mask
+
+
+def test_cosine_schedule_matches_torch_semantics():
+    """optax cosine_decay(alpha=1/decay) == torch CosineAnnealingLR
+    (eta_min = lr/decay, T_max = total steps), stepped per batch."""
+    lr, decay, total = 3e-4, 10.0, 100
+    _, sched = make_optimizer(lr, 5e-2, decay, total)
+    eta_min = lr / decay
+    for t in [0, 1, 50, 99, 100]:
+        want = eta_min + (lr - eta_min) * (1 + np.cos(np.pi * t / total)) / 2
+        np.testing.assert_allclose(float(sched(t)), want, rtol=1e-6)
+
+
+def test_grad_clip_elementwise():
+    import optax
+
+    tx, _ = make_optimizer(1.0, 0.0, 10.0, 100, clip_value=1.0)
+    params = {"w": jnp.zeros(3)}
+    grads = {"w": jnp.array([0.5, 100.0, -100.0])}
+    opt_state = tx.init(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    # after clipping, the two huge grads are identical in magnitude
+    u = np.asarray(updates["w"])
+    assert abs(abs(u[1]) - abs(u[2])) < 1e-6
+
+
+def test_train_step_runs_and_descends_on_mesh():
+    assert len(jax.devices()) == 8, "conftest should give 8 virtual devices"
+    model = tiny_model()
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
+    state = make_state(model, tx)
+    step = make_train_step(model, tx, dict(no_obj_weight=0.5, iou_weight=5.0,
+                                           classify_weight=1.0,
+                                           label_smoothing=0.01))
+    from yogo_tpu.parallel.mesh import data_sharded, replicated, shard_batch
+
+    mesh = get_mesh()
+    rep, dat, msk = replicated(mesh), data_sharded(mesh), data_sharded(mesh, 1)
+    jstep = jax.jit(step, in_shardings=(rep, dat, dat, msk, rep),
+                    out_shardings=(rep, rep, rep))
+
+    imgs, labels, mask = fake_batch(model)
+    rng = jax.random.key(0)
+    losses = []
+    for i in range(6):
+        di, dl, dm = shard_batch(mesh, imgs, labels, mask)
+        state, loss, comps = jstep(state, di, dl, dm, rng)
+        losses.append(float(loss))
+    assert int(state.step) == 6
+    assert losses[-1] < losses[0]  # overfitting a fixed batch must descend
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_train_step_image_mask_excludes_padding():
+    model = tiny_model()
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
+    loss_kwargs = dict(no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+                       label_smoothing=0.01)
+    eval_step = make_eval_step(model, loss_kwargs)
+    v = model.init(jax.random.key(0))
+    imgs, labels, mask = fake_batch(model, b=8)
+    full_loss, _ = eval_step(v["params"], v.get("batch_stats", {}),
+                             jnp.asarray(imgs), jnp.asarray(labels),
+                             jnp.asarray(mask))
+    # replace last 4 images with garbage but mask them out
+    imgs2 = imgs.copy()
+    imgs2[4:] = 255
+    mask2 = mask.copy()
+    mask2[4:] = 0
+    half_loss, _ = eval_step(v["params"], v.get("batch_stats", {}),
+                             jnp.asarray(imgs2), jnp.asarray(labels),
+                             jnp.asarray(mask2))
+    ref_loss, _ = eval_step(v["params"], v.get("batch_stats", {}),
+                            jnp.asarray(imgs[:4]), jnp.asarray(labels[:4]),
+                            jnp.asarray(mask[:4]))
+    np.testing.assert_allclose(float(half_loss), float(ref_loss), rtol=1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = tiny_model()
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
+    state = make_state(model, tx)
+    p = tmp_path / "ck.ckpt"
+    save_checkpoint(
+        p, model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        opt_state=state.opt_state, epoch=2, step=34,
+        classes=CLASSES, model_name="testrun",
+    )
+    m2, v2, meta = load_checkpoint(p)
+    assert meta["step"] == 34 and meta["epoch"] == 2
+    assert meta["classes"] == CLASSES
+    assert m2.model_version == "quarter_filters"
+    assert m2.grid == model.grid
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(v2["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # load_any dispatches on suffix
+    m3, _, _ = load_any(p)
+    assert m3.model_version == "quarter_filters"
+
+
+def test_trainer_end_to_end_tiny(tmp_path):
+    """2-epoch training run on generated data: loss logged, checkpoints
+    written, test metrics produced."""
+    pairs = [make_pair_dirs(tmp_path, str(i), n_images=6, seed=i) for i in range(2)]
+    test_pair = [make_pair_dirs(tmp_path, "t", n_images=4, seed=9)]
+    defn = write_defn(
+        tmp_path / "d.yml",
+        dataset_pairs=pairs,
+        test_pairs=test_pair,
+        split={"train": 0.75, "val": 0.25},
+    )
+    config = {
+        "learning_rate": 1e-3,
+        "decay_factor": 10.0,
+        "weight_decay": 5e-2,
+        "label_smoothing": 0.01,
+        "iou_weight": 5.0,
+        "no_obj_weight": 0.5,
+        "classify_weight": 1.0,
+        "epochs": 2,
+        "batch_size": 4,
+        "anchor_w": 0.1,
+        "anchor_h": 0.15,
+        "model": "quarter_filters",
+        "half": False,
+        "rgb": False,
+        "image_hw": (40, 56),
+        "pretrained_path": None,
+        "normalize_images": False,
+        "dataset_split_override": None,
+        "dataset_descriptor_file": str(defn),
+        "name": "tiny",
+        "note": None,
+        "tags": None,
+        "wandb_entity": None,
+        "wandb_project": None,
+        "use_wandb": False,
+        "model_save_dir": str(tmp_path / "run"),
+    }
+    trainer = Trainer(config)
+    trainer.init()
+    result = trainer.train()
+
+    run_dir = tmp_path / "run"
+    assert (run_dir / "metrics.jsonl").exists()
+    assert (run_dir / "best.ckpt").exists()
+    lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
+    assert any("val loss" in l for l in lines)
+
+    assert result is not None
+    mean_loss, mAP, confusion, *_ = result
+    assert np.isfinite(mean_loss)
+    assert confusion.shape[0] >= len(CLASSES)
+
+    # resume: load best.ckpt as pretrained
+    config2 = dict(config, pretrained_path=str(run_dir / "best.ckpt"),
+                   epochs=1, model_save_dir=str(tmp_path / "run2"))
+    t2 = Trainer(config2)
+    t2.init()
+    assert int(t2.state.step) > 0  # global step restored
+
+
+def test_trainer_rejects_mismatched_pretrained_size(tmp_path):
+    model = tiny_model()
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
+    state = make_state(model, tx)
+    p = tmp_path / "ck.ckpt"
+    save_checkpoint(p, model, {"params": state.params,
+                               "batch_stats": state.batch_stats})
+    pairs = [make_pair_dirs(tmp_path, "x", n_images=3)]
+    defn = write_defn(tmp_path / "d.yml", dataset_pairs=pairs)
+    config = {
+        "learning_rate": 1e-3, "decay_factor": 10.0, "weight_decay": 5e-2,
+        "label_smoothing": 0.01, "iou_weight": 5.0, "no_obj_weight": 0.5,
+        "epochs": 1, "batch_size": 2, "anchor_w": 0.1, "anchor_h": 0.15,
+        "model": None, "half": False, "rgb": False,
+        "image_hw": (40, 56),  # != (48, 64) in the checkpoint
+        "pretrained_path": str(p), "normalize_images": False,
+        "dataset_split_override": None,
+        "dataset_descriptor_file": str(defn), "use_wandb": False,
+    }
+    t = Trainer(config)
+    with pytest.raises(RuntimeError, match="mismatch in pretrained"):
+        t.init()

@@ -1,0 +1,330 @@
+"""Inference driver: `yogo infer` and the python predict() API.
+
+Re-design of the reference inference loop (reference: yogo/infer.py:140-422)
+for TPU throughput:
+
+  - fixed-shape batches: the last ragged batch is padded (one compiled
+    program, no recompiles),
+  - the postprocess chain (objectness filter -> NMS -> count) runs *fused on
+    device* via yogo_tpu.ops.postprocess instead of the reference's per-image
+    host loops; only final counts / padded detections come back,
+  - host threads overlap image decode with device compute (double-buffered
+    prefetch: the next batch decodes while the current one runs).
+
+Output artifacts keep the reference schemas: YOLO-format txt prediction
+files, the scope (8+C, N) .npy array + JSON metadata sidecar, drawn images,
+and per-class counts.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import warnings
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import List, Literal, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yogo_tpu.data.image_source import get_dataset
+from yogo_tpu.data.loader import choose_dataloader_num_workers
+from yogo_tpu.ops.postprocess import (
+    count_class_predictions,
+    format_preds,
+    format_to_numpy,
+)
+from yogo_tpu.utils.checkpoint import load_any
+
+
+def save_predictions(fnames, batch_preds, obj_thresh=0.5, iou_thresh=0.5):
+    """Write YOLO-format txt per image: 'class cx cy w h' rows
+    (reference: yogo/infer.py:39-57)."""
+    for fname, pred in zip(fnames, batch_preds):
+        rows = format_preds(
+            np.asarray(pred), obj_thresh=obj_thresh, iou_thresh=iou_thresh
+        )
+        lines = [
+            f"{int(np.argmax(r[5:]))} {r[0]} {r[1]} {r[2]} {r[3]}" for r in rows
+        ]
+        Path(fname).write_text("\n".join(lines))
+
+
+def get_prediction_class_counts(
+    batch_preds: np.ndarray,
+    obj_thresh: float = 0.5,
+    iou_thresh: float = 0.5,
+    min_class_confidence_threshold: float = 0.0,
+) -> np.ndarray:
+    """Host-path per-class counting over a batch (reference:
+    yogo/infer.py:60-87); the device path is
+    ops.postprocess.count_class_predictions."""
+    from yogo_tpu.ops.postprocess import count_cells_for_formatted_preds
+
+    num_classes = batch_preds.shape[1] - 5
+    total = np.zeros(num_classes, np.int64)
+    for pred in batch_preds:
+        rows = format_preds(
+            pred,
+            obj_thresh=obj_thresh,
+            iou_thresh=iou_thresh,
+            min_class_confidence_threshold=min_class_confidence_threshold,
+        )
+        if len(rows):
+            total += count_cells_for_formatted_preds(rows[:, 5:])
+    return total
+
+
+def write_metadata(metadata_path: Path, **kwargs) -> None:
+    with open(Path(metadata_path).with_suffix(".json"), "w") as f:
+        json.dump(kwargs, f, indent=4)
+
+
+def predict(
+    path_to_ckpt: Union[str, Path],
+    *,
+    path_to_images: Optional[Path] = None,
+    path_to_zarr: Optional[Path] = None,
+    output_dir: Optional[str] = None,
+    draw_boxes: bool = False,
+    save_preds: bool = False,
+    save_npy: bool = False,
+    class_names: Optional[List[str]] = None,
+    count_predictions: bool = False,
+    batch_size: int = 64,
+    obj_thresh: float = 0.5,
+    iou_thresh: float = 0.5,
+    vertical_crop_height: Optional[float] = None,
+    use_tqdm: bool = False,
+    output_img_ftype: Literal[".png", ".tif", ".tiff"] = ".png",
+    requested_num_workers: Optional[int] = None,
+    min_class_confidence_threshold: float = 0.0,
+    half: bool = False,
+    return_full_predictions: bool = False,
+) -> Optional[np.ndarray]:
+    """See `yogo infer --help`. Mirrors the reference predict() surface
+    (reference: yogo/infer.py:140-192)."""
+    if save_preds and draw_boxes:
+        raise ValueError(
+            "cannot save predictions in YOGO format and draw_boxes at the "
+            "same time"
+        )
+    elif output_dir is not None and not (save_preds or draw_boxes or save_npy):
+        warnings.warn(
+            f"output dir is not None (is {output_dir}), but it will not be "
+            "used since save_preds and draw_boxes are both false"
+        )
+    elif output_dir is not None:
+        Path(output_dir).mkdir(exist_ok=True, parents=False)
+    elif save_preds:
+        raise ValueError("output_dir must not be None if save_preds is True")
+    if output_img_ftype not in (".png", ".tif", ".tiff"):
+        raise ValueError(
+            "only .png, .tif, and .tiff are supported for output img "
+            f"filetype; got {output_img_ftype}"
+        )
+
+    model, variables, cfg = load_any(path_to_ckpt, inference=True)
+    if half:
+        model = model.with_compute_dtype(jnp.bfloat16)
+
+    img_h, img_w = model.img_size
+    crop_hw = None
+    if vertical_crop_height:
+        crop_px = int(round(vertical_crop_height * img_h))
+        crop_hw = (crop_px, int(img_w))
+        model = model.resize(crop_px)
+        img_h = crop_px
+
+    num_classes = model.num_classes
+    if class_names is not None and len(class_names) != num_classes:
+        raise ValueError(
+            f"expected {num_classes} class names, got {len(class_names)}"
+        )
+    if class_names is None and isinstance(cfg, dict):
+        class_names = cfg.get("class_names") or cfg.get("classes")
+
+    dataset = get_dataset(
+        path_to_images=path_to_images,
+        path_to_zarr=path_to_zarr,
+        crop_hw=crop_hw,
+        normalize_images=bool(model.normalize_images),
+    )
+    n_images = len(dataset)
+    num_workers = choose_dataloader_num_workers(
+        n_images, requested_num_workers=requested_num_workers
+    )
+
+    # jitted forward (full batch shape only; last batch is padded)
+    @jax.jit
+    def forward(imgs):
+        return model.apply(variables, imgs, inference=True)
+
+    Sx, Sy = model.grid
+    pred_dim = 5 + num_classes
+
+    needs_full = (
+        return_full_predictions or save_npy or save_preds or draw_boxes
+    )
+    results = (
+        np.zeros((n_images, pred_dim, Sy, Sx), np.float32)
+        if return_full_predictions
+        else None
+    )
+    np_results: List[np.ndarray] = []
+    tot_counts = np.zeros(num_classes, np.int64)
+
+    def load_batch(start: int):
+        idxs = range(start, min(start + batch_size, n_images))
+        if num_workers > 0:
+            with ThreadPoolExecutor(max_workers=num_workers) as ex:
+                items = list(ex.map(dataset.__getitem__, idxs))
+        else:
+            items = [dataset[i] for i in idxs]
+        imgs = np.stack([im for im, _ in items])
+        names = [name for _, name in items]
+        real = len(items)
+        if real < batch_size:  # pad to the compiled batch shape
+            pad = np.repeat(imgs[:1], batch_size - real, axis=0)
+            imgs = np.concatenate([imgs, pad])
+        return imgs, names, real
+
+    pbar = None
+    if use_tqdm:
+        try:
+            from tqdm import tqdm
+
+            pbar = tqdm(unit="images", total=n_images)
+        except ImportError:
+            pass
+
+    starts = list(range(0, n_images, batch_size))
+    # double-buffered prefetch: decode batch i+1 while batch i computes
+    prefetcher = ThreadPoolExecutor(max_workers=1)
+    pending = prefetcher.submit(load_batch, starts[0]) if starts else None
+
+    for bi, start in enumerate(starts):
+        imgs, names, real = pending.result()
+        pending = (
+            prefetcher.submit(load_batch, starts[bi + 1])
+            if bi + 1 < len(starts)
+            else None
+        )
+
+        imgs_j = jnp.asarray(imgs)
+        if count_predictions and not needs_full:
+            # fully fused on device: forward + NMS + count, no big transfers
+            counts = count_class_predictions(
+                forward(imgs_j)[:real],
+                obj_thresh=obj_thresh,
+                iou_thresh=iou_thresh,
+                min_class_confidence_threshold=min_class_confidence_threshold,
+            )
+            tot_counts += np.asarray(counts, np.int64)
+            if pbar:
+                pbar.update(real)
+            continue
+
+        res = np.asarray(forward(imgs_j))[:real]
+
+        if draw_boxes:
+            from yogo_tpu.utils.drawing import draw_yogo_prediction
+
+            for j in range(real):
+                bbox_img = draw_yogo_prediction(
+                    img=imgs[j],
+                    prediction=res[j],
+                    obj_thresh=obj_thresh,
+                    iou_thresh=iou_thresh,
+                    min_class_confidence_threshold=min_class_confidence_threshold,
+                    labels=class_names,
+                    images_are_normalized=bool(model.normalize_images),
+                )
+                if output_dir is not None:
+                    out = (
+                        Path(output_dir)
+                        / Path(names[j]).with_suffix(output_img_ftype).name
+                    )
+                    bbox_img.save(out)
+                else:
+                    bbox_img.show()
+        if save_preds:
+            out_fnames = [
+                Path(output_dir) / Path(n).with_suffix(".txt").name
+                for n in names
+            ]
+            save_predictions(
+                out_fnames, res, obj_thresh=obj_thresh, iou_thresh=iou_thresh
+            )
+        if save_npy:
+            for j in range(real):
+                np_results.append(
+                    format_to_numpy(
+                        start + j, res[j], int(img_h), int(img_w)
+                    )
+                )
+        if count_predictions:
+            tot_counts += get_prediction_class_counts(
+                res,
+                obj_thresh=obj_thresh,
+                iou_thresh=iou_thresh,
+                min_class_confidence_threshold=min_class_confidence_threshold,
+            )
+        if return_full_predictions:
+            results[start : start + real] = res
+        if pbar:
+            pbar.update(real)
+
+    prefetcher.shutdown(wait=False)
+    if pbar:
+        pbar.close()
+
+    if count_predictions:
+        print(list(zip(class_names or range(num_classes), map(int, tot_counts))))
+
+    if save_npy and np_results:
+        pred_tensors = np.hstack(np_results)
+        if path_to_images:
+            filename = Path(path_to_images).resolve().parent.stem
+        elif path_to_zarr:
+            filename = Path(path_to_zarr).resolve().stem
+        base = Path(output_dir).resolve() if output_dir else Path.cwd().resolve()
+        fp = base / Path(filename).with_suffix(".npy")
+        np.save(fp, pred_tensors)
+        write_metadata(
+            fp.with_suffix(".json"),
+            run_name=fp.with_suffix("").name,
+            model_name=(cfg.get("model_name") if isinstance(cfg, dict) else None),
+            obj_thresh=obj_thresh,
+            iou_thresh=iou_thresh,
+            vertical_crop_height_px=int(img_h),
+            write_date=datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
+        )
+
+    if return_full_predictions:
+        return results
+    return None
+
+
+def do_infer(args) -> None:
+    predict(
+        args.ckpt_path,
+        path_to_images=args.path_to_images,
+        path_to_zarr=args.path_to_zarr,
+        output_dir=args.output_dir,
+        draw_boxes=args.draw_boxes,
+        save_preds=args.save_preds,
+        save_npy=args.save_npy,
+        class_names=args.class_names,
+        obj_thresh=args.obj_thresh,
+        iou_thresh=args.iou_thresh,
+        batch_size=args.batch_size,
+        use_tqdm=args.use_tqdm,
+        vertical_crop_height=args.crop_height,
+        count_predictions=args.count,
+        output_img_ftype=args.output_img_filetype,
+        min_class_confidence_threshold=args.min_class_confidence_threshold,
+        half=args.half,
+    )

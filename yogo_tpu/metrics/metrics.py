@@ -1,0 +1,275 @@
+"""Evaluation metrics engine.
+
+Replaces the reference's torchmetrics collection (reference:
+yogo/metrics.py:23-234) with on-device batched prediction formatting + host
+accumulators:
+
+  - detections come from the jitted batched formatter (one device program per
+    batch instead of the reference's per-image python NMS loop),
+  - Hungarian matching (1 - IoU cost) pairs detections with labels per image;
+    unmatched labels are "missed", unmatched detections "extra"
+    (reference: yogo/utils/prediction_formatting.py:254-330),
+  - optional "background" class conversion folds missed/extra into a
+    synthetic final class for the confusion matrix
+    (reference: yogo/utils/prediction_formatting.py:206-251),
+  - accumulators: confusion matrix, per-class accuracy/precision/recall,
+    500-threshold ROC, 30-bin L1 calibration error (ECE), COCO mAP,
+    per-class missed/extra counters.
+
+Defaults mirror the reference: obj 0.5, NMS IoU 0.5, min class confidence
+0.9 for eval (reference: yogo/metrics.py:30).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from yogo_tpu.metrics.matching import linear_sum_assignment
+from yogo_tpu.metrics.mean_ap import MeanAveragePrecision
+from yogo_tpu.ops.postprocess import format_preds_batched
+
+NUM_ROC_THRESHOLDS = 500
+NUM_ECE_BINS = 30
+
+
+def _pairwise_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(union > 0, inter / union, 0.0)
+
+
+class Metrics:
+    def __init__(
+        self,
+        classes: List[str],
+        min_class_confidence_threshold: float = 0.9,
+        include_mAP: bool = True,
+        include_background: bool = True,
+        obj_thresh: float = 0.5,
+        iou_thresh: float = 0.5,
+        max_detections: int = 1024,
+    ):
+        self.class_names = classes + (["background"] if include_background else [])
+        self.num_classes = len(classes)
+        self.min_class_confidence_threshold = min_class_confidence_threshold
+        self.include_mAP = include_mAP
+        self.include_background = include_background
+        self.obj_thresh = obj_thresh
+        self.iou_thresh = iou_thresh
+        self.max_detections = max_detections
+        self.reset()
+
+    # ------------------------------------------------------------- lifecycle
+    def reset(self) -> None:
+        n_conf = self.num_classes + (1 if self.include_background else 0)
+        self.confusion = np.zeros((n_conf, n_conf), np.int64)
+        self.roc_thresholds = np.linspace(0.0, 1.0, NUM_ROC_THRESHOLDS)
+        # per class, per threshold: [tp, fp, fn, tn]
+        self.roc_counts = np.zeros((n_conf, NUM_ROC_THRESHOLDS, 4), np.int64)
+        self.ece_counts = np.zeros(NUM_ECE_BINS, np.int64)
+        self.ece_conf = np.zeros(NUM_ECE_BINS, np.float64)
+        self.ece_correct = np.zeros(NUM_ECE_BINS, np.float64)
+        self.num_obj_missed_by_class = np.zeros(self.num_classes, np.int64)
+        self.num_obj_extra_by_class = np.zeros(self.num_classes, np.int64)
+        self.total_num_true_objects = 0
+        self.mAP = MeanAveragePrecision(self.num_classes)
+
+    # ---------------------------------------------------------------- update
+    def update(self, preds, labels) -> None:
+        """preds: (B, 5+C, Sy, Sx) decoded inference-mode predictions
+        (class probabilities); labels: (B, 6, Sy, Sx) grids."""
+        dets = format_preds_batched(
+            jnp.asarray(preds),
+            obj_thresh=self.obj_thresh,
+            iou_thresh=self.iou_thresh,
+            min_class_confidence_threshold=self.min_class_confidence_threshold,
+            max_detections=self.max_detections,
+        )
+        boxes = np.asarray(dets["boxes_xyxy"])
+        objness = np.asarray(dets["objectness"])
+        probs = np.asarray(dets["class_probs"])
+        valid = np.asarray(dets["valid"])
+        labels = np.asarray(labels)
+
+        for i in range(labels.shape[0]):
+            self._update_one(
+                boxes[i][valid[i]],
+                objness[i][valid[i]],
+                probs[i][valid[i]],
+                labels[i],
+            )
+
+    def _update_one(
+        self,
+        det_boxes: np.ndarray,  # (M, 4) xyxy
+        det_obj: np.ndarray,  # (M,)
+        det_probs: np.ndarray,  # (M, C)
+        label_grid: np.ndarray,  # (6, Sy, Sx)
+    ) -> None:
+        flat = label_grid.reshape(6, -1).T
+        gt = flat[flat[:, 0] == 1]  # (N, 6) [mask x1 y1 x2 y2 cls]
+        gt_boxes = gt[:, 1:5]
+        gt_cls = gt[:, 5].astype(np.int64)
+
+        m, n = len(det_boxes), len(gt_boxes)
+        iou = _pairwise_iou_np(gt_boxes, det_boxes) if m and n else np.zeros((n, m))
+        rows, cols = linear_sum_assignment(1.0 - iou)
+
+        matched_gt = gt_cls[rows]
+        matched_probs = det_probs[cols]
+        matched_obj = det_obj[cols]
+        matched_iou = iou[rows, cols] if len(rows) else np.empty(0)
+
+        missed_idx = np.setdiff1d(np.arange(n), rows, assume_unique=True)
+        extra_idx = np.setdiff1d(np.arange(m), cols, assume_unique=True)
+        missed_cls = gt_cls[missed_idx]
+        extra_probs = det_probs[extra_idx]
+        extra_obj = det_obj[extra_idx]
+
+        # missed / extra counters (reference: yogo/metrics.py:128-144)
+        np.add.at(self.num_obj_missed_by_class, missed_cls, 1)
+        if len(extra_probs):
+            np.add.at(
+                self.num_obj_extra_by_class, extra_probs.argmax(axis=1), 1
+            )
+        self.total_num_true_objects += len(rows)
+
+        if self.include_mAP:
+            self.mAP.update(
+                matched_obj,
+                matched_probs.argmax(axis=1) if len(matched_probs) else np.empty(0, np.int64),
+                matched_gt,
+                matched_iou,
+                extra_obj,
+                extra_probs.argmax(axis=1) if len(extra_probs) else np.empty(0, np.int64),
+                missed_cls,
+            )
+
+        # assemble classification-prob rows + targets for the accumulators
+        if self.include_background:
+            bg = self.num_classes  # background = last class
+            nc = self.num_classes + 1
+            rows_list = []
+            tgt_list = []
+            if len(matched_probs):
+                p = np.concatenate(
+                    [matched_probs, np.zeros((len(matched_probs), 1))], axis=1
+                )
+                rows_list.append(p)
+                tgt_list.append(matched_gt)
+            if len(missed_cls):
+                # missed label -> synthetic "background" prediction, true class
+                p = np.zeros((len(missed_cls), nc))
+                p[:, bg] = 1.0
+                rows_list.append(p)
+                tgt_list.append(missed_cls)
+            if len(extra_probs):
+                # extra prediction -> true class is background
+                p = np.concatenate(
+                    [extra_probs, np.zeros((len(extra_probs), 1))], axis=1
+                )
+                rows_list.append(p)
+                tgt_list.append(np.full(len(extra_probs), bg, np.int64))
+        else:
+            rows_list = [matched_probs] if len(matched_probs) else []
+            tgt_list = [matched_gt] if len(matched_probs) else []
+
+        if not rows_list:
+            return
+        all_probs = np.concatenate(rows_list)
+        all_tgts = np.concatenate(tgt_list).astype(np.int64)
+        self._accumulate_classification(all_probs, all_tgts)
+
+    def _accumulate_classification(
+        self, probs: np.ndarray, targets: np.ndarray
+    ) -> None:
+        nc = probs.shape[1]
+        pred_idx = probs.argmax(axis=1)
+        np.add.at(self.confusion, (targets, pred_idx), 1)
+
+        # ROC: per class one-vs-rest at 500 thresholds (pred >= t)
+        for c in range(nc):
+            pc = probs[:, c]
+            pos = targets == c
+            ge = pc[None, :] >= self.roc_thresholds[:, None]  # (T, N)
+            tp = (ge & pos[None, :]).sum(axis=1)
+            fp = (ge & ~pos[None, :]).sum(axis=1)
+            fn = pos.sum() - tp
+            tn = (~pos).sum() - fp
+            self.roc_counts[c, :, 0] += tp
+            self.roc_counts[c, :, 1] += fp
+            self.roc_counts[c, :, 2] += fn
+            self.roc_counts[c, :, 3] += tn
+
+        # ECE bins over max-prob confidence
+        conf = probs.max(axis=1)
+        correct = (pred_idx == targets).astype(np.float64)
+        bins = np.clip(
+            (conf * NUM_ECE_BINS).astype(np.int64), 0, NUM_ECE_BINS - 1
+        )
+        np.add.at(self.ece_counts, bins, 1)
+        np.add.at(self.ece_conf, bins, conf)
+        np.add.at(self.ece_correct, bins, correct)
+
+    # --------------------------------------------------------------- compute
+    def compute(self) -> Tuple:
+        """Returns the reference's 10-tuple (reference: yogo/metrics.py:159-187):
+        (mAP dict, confusion, per-class accuracy, (fpr, tpr, thresholds),
+        per-class precision, per-class recall, calibration error,
+        missed-by-class, extra-by-class, total true objects)."""
+        mAP = self.mAP.compute() if self.include_mAP else {"map": -1.0}
+
+        diag = np.diag(self.confusion).astype(np.float64)
+        row = self.confusion.sum(axis=1).astype(np.float64)
+        col = self.confusion.sum(axis=0).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            accuracy = np.where(row > 0, diag / row, 0.0)
+            recall = np.where(row > 0, diag / row, 0.0)
+            precision = np.where(col > 0, diag / col, 0.0)
+
+        tp = self.roc_counts[..., 0].astype(np.float64)
+        fp = self.roc_counts[..., 1].astype(np.float64)
+        fn = self.roc_counts[..., 2].astype(np.float64)
+        tn = self.roc_counts[..., 3].astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tpr = np.where(tp + fn > 0, tp / (tp + fn), 0.0)
+            fpr = np.where(fp + tn > 0, fp / (fp + tn), 0.0)
+
+        total = self.ece_counts.sum()
+        if total > 0:
+            nz = self.ece_counts > 0
+            acc_b = np.where(nz, self.ece_correct / np.maximum(self.ece_counts, 1), 0)
+            conf_b = np.where(nz, self.ece_conf / np.maximum(self.ece_counts, 1), 0)
+            ece = float(
+                (np.abs(acc_b - conf_b) * self.ece_counts / total).sum()
+            )
+        else:
+            ece = 0.0
+
+        return (
+            mAP,
+            self.confusion.copy(),
+            accuracy,
+            (fpr, tpr, np.broadcast_to(self.roc_thresholds, tpr.shape)),
+            precision,
+            recall,
+            ece,
+            self.num_obj_missed_by_class.copy(),
+            self.num_obj_extra_by_class.copy(),
+            np.array([self.total_num_true_objects]),
+        )
+
+    def forward(self, preds, labels) -> Tuple:
+        self.update(preds, labels)
+        res = self.compute()
+        self.reset()
+        return res

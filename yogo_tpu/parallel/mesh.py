@@ -1,0 +1,73 @@
+"""Device mesh + sharding helpers for data-parallel training.
+
+Replaces the reference's DDP/NCCL machinery (reference: yogo/train.py:152-159,
+96-105 - process spawn, TCPStore rendezvous, DistributedSampler) with JAX's
+single-controller SPMD: one 1-D mesh over all devices, params replicated,
+batch sharded on the "data" axis. XLA inserts the gradient all-reduce over
+ICI automatically; there is no process spawn, no port rendezvous, no
+side-channel KV store.
+
+Multi-host: call jax.distributed.initialize() before building the mesh; the
+loader shards by (process_index, process_count) and per-host batches are
+globalized with make_array_from_process_local_data.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def get_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def shard_batch(mesh: Mesh, *arrays: Any):
+    """Place host arrays onto the mesh, batch axis sharded.
+
+    On a multi-host setup each process passes its local shard; single-host
+    this is a plain device_put with a sharding.
+    """
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        sharding = data_sharded(mesh, a.ndim)
+        if jax.process_count() > 1:  # pragma: no cover - multi-host only
+            global_shape = (a.shape[0] * jax.process_count(), *a.shape[1:])
+            arr = jax.make_array_from_process_local_data(
+                sharding, a, global_shape
+            )
+        else:
+            arr = jax.device_put(a, sharding)
+        out.append(arr)
+    return tuple(out)
+
+
+def pad_batch_to_multiple(
+    imgs: np.ndarray, labels: np.ndarray, mask: np.ndarray, multiple: int
+):
+    """Pad the batch axis so it divides the mesh size; padded rows masked out."""
+    b = imgs.shape[0]
+    target = -(-b // multiple) * multiple
+    if target == b:
+        return imgs, labels, mask
+    pad = target - b
+    imgs = np.concatenate([imgs, np.repeat(imgs[:1], pad, axis=0)])
+    labels = np.concatenate([labels, np.repeat(labels[:1], pad, axis=0)])
+    mask = np.concatenate([mask, np.zeros(pad, mask.dtype)])
+    return imgs, labels, mask

@@ -1,0 +1,627 @@
+"""Training orchestration.
+
+TPU-native re-design of the reference Trainer (reference: yogo/train.py:44-665).
+The reference's DDP machinery (mp.spawn per GPU, NCCL process groups, TCPStore
+rendezvous, DistributedSampler) collapses into a single-controller SPMD
+program: one jitted train step over a 1-D device mesh with the batch sharded
+on the "data" axis and parameters replicated; XLA inserts the gradient
+all-reduce over ICI.
+
+Recipe parity (reference: yogo/train.py:206-223,295-342):
+  AdamW(lr 3e-4, wd 5e-2), cosine schedule stepped per-batch to lr/decay_factor,
+  elementwise gradient clamp +-clip_value, validation every 4 epochs,
+  best/latest checkpointing on mean val loss, post-train test of the best
+  checkpoint.
+
+Divergences (documented):
+  - BatchNorm uses global-batch statistics under GSPMD (sync-BN) rather than
+    DDP's per-replica stats; running stats stay replicated.
+  - Ragged final batches are padded with a validity mask instead of being
+    shape-ragged (one compiled program; identical loss normalization).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+import warnings
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from yogo_tpu.data.definition import DatasetDefinition
+from yogo_tpu.data.loader import DataLoader, get_dataloader
+from yogo_tpu.data.transforms import random_flips
+from yogo_tpu.losses import yogo_loss
+from yogo_tpu.metrics import Metrics
+from yogo_tpu.models.yogo import YOGO
+from yogo_tpu.parallel.mesh import (
+    data_sharded,
+    get_mesh,
+    pad_batch_to_multiple,
+    replicated,
+    shard_batch,
+)
+from yogo_tpu.utils.checkpoint import (
+    load_any,
+    restore_opt_state,
+    save_checkpoint,
+)
+from yogo_tpu.utils.default_hyperparams import DefaultHyperparams as df
+from yogo_tpu.utils.logging import RunLogger
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(
+    learning_rate: float,
+    weight_decay: float,
+    decay_factor: float,
+    total_steps: int,
+    clip_value: float = 1.0,
+) -> Tuple[optax.GradientTransformation, optax.Schedule]:
+    """AdamW + per-step cosine decay to lr/decay_factor + elementwise grad
+    clamp (the reference clamps via per-parameter backward hooks,
+    reference: yogo/model.py:75-77)."""
+    schedule = optax.cosine_decay_schedule(
+        init_value=learning_rate,
+        decay_steps=max(total_steps, 1),
+        alpha=1.0 / decay_factor,
+    )
+    tx = optax.chain(
+        optax.clip(clip_value),
+        optax.adamw(learning_rate=schedule, weight_decay=weight_decay),
+    )
+    return tx, schedule
+
+
+def make_train_step(
+    model: YOGO,
+    tx: optax.GradientTransformation,
+    loss_kwargs: Dict[str, float],
+    augment: bool = True,
+) -> Callable:
+    """Build the pure train step: (state, imgs, labels, img_mask, rng) ->
+    (state, loss, components). Augmentation (paired flips) runs on device
+    inside the step."""
+
+    def step(state: TrainState, imgs, labels, img_mask, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        rng_flip, rng_drop = jax.random.split(rng)
+
+        imgs = imgs.astype(model.compute_dtype)
+        if augment:
+            imgs, labels = random_flips(rng_flip, imgs, labels)
+
+        def loss_fn(params):
+            out, new_model_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs,
+                train=True,
+                mutable=True,
+                rngs={"dropout": rng_drop},
+            )
+            loss, comps = yogo_loss(
+                out, labels, image_mask=img_mask, **loss_kwargs
+            )
+            return loss, (comps, new_model_state)
+
+        (loss, (comps, new_ms)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_ms["batch_stats"],
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, loss, comps
+
+    return step
+
+
+def make_eval_step(model: YOGO, loss_kwargs: Dict[str, float]) -> Callable:
+    """(variables, imgs, labels, img_mask) -> (loss, decoded inference preds)."""
+
+    def step(params, batch_stats, imgs, labels, img_mask):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out_train = model.apply(
+            variables, imgs.astype(model.compute_dtype), train=False
+        )
+        loss, _ = yogo_loss(out_train, labels, image_mask=img_mask, **loss_kwargs)
+        # inference-mode preds (softmaxed classes) for metrics
+        probs = jax.nn.softmax(out_train[:, 5:], axis=1)
+        preds_inf = jnp.concatenate([out_train[:, :5], probs], axis=1)
+        return loss, preds_inf
+
+    return step
+
+
+class Trainer:
+    """Single-controller trainer. `config` mirrors the reference's wandb
+    config dict keys (reference: yogo/train.py:612-643)."""
+
+    def __init__(self, config: Dict[str, Any]):
+        self.config = config
+        self.mesh = get_mesh()
+        self.epoch = 0
+        self.global_step = 0
+        self.min_val_loss = float("inf")
+        self.model_save_dir: Optional[Path] = None
+        self._initialized = False
+
+    # ----------------------------------------------------------------- init
+    def init(self) -> None:
+        self._init_dataset_definition()
+        self._init_model()
+        self._init_dataset()
+        self._init_training_tools()
+        self._init_logger()
+        self._initialized = True
+
+    def _init_dataset_definition(self) -> None:
+        self.dataset_definition = DatasetDefinition.from_yaml(
+            Path(self.config["dataset_descriptor_file"])
+        )
+        self.config["class_names"] = self.dataset_definition.classes
+
+    def _init_model(self) -> None:
+        cfg = self.config
+        pretrained = cfg.get("pretrained_path")
+        compute_dtype = jnp.bfloat16 if cfg.get("half") else jnp.float32
+        if pretrained is None or pretrained == "none":
+            self.model = YOGO.create(
+                img_size=cfg["image_hw"],
+                anchor_w=cfg["anchor_w"],
+                anchor_h=cfg["anchor_h"],
+                num_classes=len(cfg["class_names"]),
+                is_rgb=cfg.get("rgb", False),
+                normalize_images=cfg.get("normalize_images", False),
+                model_version=cfg.get("model") or "base_model",
+                compute_dtype=compute_dtype,
+            )
+            self.variables = self.model.init(
+                jax.random.key(cfg.get("seed", 0))
+            )
+            self.global_step = 0
+        else:
+            model, variables, meta = load_any(pretrained)
+            if list(model.img_size) != list(cfg["image_hw"]):
+                raise RuntimeError(
+                    "mismatch in pretrained network image resize shape and "
+                    f"current resize shape: pretrained network image_hw = "
+                    f"{model.img_size}, requested image_hw = {cfg['image_hw']}"
+                )
+            self.model = model.with_compute_dtype(compute_dtype)
+            self.variables = variables
+            self.global_step = meta.get("step", 0)
+            cfg["normalize_images"] = self.model.normalize_images
+            cfg["model"] = self.model.model_version
+        self.Sx, self.Sy = self.model.grid
+
+    def _init_dataset(self) -> None:
+        loaders = get_dataloader(
+            self.dataset_definition,
+            self.config["batch_size"],
+            Sx=self.Sx,
+            Sy=self.Sy,
+            image_hw=self.config["image_hw"],
+            rgb=self.config.get("rgb", False),
+            normalize_images=self.config.get("normalize_images", False),
+            split_fraction_override=self.config.get("dataset_split_override"),
+            shard=(jax.process_index(), jax.process_count()),
+        )
+        self.train_dataloader = loaders["train"]
+        self.validate_dataloader = loaders.get("val")
+        self.test_dataloader = loaders.get("test")
+        if self.validate_dataloader is None:
+            warnings.warn("no validation dataset found")
+        if self.test_dataloader is None:
+            warnings.warn("no test dataset found")
+
+    def _init_training_tools(self) -> None:
+        cfg = self.config
+        total_steps = cfg["epochs"] * len(self.train_dataloader)
+        self.tx, self.lr_schedule = make_optimizer(
+            learning_rate=cfg["learning_rate"],
+            weight_decay=cfg["weight_decay"],
+            decay_factor=cfg["decay_factor"],
+            total_steps=total_steps,
+            clip_value=cfg.get("clip_value", 1.0),
+        )
+        self.loss_kwargs = dict(
+            no_obj_weight=cfg["no_obj_weight"],
+            iou_weight=cfg["iou_weight"],
+            classify_weight=cfg.get("classify_weight", df.CLASSIFY_WEIGHT),
+            label_smoothing=cfg["label_smoothing"],
+        )
+        opt_state = self.tx.init(self.variables["params"])
+        self.state = TrainState(
+            params=self.variables["params"],
+            batch_stats=self.variables.get("batch_stats", {}),
+            opt_state=opt_state,
+            step=jnp.asarray(self.global_step, jnp.int32),
+        )
+
+        rep = replicated(self.mesh)
+        dat = data_sharded(self.mesh)
+        msk = data_sharded(self.mesh, ndim=1)
+        step_fn = make_train_step(self.model, self.tx, self.loss_kwargs)
+        self._train_step = jax.jit(
+            step_fn,
+            in_shardings=(rep, dat, dat, msk, rep),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0,),
+        )
+        eval_fn = make_eval_step(self.model, self.loss_kwargs)
+        self._eval_step = jax.jit(
+            eval_fn,
+            in_shardings=(rep, rep, dat, dat, msk),
+            out_shardings=(rep, rep),
+        )
+        self._rng = jax.random.key(self.config.get("seed", 0))
+
+    def _init_logger(self) -> None:
+        cfg = self.config
+        run_dir = cfg.get("model_save_dir")
+        name = cfg.get("name") or f"run_{int(time.time())}"
+        if run_dir is None:
+            run_dir = Path("trained_models") / name
+        self.model_save_dir = Path(run_dir)
+        self.logger = RunLogger(
+            log_dir=self.model_save_dir,
+            config=cfg,
+            use_wandb=cfg.get("use_wandb", True),
+            wandb_entity=cfg.get("wandb_entity"),
+            wandb_project=cfg.get("wandb_project"),
+            name=cfg.get("name"),
+            notes=cfg.get("note"),
+            tags=cfg.get("tags"),
+            enabled=jax.process_index() == 0,
+        )
+        self.logger.update_config(
+            {
+                "Sx": self.Sx,
+                "Sy": self.Sy,
+                "training set size": f"{len(self.train_dataloader.dataset)} images",
+                "validation set size": (
+                    f"{len(self.validate_dataloader.dataset)} images"
+                    if self.validate_dataloader
+                    else "0 images"
+                ),
+                "testing set size": (
+                    f"{len(self.test_dataloader.dataset)} images"
+                    if self.test_dataloader
+                    else "0 images"
+                ),
+            }
+        )
+
+    # ----------------------------------------------------------- checkpoint
+    def checkpoint(self, filename: Path, model_name: str, **kwargs) -> None:
+        save_checkpoint(
+            filename,
+            self.model,
+            {
+                "params": jax.device_get(self.state.params),
+                "batch_stats": jax.device_get(self.state.batch_stats),
+            },
+            opt_state=jax.device_get(self.state.opt_state),
+            epoch=self.epoch,
+            step=int(self.state.step),
+            classes=self.config["class_names"],
+            model_name=model_name,
+            **kwargs,
+        )
+
+    # ----------------------------------------------------------------- train
+    def train(self) -> Optional[Tuple]:
+        if not self._initialized:
+            raise RuntimeError("trainer not initialized")
+
+        n_dev = self.mesh.size
+        for epoch in range(self.config["epochs"]):
+            self.epoch = epoch
+            self.train_dataloader.set_epoch(epoch)
+
+            for imgs, labels, mask in self.train_dataloader:
+                imgs, labels, mask = pad_batch_to_multiple(
+                    imgs, labels, mask, n_dev
+                )
+                imgs, labels, mask = shard_batch(self.mesh, imgs, labels, mask)
+                self.state, loss, comps = self._train_step(
+                    self.state, imgs, labels, mask, self._rng
+                )
+                self.global_step = int(self.state.step)
+                self.logger.log(
+                    {
+                        "train loss": float(loss),
+                        "epoch": epoch,
+                        "LR": float(self.lr_schedule(self.global_step)),
+                        **{k: float(v) for k, v in comps.items()},
+                    },
+                    step=self.global_step,
+                    commit=self.global_step % 100 == 0,
+                )
+
+            if epoch % 4 == 0:
+                self._validate()
+
+        # reload best checkpoint and evaluate on the test split
+        # (reference: yogo/train.py:344-361)
+        best = (self.model_save_dir or Path(".")) / "best.ckpt"
+        if best.exists():
+            _, variables, meta = load_any(best)
+            self.state = self.state.replace(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", {}),
+            )
+        else:
+            warnings.warn(f"no best model found at {best} for testing...")
+
+        test_metrics = None
+        if self.test_dataloader is not None:
+            test_metrics = self.test(
+                self.test_dataloader,
+                self.config,
+                self.model,
+                {
+                    "params": self.state.params,
+                    "batch_stats": self.state.batch_stats,
+                },
+            )
+            if test_metrics is not None:
+                self._log_test_metrics(*test_metrics)
+        else:
+            warnings.warn("no test metrics found - test_dataloader is empty")
+
+        self.logger.finish()
+        return test_metrics
+
+    # -------------------------------------------------------------- validate
+    def _validate(self) -> None:
+        if self.validate_dataloader is None:
+            return
+        n_dev = self.mesh.size
+        total = 0.0
+        n_batches = 0
+        last_batch = None
+        for imgs, labels, mask in self.validate_dataloader:
+            imgs, labels, mask = pad_batch_to_multiple(imgs, labels, mask, n_dev)
+            imgs_d, labels_d, mask_d = shard_batch(self.mesh, imgs, labels, mask)
+            loss, preds = self._eval_step(
+                self.state.params, self.state.batch_stats, imgs_d, labels_d, mask_d
+            )
+            total += float(loss)
+            n_batches += 1
+            last_batch = (imgs, preds)
+        if n_batches == 0:
+            return
+        mean_val_loss = total / n_batches
+
+        log: Dict[str, Any] = {"val loss": mean_val_loss}
+        if jax.process_index() == 0 and last_batch is not None:
+            try:
+                from yogo_tpu.utils.drawing import draw_yogo_prediction
+
+                img = draw_yogo_prediction(
+                    np.asarray(last_batch[0][0]),
+                    np.asarray(last_batch[1][0]),
+                    labels=self.config["class_names"],
+                    images_are_normalized=self.config.get(
+                        "normalize_images", False
+                    ),
+                )
+                if self.model_save_dir is not None:
+                    img.save(self.model_save_dir / "validation_bbs.png")
+            except Exception as e:  # drawing must never kill training
+                warnings.warn(f"could not draw validation image: {e}")
+
+        if mean_val_loss < self.min_val_loss:
+            self.min_val_loss = mean_val_loss
+            log["best_val_loss"] = mean_val_loss
+            self.checkpoint(
+                self.model_save_dir / "best.ckpt",
+                model_name=self.logger.run_name or "recent_run_best",
+            )
+        else:
+            self.checkpoint(
+                self.model_save_dir / "latest.ckpt",
+                model_name=self.logger.run_name or "recent_run_latest",
+            )
+        self.logger.log(log, step=self.global_step)
+
+    # ------------------------------------------------------------------ test
+    @staticmethod
+    def test(
+        test_dataloader: DataLoader,
+        config: Dict[str, Any],
+        model: YOGO,
+        variables: Dict[str, Any],
+        include_mAP: bool = True,
+        include_background: bool = False,
+    ) -> Optional[Tuple]:
+        """Full test pass: loss + Metrics over the test loader. Returns the
+        reference's metric tuple (reference: yogo/train.py:446-528)."""
+        Trainer._check_keys(config)
+        if test_dataloader is None or len(test_dataloader) == 0:
+            return None
+
+        mesh = get_mesh()
+        metrics = Metrics(
+            classes=config["class_names"],
+            include_mAP=include_mAP,
+            include_background=include_background,
+        )
+        loss_kwargs = dict(
+            no_obj_weight=config["no_obj_weight"],
+            iou_weight=config["iou_weight"],
+            classify_weight=config.get("classify_weight", df.CLASSIFY_WEIGHT),
+            label_smoothing=config["label_smoothing"],
+        )
+        eval_fn = make_eval_step(model, loss_kwargs)
+        rep = replicated(mesh)
+        dat = data_sharded(mesh)
+        msk = data_sharded(mesh, ndim=1)
+        eval_step = jax.jit(
+            eval_fn,
+            in_shardings=(rep, rep, dat, dat, msk),
+            out_shardings=(rep, rep),
+        )
+
+        total_loss = 0.0
+        n_batches = 0
+        for imgs, labels, mask in test_dataloader:
+            imgs, labels, mask = pad_batch_to_multiple(
+                imgs, labels, mask, mesh.size
+            )
+            imgs_d, labels_d, mask_d = shard_batch(mesh, imgs, labels, mask)
+            loss, preds = eval_step(
+                variables["params"],
+                variables.get("batch_stats", {}),
+                imgs_d,
+                labels_d,
+                mask_d,
+            )
+            total_loss += float(loss)
+            n_batches += 1
+            preds_np = np.asarray(preds)[mask.astype(bool)]
+            labels_np = labels[mask.astype(bool)]
+            metrics.update(preds_np, labels_np)
+
+        (
+            mAP,
+            confusion,
+            accuracy,
+            roc,
+            precision,
+            recall,
+            calibration_error,
+            num_obj_missed_by_class,
+            num_obj_extra_by_class,
+            total_num_true_objects,
+        ) = metrics.compute()
+
+        return (
+            total_loss / max(n_batches, 1),
+            mAP,
+            confusion,
+            accuracy,
+            roc,
+            precision,
+            recall,
+            calibration_error,
+            num_obj_missed_by_class,
+            num_obj_extra_by_class,
+            total_num_true_objects,
+            config["class_names"],
+        )
+
+    @staticmethod
+    def _check_keys(config: Dict[str, Any]) -> None:
+        required = (
+            "class_names",
+            "iou_weight",
+            "no_obj_weight",
+            "label_smoothing",
+            "half",
+        )
+        for key in required:
+            if key not in config:
+                raise ValueError(
+                    f"{key} is required in config (full list of keys: {required})"
+                )
+
+    def _log_test_metrics(self, *metrics) -> None:
+        (
+            mean_test_loss,
+            mAP,
+            confusion,
+            accuracy,
+            roc,
+            precision,
+            recall,
+            calibration_error,
+            num_obj_missed_by_class,
+            num_obj_extra_by_class,
+            total_num_true_objects,
+            class_names,
+        ) = metrics
+        summary = {
+            "test loss": mean_test_loss,
+            "test mAP": mAP.get("map"),
+            "test mAP (full)": {
+                k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                for k, v in mAP.items()
+            },
+            "test precision": float(np.mean(precision)),
+            "test recall": float(np.mean(recall)),
+            "calibration error": calibration_error,
+            "num obj missed by class": num_obj_missed_by_class.tolist(),
+            "num obj extra by class": num_obj_extra_by_class.tolist(),
+            "total num true objects": int(total_num_true_objects[0]),
+            "per-class precision": {
+                f"test precision {cn}": float(precision[i])
+                for i, cn in enumerate(class_names)
+            },
+            "per-class recall": {
+                f"test recall {cn}": float(recall[i])
+                for i, cn in enumerate(class_names)
+            },
+            "test confusion": confusion.tolist(),
+            "test accuracy": accuracy.tolist(),
+        }
+        self.logger.summary(summary)
+
+
+def do_training(args) -> None:
+    """Build a config dict from parsed args and run training - the CLI entry
+    (reference: yogo/train.py:606-656, minus the mp.spawn/NCCL machinery:
+    JAX is single-controller)."""
+    config = {
+        "learning_rate": args.learning_rate,
+        "decay_factor": args.lr_decay_factor,
+        "weight_decay": args.weight_decay,
+        "label_smoothing": args.label_smoothing,
+        "iou_weight": args.iou_weight,
+        "no_obj_weight": args.no_obj_weight,
+        "classify_weight": args.classify_weight,
+        "epochs": args.epochs,
+        "batch_size": args.batch_size,
+        "device": str(jax.devices()[0]),
+        "anchor_w": df.ANCHOR_W,
+        "anchor_h": df.ANCHOR_H,
+        "model": args.model,
+        "half": args.half,
+        "rgb": args.rgb_images,
+        "image_hw": tuple(args.image_hw),
+        "pretrained_path": args.from_pretrained,
+        "normalize_images": args.normalize_images,
+        "dataset_split_override": args.dataset_split_override,
+        "dataset_descriptor_file": args.dataset_descriptor_file,
+        "jax-version": jax.__version__,
+        "python-version": sys.version,
+        "name": args.name,
+        "note": args.note,
+        "tags": args.tags,
+        "wandb_entity": args.wandb_entity,
+        "wandb_project": args.wandb_project,
+    }
+    trainer = Trainer(config)
+    trainer.init()
+    trainer.train()

@@ -1,0 +1,328 @@
+"""Model export: ONNX (dependency-free writer), StableHLO, and .pth.
+
+Reference behavior (reference: yogo/utils/export_model.py:33-153): export a
+wrapped model that takes raw uint8 input and bakes x/255 normalization into
+the graph, verify the export matches the source model at rtol 1e-3/atol 1e-5,
+then optionally convert to OpenVINO IR. Here:
+
+  - ONNX: the graph is emitted directly (opset 17) with BatchNorm folded
+    into conv weights at export time (strictly simpler graphs than the
+    reference's onnxsim pass); normalization is baked in exactly like the
+    reference's YOGOWrap. Parity is asserted against the jitted model via the
+    built-in interpreter when onnxruntime is unavailable.
+  - StableHLO: jax.export serialization for XLA-native serving.
+  - OpenVINO `mo` conversion runs as a subprocess when present (gated).
+"""
+
+from __future__ import annotations
+
+import subprocess
+from pathlib import Path
+from typing import Any, Dict, List, Tuple
+
+import jax
+import numpy as np
+
+from yogo_tpu.models.defns import ConvSpec
+from yogo_tpu.models.yogo import WH_CLAMP, YOGO
+from yogo_tpu.ops.grid import cell_offsets
+from yogo_tpu.utils import onnx_proto as op
+from yogo_tpu.utils.checkpoint import load_any
+
+PARITY_RTOL = 1e-3
+PARITY_ATOL = 1e-5
+
+
+def _folded_conv_params(
+    spec: ConvSpec, conv: Dict[str, Any], bn_params, bn_stats, eps=1e-5
+) -> Tuple[np.ndarray, np.ndarray]:
+    """HWIO kernel + optional BN -> OIHW weight and bias with BN folded."""
+    w = np.transpose(np.asarray(conv["kernel"], np.float32), (3, 2, 0, 1))
+    b = (
+        np.asarray(conv["bias"], np.float32)
+        if "bias" in conv
+        else np.zeros(w.shape[0], np.float32)
+    )
+    if bn_params is not None:
+        scale = np.asarray(bn_params["scale"], np.float32)
+        beta = np.asarray(bn_params["bias"], np.float32)
+        mean = np.asarray(bn_stats["mean"], np.float32)
+        var = np.asarray(bn_stats["var"], np.float32)
+        k = scale / np.sqrt(var + eps)
+        w = w * k[:, None, None, None]
+        b = (b - mean) * k + beta
+    return w, b
+
+
+def build_onnx(
+    model: YOGO, variables: Dict[str, Any], batch_size: int = 1
+) -> bytes:
+    """Emit an ONNX ModelProto for a conv-stack YOGO model: uint8 input ->
+    decoded (B, 5+C, Sy, Sx) predictions with softmaxed classes."""
+    defn = model.defn
+    if defn.family != "conv_stack":
+        raise NotImplementedError(
+            f"ONNX export for family {defn.family} not yet supported; use "
+            "--format stablehlo"
+        )
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    h, w_in = model.img_size
+    Sx, Sy = model.grid
+    nodes: List[bytes] = []
+    inits: List[bytes] = []
+
+    nodes.append(op.node("Cast", ["images"], ["x_f32"], to=op.FLOAT))
+    cur = "x_f32"
+    if model.normalize_images:
+        inits.append(op.tensor_proto("c255", np.float32(255.0).reshape(())))
+        nodes.append(op.node("Div", [cur, "c255"], ["x_norm"]))
+        cur = "x_norm"
+
+    for i, s in enumerate(defn.blocks):
+        conv = params[f"conv{i}"]
+        bn_p = params.get(f"bn{i}")
+        bn_s = stats.get(f"bn{i}")
+        w, b = _folded_conv_params(s, conv, bn_p, bn_s)
+        inits.append(op.tensor_proto(f"w{i}", w))
+        inits.append(op.tensor_proto(f"b{i}", b))
+        out = f"conv{i}_out"
+        nodes.append(
+            op.node(
+                "Conv",
+                [cur, f"w{i}", f"b{i}"],
+                [out],
+                strides=[s.stride, s.stride],
+                pads=[s.padding] * 4,
+                kernel_shape=[s.kernel, s.kernel],
+            )
+        )
+        cur = out
+        if s.act == "leaky_relu":
+            nodes.append(op.node("LeakyRelu", [cur], [f"act{i}"], alpha=0.01))
+            cur = f"act{i}"
+        elif s.act == "silu":
+            nodes.append(op.node("Sigmoid", [cur], [f"sig{i}"]))
+            nodes.append(op.node("Mul", [cur, f"sig{i}"], [f"act{i}"]))
+            cur = f"act{i}"
+
+    # ---- decode head (reference: yogo/model.py:277-313) ----
+    def slice_channels(name, start, end):
+        inits.append(
+            op.tensor_proto(f"{name}_starts", np.array([start], np.int64))
+        )
+        inits.append(op.tensor_proto(f"{name}_ends", np.array([end], np.int64)))
+        nodes.append(
+            op.node(
+                "Slice",
+                [cur, f"{name}_starts", f"{name}_ends", "axes1"],
+                [name],
+            )
+        )
+        return name
+
+    inits.append(op.tensor_proto("axes1", np.array([1], np.int64)))
+    tx = slice_channels("tx", 0, 1)
+    ty = slice_channels("ty", 1, 2)
+    tw = slice_channels("tw", 2, 3)
+    th = slice_channels("th", 3, 4)
+    to = slice_channels("to", 4, 5)
+    cls = slice_channels("cls", 5, 5 + model.num_classes)
+
+    cxs, cys = cell_offsets(Sx, Sy)
+    inits.append(op.tensor_proto("Cxs", cxs[None, None]))
+    inits.append(op.tensor_proto("Cys", cys[None, None]))
+    inits.append(
+        op.tensor_proto("inv_sx", np.float32(1.0 / Sx).reshape(()))
+    )
+    inits.append(
+        op.tensor_proto("inv_sy", np.float32(1.0 / Sy).reshape(()))
+    )
+    inits.append(
+        op.tensor_proto(
+            "aw",
+            np.float32(model.anchor_w * model.width_multiplier).reshape(()),
+        )
+    )
+    inits.append(
+        op.tensor_proto(
+            "ah",
+            np.float32(model.anchor_h * model.height_multiplier).reshape(()),
+        )
+    )
+    inits.append(op.tensor_proto("wh_max", np.float32(WH_CLAMP).reshape(())))
+
+    nodes += [
+        op.node("Sigmoid", [tx], ["sx_"]),
+        op.node("Mul", ["sx_", "inv_sx"], ["sxs"]),
+        op.node("Add", ["sxs", "Cxs"], ["xc"]),
+        op.node("Sigmoid", [ty], ["sy_"]),
+        op.node("Mul", ["sy_", "inv_sy"], ["sys"]),
+        op.node("Add", ["sys", "Cys"], ["yc"]),
+        op.node("Clip", [tw, "", "wh_max"], ["tw_c"]),
+        op.node("Exp", ["tw_c"], ["tw_e"]),
+        op.node("Mul", ["tw_e", "aw"], ["wbox"]),
+        op.node("Clip", [th, "", "wh_max"], ["th_c"]),
+        op.node("Exp", ["th_c"], ["th_e"]),
+        op.node("Mul", ["th_e", "ah"], ["hbox"]),
+        op.node("Sigmoid", [to], ["obj"]),
+        op.node("Softmax", [cls], ["probs"], axis=1),
+        op.node(
+            "Concat",
+            ["xc", "yc", "wbox", "hbox", "obj", "probs"],
+            ["preds"],
+            axis=1,
+        ),
+    ]
+
+    graph = op.graph(
+        nodes,
+        name="yogo",
+        inputs=[
+            op.value_info(
+                "images", op.UINT8, (batch_size, model.input_channels, h, w_in)
+            )
+        ],
+        outputs=[
+            op.value_info(
+                "preds", op.FLOAT, (batch_size, 5 + model.num_classes, Sy, Sx)
+            )
+        ],
+        initializers=inits,
+    )
+    return op.model(graph, opset=17)
+
+
+def verify_onnx(
+    model: YOGO,
+    variables: Dict[str, Any],
+    model_bytes: bytes,
+    batch_size: int = 1,
+    seed: int = 0,
+) -> float:
+    """Assert ONNX output == jitted model output at the reference tolerance.
+    Uses onnxruntime when installed, else the built-in interpreter.
+    Returns the max abs deviation."""
+    h, w = model.img_size
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 256, (batch_size, model.input_channels, h, w)).astype(
+        np.uint8
+    )
+
+    import jax.numpy as jnp
+
+    x_ref = x.astype(np.float32)
+    if model.normalize_images:
+        x_ref = x_ref / 255.0
+    want = np.asarray(model.apply(variables, jnp.asarray(x_ref), inference=True))
+
+    try:  # pragma: no cover - onnxruntime absent in this environment
+        import onnxruntime
+
+        sess = onnxruntime.InferenceSession(model_bytes)
+        got = sess.run(None, {"images": x})[0]
+    except ImportError:
+        from yogo_tpu.utils.onnx_interp import run_model
+
+        got = run_model(model_bytes, {"images": x})[0]
+
+    np.testing.assert_allclose(
+        got,
+        want,
+        rtol=PARITY_RTOL,
+        atol=PARITY_ATOL,
+        err_msg="onnx and yogo_tpu outputs are far apart",
+    )
+    return float(np.max(np.abs(got - want)))
+
+
+def export_stablehlo(
+    model: YOGO, variables: Dict[str, Any], path: Path, batch_size: int = 1
+) -> None:
+    """Serialize the jitted inference function as StableHLO
+    (XLA-native portable artifact)."""
+    from jax import export as jexport
+
+    h, w = model.img_size
+
+    def fwd(x):
+        x = x.astype(np.float32)
+        if model.normalize_images:
+            x = x / 255.0
+        return model.apply(variables, x, inference=True)
+
+    spec = jax.ShapeDtypeStruct(
+        (batch_size, model.input_channels, h, w), np.uint8
+    )
+    exported = jexport.export(jax.jit(fwd))(spec)
+    Path(path).write_bytes(exported.serialize())
+
+
+def do_export(args) -> None:
+    input_path = Path(args.input)
+    model, variables, meta = load_any(input_path, inference=True)
+
+    if args.crop_height is not None:
+        img_h = int(round(args.crop_height * model.img_size[0]))
+        model = model.resize(img_h)
+
+    fmt = getattr(args, "format", "onnx")
+    out = (
+        Path(args.output_filename)
+        if args.output_filename
+        else input_path.with_suffix("")
+    )
+
+    if fmt == "stablehlo":
+        target = out.with_suffix(".stablehlo")
+        export_stablehlo(model, variables, target)
+        print(f"exported to {target}")
+        return
+    if fmt == "pth":
+        from yogo_tpu.utils.torch_bridge import save_pth
+
+        target = out.with_suffix(".pth")
+        save_pth(
+            target,
+            model,
+            variables,
+            classes=meta.get("classes") or meta.get("class_names"),
+            model_name=meta.get("model_name"),
+            step=meta.get("step", 0),
+            epoch=meta.get("epoch", 0),
+        )
+        print(f"exported to {target}")
+        return
+
+    onnx_filename = out.with_suffix(".onnx")
+    model_bytes = build_onnx(model, variables)
+    max_dev = verify_onnx(model, variables, model_bytes)
+    onnx_filename.write_bytes(model_bytes)
+    success_msg = (
+        f"exported to {onnx_filename} (parity max dev {max_dev:.2e}, "
+        f"gate rtol {PARITY_RTOL}/atol {PARITY_ATOL})"
+    )
+
+    # OpenVINO IR conversion, when the `mo` converter exists on PATH
+    # (reference: yogo/utils/export_model.py:138-150)
+    import shutil
+
+    if shutil.which("mo"):
+        subprocess.run(
+            [
+                "mo",
+                "--input_model",
+                str(onnx_filename),
+                "--output_dir",
+                str(onnx_filename.resolve().parents[0]),
+                "--compress_to_fp16",
+                "True",
+            ],
+            stdout=subprocess.DEVNULL,
+        )
+        success_msg += (
+            f", {onnx_filename.with_suffix('.xml')}, "
+            f"{onnx_filename.with_suffix('.bin')}"
+        )
+    print(success_msg)

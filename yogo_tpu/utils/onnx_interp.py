@@ -1,0 +1,122 @@
+"""Tiny ONNX interpreter for the YOGO export op set.
+
+Executes graphs produced by yogo_tpu.utils.export_model so export parity can
+be asserted without onnxruntime (the reference gates exports on an
+onnxruntime allclose at rtol 1e-3 / atol 1e-5, reference:
+yogo/utils/export_model.py:127-133 - we keep the same gate, interpreted
+here). Ops: Conv, ConvTranspose, LeakyRelu, Sigmoid, Softmax, Exp, Clip,
+Mul, Add, Div, Sub, Cast, Concat, Slice, Constant.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from yogo_tpu.utils.onnx_proto import ONNX_TO_NP, parse_model
+
+
+def _conv(x, w, b, strides, pads, group=1):
+    """NCHW conv via lax (fast, correct padding semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    out = jax.lax.conv_general_dilated(
+        jnp.asarray(x, jnp.float32),
+        jnp.asarray(w, jnp.float32),
+        window_strides=strides,
+        padding=[(pads[0], pads[2]), (pads[1], pads[3])],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=group,
+    )
+    if b is not None:
+        out = out + jnp.asarray(b, jnp.float32)[None, :, None, None]
+    return np.asarray(out)
+
+
+def _conv_transpose(x, w, b, strides, pads):
+    import jax
+    import jax.numpy as jnp
+
+    # ONNX ConvTranspose weight layout is (C_in, C_out/group, kH, kW)
+    out = jax.lax.conv_transpose(
+        jnp.asarray(x, jnp.float32),
+        jnp.transpose(jnp.asarray(w, jnp.float32), (2, 3, 0, 1)),  # HWIO
+        strides=strides,
+        padding=[(pads[0], pads[2]), (pads[1], pads[3])],
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        transpose_kernel=True,
+    )
+    if b is not None:
+        out = out + jnp.asarray(b, jnp.float32)[None, :, None, None]
+    return np.asarray(out)
+
+
+def run_model(model_bytes: bytes, feeds: Dict[str, np.ndarray]):
+    m = parse_model(model_bytes)
+    env: Dict[str, np.ndarray] = dict(m["initializers"])
+    env.update({k: np.asarray(v) for k, v in feeds.items()})
+
+    for n in m["nodes"]:
+        op = n["op_type"]
+        ins = [env[i] if i else None for i in n["inputs"]]
+        a = n["attrs"]
+        if op == "Conv":
+            strides = tuple(a.get("strides", [1, 1]))
+            pads = a.get("pads", [0, 0, 0, 0])
+            out = _conv(ins[0], ins[1], ins[2] if len(ins) > 2 else None,
+                        strides, pads, group=a.get("group", 1))
+        elif op == "ConvTranspose":
+            strides = tuple(a.get("strides", [1, 1]))
+            pads = a.get("pads", [0, 0, 0, 0])
+            out = _conv_transpose(ins[0], ins[1],
+                                  ins[2] if len(ins) > 2 else None,
+                                  strides, pads)
+        elif op == "LeakyRelu":
+            alpha = np.float32(a.get("alpha", 0.01))
+            x = ins[0].astype(np.float32)
+            out = np.where(x >= 0, x, alpha * x)
+        elif op == "Sigmoid":
+            with np.errstate(over="ignore"):
+                out = np.float32(1.0) / (
+                    np.float32(1.0) + np.exp(-ins[0].astype(np.float32))
+                )
+        elif op == "Softmax":
+            axis = a.get("axis", -1)
+            x = ins[0].astype(np.float32)
+            x = x - x.max(axis=axis, keepdims=True)
+            e = np.exp(x)
+            out = e / e.sum(axis=axis, keepdims=True)
+        elif op == "Exp":
+            out = np.exp(ins[0].astype(np.float32))
+        elif op == "Clip":
+            lo = ins[1] if len(ins) > 1 and ins[1] is not None else -np.inf
+            hi = ins[2] if len(ins) > 2 and ins[2] is not None else np.inf
+            out = np.clip(ins[0], lo, hi)
+        elif op == "Mul":
+            out = ins[0].astype(np.float32) * ins[1].astype(np.float32)
+        elif op == "Add":
+            out = ins[0].astype(np.float32) + ins[1].astype(np.float32)
+        elif op == "Sub":
+            out = ins[0].astype(np.float32) - ins[1].astype(np.float32)
+        elif op == "Div":
+            out = ins[0].astype(np.float32) / ins[1].astype(np.float32)
+        elif op == "Cast":
+            out = ins[0].astype(ONNX_TO_NP[a["to"]])
+        elif op == "Concat":
+            out = np.concatenate(ins, axis=a["axis"])
+        elif op == "Slice":
+            starts, ends, axes = ins[1], ins[2], ins[3]
+            steps = ins[4] if len(ins) > 4 else np.ones_like(starts)
+            sl = [slice(None)] * ins[0].ndim
+            for s, e, ax, st in zip(starts, ends, axes, steps):
+                sl[int(ax)] = slice(int(s), None if e >= 2**31 else int(e), int(st))
+            out = ins[0][tuple(sl)]
+        elif op == "Constant":
+            out = a["value"]
+        else:  # pragma: no cover
+            raise NotImplementedError(f"op {op} not supported by interpreter")
+        env[n["outputs"][0]] = np.asarray(out)
+
+    return [env[o] for o in m["outputs"]]

@@ -1,0 +1,107 @@
+"""Standalone `yogo test` entry: evaluate a checkpoint on a dataset
+definition's test split (reference: yogo/utils/test_model.py:23-117, minus
+the hard GPU requirement - runs on whatever JAX platform is active)."""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Dict
+
+from yogo_tpu.data.definition import DatasetDefinition
+from yogo_tpu.data.loader import get_dataloader
+from yogo_tpu.train import Trainer
+from yogo_tpu.utils.checkpoint import load_any
+from yogo_tpu.utils.logging import RunLogger
+
+TEST_SEED = 111111  # reference: yogo/utils/test_model.py:85
+
+
+def test_model(args) -> None:
+    model, variables, cfg = load_any(args.ckpt_path)
+    data_defn = DatasetDefinition.from_yaml(args.dataset_defn_path)
+
+    config: Dict[str, Any] = {
+        "class_names": data_defn.classes,
+        "no_classify": False,
+        "iou_weight": 1,
+        "no_obj_weight": 0.5,
+        "label_smoothing": 0.0001,
+        "half": True,
+        "model": str(args.ckpt_path),
+        "test_set": str(args.dataset_defn_path),
+    }
+
+    Sx, Sy = model.grid
+    loaders = get_dataloader(
+        data_defn,
+        64,
+        Sx=Sx,
+        Sy=Sy,
+        image_hw=tuple(int(d) for d in model.img_size),
+        normalize_images=bool(cfg.get("normalize_images", model.normalize_images)),
+    )
+    if "test" not in loaders:
+        raise ValueError(
+            "dataset definition has no test split - add test_paths or a "
+            "'test' split fraction"
+        )
+    test_loader = loaders["test"]
+    test_loader.seed = TEST_SEED
+
+    metrics = Trainer.test(
+        test_loader,
+        config,
+        model,
+        variables,
+        include_mAP=args.include_mAP,
+        include_background=args.include_background,
+    )
+
+    log_to_wandb = args.wandb or (args.wandb_resume_id is not None)
+    logger = RunLogger(
+        log_dir=None,
+        config=config,
+        use_wandb=log_to_wandb,
+        wandb_entity=args.wandb_entity,
+        wandb_project=args.wandb_project,
+        tags=args.tags,
+        notes=args.note,
+    )
+    if metrics is not None:
+        (
+            mean_loss,
+            mAP,
+            confusion,
+            accuracy,
+            roc,
+            precision,
+            recall,
+            calibration_error,
+            missed,
+            extra,
+            total_true,
+            class_names,
+        ) = metrics
+        print(f"test loss: {mean_loss:.5f}")
+        print(f"test mAP: {mAP.get('map'):.5f}" if args.include_mAP else "mAP: skipped")
+        print("per-class precision:", dict(zip(class_names, precision.round(4))))
+        print("per-class recall:   ", dict(zip(class_names, recall.round(4))))
+        print(f"calibration error (ECE): {calibration_error:.5f}")
+        print("confusion matrix:\n", confusion)
+        print("missed by class:", missed.tolist(), "extra by class:", extra.tolist())
+        logger.summary(
+            {
+                "test loss": mean_loss,
+                "test mAP": mAP.get("map"),
+                "calibration error": calibration_error,
+            }
+        )
+    logger.finish()
+
+    if args.dump_to_disk:
+        with open("test_metrics.pkl", "wb") as f:
+            pickle.dump(metrics, f)
+
+
+def do_model_test(args) -> None:
+    test_model(args)

@@ -94,7 +94,7 @@ def variables_to_state_dict(
     sd: Dict[str, Any] = {}
 
     def t(x):
-        return torch.from_numpy(np.ascontiguousarray(np.asarray(x)))
+        return torch.from_numpy(np.array(x, copy=True))
 
     for i, s, conv_key, bn_key in _torch_key_layout(defn):
         p = params[f"conv{i}"]
@@ -184,11 +184,16 @@ def save_pth(
     """Write a reference-compatible .pth checkpoint
     (schema: reference yogo/train.py:267-293)."""
     torch = _require_torch()
+    classes = metadata.pop("classes", None)
     payload = {
         "epoch": metadata.pop("epoch", 0),
         "step": metadata.pop("step", 0),
         "normalize_images": model.normalize_images,
-        "classes": metadata.pop("classes", None),
+        "classes": classes,
+        # the reference's checkpointer writes "classes" but its from_pth reads
+        # "class_names" (reference: yogo/train.py:285 vs yogo/model.py:103);
+        # write both so class names survive a round-trip through either reader
+        "class_names": classes,
         "model_name": metadata.pop("model_name", None),
         "model_state_dict": variables_to_state_dict(variables, model),
         "optimizer_state_dict": metadata.pop("optimizer_state_dict", {}),
