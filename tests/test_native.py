@@ -1,0 +1,118 @@
+"""Native host-pipeline library: decode/resize/label parsing parity with the
+python paths. All tests skip when the toolchain/image libs are unavailable."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from yogo_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+@pytest.fixture()
+def img_file(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (77, 103), np.uint8)
+    p = tmp_path / "t.png"
+    Image.fromarray(arr).save(p)
+    return p, arr
+
+
+def test_decode_exact_same_size(img_file):
+    p, arr = img_file
+    out = native.decode_image(p, (77, 103))
+    assert out.shape == (1, 77, 103)
+    np.testing.assert_array_equal(out[0], arr)
+
+
+def test_resize_matches_pil_within_1lsb(img_file):
+    p, arr = img_file
+    out = native.decode_image(p, (40, 56))[0]
+    pil = np.asarray(
+        Image.fromarray(arr).resize((56, 40), Image.Resampling.BILINEAR)
+    )
+    assert np.abs(out.astype(int) - pil.astype(int)).max() <= 1
+
+
+def test_decode_rgb(tmp_path):
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (20, 30, 3), np.uint8)
+    p = tmp_path / "rgb.png"
+    Image.fromarray(arr).save(p)
+    out = native.decode_image(p, (20, 30), channels=3)
+    np.testing.assert_array_equal(out, arr.transpose(2, 0, 1))
+
+
+def test_decode_batch_threaded_with_failures(tmp_path):
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"{i}.png"
+        Image.fromarray(rng.integers(0, 255, (16, 24), np.uint8)).save(p)
+        paths.append(p)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"not an image")
+    paths.append(bad)
+    batch, ok = native.decode_batch(paths, (16, 24), n_threads=3)
+    assert batch.shape == (6, 1, 16, 24)
+    assert ok.tolist() == [True] * 5 + [False]
+
+
+def test_parse_labels_formats(tmp_path):
+    p = tmp_path / "l.txt"
+    p.write_text("0 0.5 0.5 0.1 0.1\n2,0.25,0.25,0.2,0.3\n")
+    rows = native.parse_labels(p)
+    np.testing.assert_allclose(
+        rows, [[0, 0.5, 0.5, 0.1, 0.1], [2, 0.25, 0.25, 0.2, 0.3]], atol=1e-6
+    )
+    hdr = tmp_path / "hdr.txt"
+    hdr.write_text("class,xc,yc,w,h\n1,0.5,0.5,0.2,0.2\n")
+    rows = native.parse_labels(hdr)
+    assert len(rows) == 1 and rows[0, 0] == 1
+    named = tmp_path / "named.txt"
+    named.write_text("ring 0.5 0.5 0.2 0.2\n")
+    rows = native.parse_labels(named)
+    assert rows[0, 0] == -1  # caller resolves class names
+    empty = tmp_path / "empty.txt"
+    empty.write_text("")
+    assert len(native.parse_labels(empty)) == 0
+
+
+def test_load_labels_native_matches_python(tmp_path):
+    """The integrated load_labels fast path returns the same rows as the
+    python parser (incl. area filter)."""
+    from yogo_tpu.data.labels import load_labels
+
+    p = tmp_path / "l.txt"
+    tiny = 0.0005
+    p.write_text(
+        f"0 0.5 0.5 0.1 0.1\n1 0.25 0.25 {tiny} {tiny}\n2 0.75 0.75 0.2 0.2\n"
+    )
+    import os
+
+    fast = load_labels(p, ["a", "b", "c"])
+    os.environ["YOGO_TPU_NO_NATIVE"] = "1"
+    try:
+        import yogo_tpu.native as nat
+
+        slow = load_labels(p, ["a", "b", "c"])
+    finally:
+        del os.environ["YOGO_TPU_NO_NATIVE"]
+    assert len(fast) == len(slow) == 2  # tiny box filtered by both
+    np.testing.assert_allclose(fast, slow, atol=1e-6)
+
+
+def test_dataset_uses_native_and_matches_python(tmp_path):
+    from tests.data_fixtures import CLASSES, make_pair_dirs
+    from yogo_tpu.data.dataset import ObjectDetectionDataset
+
+    img_dir, lbl_dir = make_pair_dirs(tmp_path, "n", n_images=2)
+    ds = ObjectDetectionDataset(
+        img_dir, lbl_dir, Sx=8, Sy=6, classes=CLASSES, image_hw=(40, 56)
+    )
+    img, grid = ds[0]
+    assert img.shape == (1, 40, 56) and img.dtype == np.uint8
+    assert grid.shape == (6, 6, 8)

@@ -89,10 +89,20 @@ class ObjectDetectionDataset:
     def __getitem__(
         self, index: int
     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-        image = read_image_robust(self._image_paths[index], rgb=self.rgb)
+        # fast path: fused native decode+antialias-resize (C++, libpng/libjpeg)
+        from yogo_tpu import native
+
+        image = native.decode_image(
+            self._image_paths[index],
+            self.image_hw,
+            channels=3 if self.rgb else 1,
+        )
         if image is None:
-            return None
-        image = resize_image(image, self.image_hw)
+            # fallback: python decode with retry/backoff
+            image = read_image_robust(self._image_paths[index], rgb=self.rgb)
+            if image is None:
+                return None
+            image = resize_image(image, self.image_hw)
         labels = label_file_to_grid(
             self._label_paths[index],
             self.Sx,

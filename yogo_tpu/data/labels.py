@@ -52,6 +52,19 @@ def load_labels(
     notes_data: Optional[Dict[str, Any]] = None,
 ) -> List[List[float]]:
     """Parse one YOLO txt file -> [[class_idx, xc, yc, w, h], ...]."""
+    # fast path: native C parser (no dialect sniffing overhead); falls back to
+    # python when class tokens are names or a notes.json remap is active
+    if notes_data is None:
+        from yogo_tpu import native
+
+        rows = native.parse_labels(label_path)
+        if rows is not None and (len(rows) == 0 or (rows[:, 0] >= 0).all()):
+            return [
+                [float(c), float(xc), float(yc), float(w), float(h)]
+                for c, xc, yc, w, h in rows
+                if w * h >= AREA_FILTER_THRESHOLD
+            ]
+
     labels: List[List[float]] = []
     with open(label_path, "r") as f:
         chunk = f.read(1024)

@@ -335,11 +335,24 @@ class Trainer:
             raise RuntimeError("trainer not initialized")
 
         n_dev = self.mesh.size
+        profile_steps = int(self.config.get("profile_steps", 0) or 0)
         for epoch in range(self.config["epochs"]):
             self.epoch = epoch
             self.train_dataloader.set_epoch(epoch)
 
+            step_start = time.perf_counter()
             for imgs, labels, mask in self.train_dataloader:
+                # optional jax.profiler trace of the first few hot-loop steps
+                # (aux tracing subsystem; the reference has only a Timer)
+                if profile_steps and self.global_step == 1:
+                    jax.profiler.start_trace(
+                        str(self.model_save_dir / "profile")
+                    )
+                if profile_steps and self.global_step == 1 + profile_steps:
+                    jax.profiler.stop_trace()
+                    profile_steps = 0
+
+                batch_imgs = imgs.shape[0]
                 imgs, labels, mask = pad_batch_to_multiple(
                     imgs, labels, mask, n_dev
                 )
@@ -348,16 +361,19 @@ class Trainer:
                     self.state, imgs, labels, mask, self._rng
                 )
                 self.global_step = int(self.state.step)
+                now = time.perf_counter()
                 self.logger.log(
                     {
                         "train loss": float(loss),
                         "epoch": epoch,
                         "LR": float(self.lr_schedule(self.global_step)),
+                        "images/sec": batch_imgs / max(now - step_start, 1e-9),
                         **{k: float(v) for k, v in comps.items()},
                     },
                     step=self.global_step,
                     commit=self.global_step % 100 == 0,
                 )
+                step_start = now
 
             if epoch % 4 == 0:
                 self._validate()
@@ -621,6 +637,8 @@ def do_training(args) -> None:
         "tags": args.tags,
         "wandb_entity": args.wandb_entity,
         "wandb_project": args.wandb_project,
+        "use_wandb": getattr(args, "wandb", True),
+        "profile_steps": getattr(args, "profile_steps", 0),
     }
     trainer = Trainer(config)
     trainer.init()

@@ -221,6 +221,13 @@ def train_parser(parser=None):
         "--wandb", default=True, action=boolean_action,
         help="log to wandb when available (--no-wandb for local-only JSONL logs)",
     )
+    parser.add_argument(
+        "--profile-steps", type=uint, default=0,
+        help=(
+            "capture a jax.profiler trace of this many early train steps "
+            "into <run_dir>/profile (0 disables)"
+        ),
+    )
     return parser
 
 
