@@ -1,0 +1,99 @@
+"""Fused Pallas stem kernel vs the XLA conv reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yogo_tpu.ops.pallas_stem import fold_stem_params, fused_stem
+
+
+def xla_stem(images_u8, kernel_hwio, bias, bn=None, slope=0.01):
+    x = images_u8[..., None].astype(jnp.float32)  # NHWC
+    h = jax.lax.conv_general_dilated(
+        x,
+        jnp.asarray(kernel_hwio, jnp.float32),
+        (2, 2),
+        [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        h = h + jnp.asarray(bias)
+    if bn is not None:
+        scale, bbias, mean, var = bn
+        h = (h - mean) / jnp.sqrt(var + 1e-5) * scale + bbias
+    return jnp.where(h >= 0, h, slope * h)
+
+
+def test_fused_stem_matches_conv():
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (2, 16, 24), np.uint8)
+    k = rng.normal(size=(3, 3, 1, 16)).astype(np.float32) * 0.1
+    b = rng.normal(size=16).astype(np.float32) * 0.1
+
+    w_f, b_f = fold_stem_params(k, b)
+    got = np.asarray(
+        fused_stem(jnp.asarray(imgs), jnp.asarray(w_f), jnp.asarray(b_f),
+                   interpret=True),
+        np.float32,
+    )
+    want = np.asarray(xla_stem(jnp.asarray(imgs), k, b))
+    assert got.shape == want.shape == (2, 8, 12, 16)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)  # bf16 kernel
+
+
+def test_fused_stem_with_bn_folding():
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (1, 20, 28), np.uint8)
+    k = rng.normal(size=(3, 3, 1, 8)).astype(np.float32) * 0.1
+    scale = rng.uniform(0.5, 1.5, 8).astype(np.float32)
+    bbias = rng.normal(size=8).astype(np.float32)
+    mean = rng.normal(size=8).astype(np.float32)
+    var = rng.uniform(0.5, 2.0, 8).astype(np.float32)
+
+    w_f, b_f = fold_stem_params(k, None, scale, bbias, mean, var)
+    got = np.asarray(
+        fused_stem(jnp.asarray(imgs), jnp.asarray(w_f), jnp.asarray(b_f),
+                   interpret=True),
+        np.float32,
+    )
+    want = np.asarray(
+        xla_stem(jnp.asarray(imgs), k, None, bn=(scale, bbias, mean, var))
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_stem_against_model_block0():
+    """Folded stem == the model's first block (conv+BN+leaky) at inference."""
+    from yogo_tpu.models.yogo import YOGO
+
+    model = YOGO.create((32, 48), 0.1, 0.1, 3)
+    v = model.init(jax.random.key(0))
+    w_f, b_f = fold_stem_params(
+        np.asarray(v["params"]["conv0"]["kernel"]),
+        None,
+        np.asarray(v["params"]["bn0"]["scale"]),
+        np.asarray(v["params"]["bn0"]["bias"]),
+        np.asarray(v["batch_stats"]["bn0"]["mean"]),
+        np.asarray(v["batch_stats"]["bn0"]["var"]),
+    )
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 255, (2, 32, 48), np.uint8)
+    got = np.asarray(
+        fused_stem(jnp.asarray(imgs), jnp.asarray(w_f), jnp.asarray(b_f),
+                   interpret=True),
+        np.float32,
+    )
+
+    # reference: first block of the flax stack
+    from yogo_tpu.models.yogo import ConvStack
+
+    sub = ConvStack(blocks=model.defn.blocks[:1])
+    subv = {
+        "params": {"conv0": v["params"]["conv0"], "bn0": v["params"]["bn0"]},
+        "batch_stats": {"bn0": v["batch_stats"]["bn0"]},
+    }
+    want = np.asarray(
+        sub.apply(subv, jnp.asarray(imgs[..., None], jnp.float32), train=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
