@@ -58,6 +58,37 @@ def shard_batch(mesh: Mesh, *arrays: Any):
     return tuple(out)
 
 
+def prefetch_to_device(batch_iter, mesh: Mesh, prefetch: int = 2):
+    """Wrap a host (imgs, labels, mask) iterator with device prefetch.
+
+    Pads each batch to the mesh size, starts its (async) transfer, and keeps
+    `prefetch` batches in flight so H2D overlaps the previous step's compute -
+    the single-controller analog of the reference's pin_memory +
+    non_blocking copies (reference: yogo/train.py:310-311).
+    """
+    import collections
+
+    queue = collections.deque()
+
+    def put(host_batch):
+        imgs, labels, mask = pad_batch_to_multiple(*host_batch, mesh.size)
+        queue.append(shard_batch(mesh, imgs, labels, mask))
+
+    it = iter(batch_iter)
+    try:
+        for _ in range(prefetch):
+            put(next(it))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield out
+
+
 def pad_batch_to_multiple(
     imgs: np.ndarray, labels: np.ndarray, mask: np.ndarray, multiple: int
 ):

@@ -45,6 +45,7 @@ from yogo_tpu.parallel.mesh import (
     data_sharded,
     get_mesh,
     pad_batch_to_multiple,
+    prefetch_to_device,
     replicated,
     shard_batch,
 )
@@ -341,7 +342,9 @@ class Trainer:
             self.train_dataloader.set_epoch(epoch)
 
             step_start = time.perf_counter()
-            for imgs, labels, mask in self.train_dataloader:
+            for imgs, labels, mask in prefetch_to_device(
+                self.train_dataloader, self.mesh
+            ):
                 # optional jax.profiler trace of the first few hot-loop steps
                 # (aux tracing subsystem; the reference has only a Timer)
                 if profile_steps and self.global_step == 1:
@@ -353,10 +356,6 @@ class Trainer:
                     profile_steps = 0
 
                 batch_imgs = imgs.shape[0]
-                imgs, labels, mask = pad_batch_to_multiple(
-                    imgs, labels, mask, n_dev
-                )
-                imgs, labels, mask = shard_batch(self.mesh, imgs, labels, mask)
                 self.state, loss, comps = self._train_step(
                     self.state, imgs, labels, mask, self._rng
                 )
