@@ -285,6 +285,12 @@ def get_dataloader(
     return out
 
 
+def get_image_count(loader: DataLoader) -> int:
+    """Number of images behind a loader
+    (reference: yogo/data/yogo_dataloader.py:316-324)."""
+    return len(loader.dataset)
+
+
 def get_class_counts(loader: DataLoader, num_classes: int) -> np.ndarray:
     """Per-class object counts over a loader's label grids
     (reference: yogo/data/yogo_dataloader.py:287-313)."""

@@ -34,7 +34,8 @@ def _stem_kernel(x_ref, w_ref, b_ref, out_ref, *, out_h: int, out_w: int,
     # x_ref: (1, 2*out_h + 2, 2*out_w + 2) uint8 (pre-padded by 1 on each side)
     # w_ref: (3, 3, C_out) f32, b_ref: (1, C_out) f32
     # out_ref: (1, out_h, out_w, C_out) bf16
-    x = x_ref[0].astype(jnp.bfloat16)
+    # Mosaic has no direct uint8 -> bf16 cast; hop through int32/f32
+    x = x_ref[0].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
 
     even_rows = x[0::2, :]  # (out_h + 1, Wp)
     odd_rows = x[1::2, :]   # (out_h + 1, Wp)
