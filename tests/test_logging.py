@@ -1,0 +1,43 @@
+import json
+
+from yogo_tpu.utils.logging import RunLogger
+
+
+def test_jsonl_commit_buffering(tmp_path):
+    log = RunLogger(log_dir=tmp_path, config={"a": 1}, use_wandb=False)
+    log.log({"loss": 1.0}, step=1, commit=False)
+    log.log({"loss": 0.9}, step=2, commit=False)
+    log.log({"loss": 0.8}, step=3, commit=True)  # flush
+    log.log({"loss": 0.7}, step=4, commit=True)
+    log.summary({"final": 0.5})
+    log.finish()
+
+    lines = [
+        json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()
+    ]
+    committed = [l for l in lines if "loss" in l]
+    assert len(committed) == 2  # buffered steps coalesce into the commit
+    assert committed[0]["step"] == 3 and committed[0]["loss"] == 0.8
+    assert any("_summary" in l for l in lines)
+    assert json.loads((tmp_path / "config.json").read_text()) == {"a": 1}
+
+
+def test_disabled_logger_writes_nothing(tmp_path):
+    log = RunLogger(log_dir=tmp_path, use_wandb=False, enabled=False)
+    log.log({"x": 1}, step=1)
+    log.summary({"y": 2})
+    log.finish()
+    assert not (tmp_path / "metrics.jsonl").exists()
+
+
+def test_zarr_gated_error(tmp_path):
+    import importlib.util
+
+    import pytest
+
+    from yogo_tpu.data.image_source import ZarrDataset
+
+    (tmp_path / "x.zarr").mkdir()
+    if importlib.util.find_spec("zarr") is None:
+        with pytest.raises(ImportError, match="path-to-images"):
+            ZarrDataset(tmp_path / "x.zarr")

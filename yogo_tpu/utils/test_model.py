@@ -17,7 +17,12 @@ TEST_SEED = 111111  # reference: yogo/utils/test_model.py:85
 
 
 def test_model(args) -> None:
+    import jax.numpy as jnp
+
     model, variables, cfg = load_any(args.ckpt_path)
+    # the reference evaluates under fp16 autocast (yogo/utils/test_model.py:37);
+    # the TPU-native equivalent is bf16 compute
+    model = model.with_compute_dtype(jnp.bfloat16)
     data_defn = DatasetDefinition.from_yaml(args.dataset_defn_path)
 
     config: Dict[str, Any] = {
