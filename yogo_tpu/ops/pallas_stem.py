@@ -31,45 +31,52 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _stem_kernel(p00_ref, p01_ref, p10_ref, p11_ref, w_ref, b_ref, out_ref,
-                 *, out_h: int, out_w: int, negative_slope: float):
-    # p{a}{b}: (1, out_h + 1, out_w + 1) uint8 phase planes of the padded
-    # image: p[a][b][i, j] = padded[2i + a, 2j + b].
-    # Mosaic has no direct uint8 -> bf16 cast; hop through int32 -> f32.
-    def load(ref):
-        return ref[0].astype(jnp.int32).astype(jnp.float32)
+_TAPS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
-    p00 = load(p00_ref)
-    p01 = load(p01_ref)
-    p10 = load(p10_ref)
-    p11 = load(p11_ref)
 
-    # tap (dy, dx) reads padded[2h + dy + 1, 2w + dx + 1]:
-    #   dy=-1 -> plane a=0 rows [0, out_h); dy=0 -> a=1 rows [0, out_h);
-    #   dy=+1 -> plane a=0 rows [1, out_h + 1); columns analogous.
-    planes = {(0, 0): p00, (0, 1): p01, (1, 0): p10, (1, 1): p11}
+def _tap_view(dy: int, dx: int):
+    """Which (phase a, phase b, row-shift i0, col-shift j0) serves tap (dy,dx).
+    Tap (dy, dx) reads padded[2h + dy + 1, 2w + dx + 1]; with phase planes
+    p[a][b][i, j] = padded[2i + a, 2j + b] that's plane (a, b) at
+    (h + i0, w + j0)."""
+    a = 0 if dy != 0 else 1
+    b = 0 if dx != 0 else 1
+    i0 = 1 if dy == 1 else 0
+    j0 = 1 if dx == 1 else 0
+    return a, b, i0, j0
 
-    def tap(dy, dx):
-        a = 0 if dy != 0 else 1
-        b = 0 if dx != 0 else 1
-        i0 = 1 if dy == 1 else 0
-        j0 = 1 if dx == 1 else 0
-        return planes[(a, b)][i0 : i0 + out_h, j0 : j0 + out_w]
 
-    taps = {(dy, dx): tap(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)}
+def _stem_kernel(*refs, out_w: int, negative_slope: float):
+    # refs: 9 tap-plane views (1, TH, out_w + 1) uint8, then w9 (9, C) f32,
+    # b (1, C) f32, then out_ref (1, TH, out_w, C) bf16, scratch
+    # (TH, out_w, C) f32.
+    #
+    # Mosaic constraints shape this kernel: no uint8->bf16 cast (hop via
+    # int32), no strided vector slices, minor-dim insertion only for 32-bit
+    # types (hence the f32 scratch; the bf16 result is one full-block store),
+    # and a fori_loop over channels keeps the unrolled MLIR small enough to
+    # compile quickly.
+    tap_refs = refs[:9]
+    w_ref, b_ref, out_ref, scratch_ref = refs[9], refs[10], refs[11], refs[12]
 
-    # accumulate per channel in f32, stack, cast once, store the full block
-    # (Mosaic only supports minor-dim insertion for 32-bit types)
+    taps = []
+    for (dy, dx), ref in zip(_TAPS, tap_refs):
+        _, _, _, j0 = _tap_view(dy, dx)
+        t = ref[0][:, j0 : j0 + out_w]
+        taps.append(t.astype(jnp.int32).astype(jnp.float32))
+
     c_out = w_ref.shape[-1]
-    accs = []
-    for o in range(c_out):
-        acc = jnp.full((out_h, out_w), b_ref[0, o], jnp.float32)
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                acc = acc + taps[(dy, dx)] * w_ref[dy + 1, dx + 1, o]
-        accs.append(acc)
-    stacked = jnp.stack(accs, axis=-1)  # (out_h, out_w, c_out) f32
-    act = jnp.where(stacked >= 0, stacked, negative_slope * stacked)
+
+    def chan_body(o, _):
+        acc = b_ref[0, o]
+        for t_idx in range(9):
+            acc = acc + taps[t_idx] * w_ref[t_idx, o]
+        scratch_ref[:, :, o] = acc  # f32 minor-dim insertion: supported
+        return 0
+
+    jax.lax.fori_loop(0, c_out, chan_body, 0)
+    val = scratch_ref[...]
+    act = jnp.where(val >= 0, val, negative_slope * val)
     out_ref[0] = act.astype(jnp.bfloat16)
 
 
@@ -118,38 +125,64 @@ def fused_stem(
     out_h, out_w = h // 2, w // 2
     c_out = weights.shape[-1]
 
+    # Mosaic wants the sublane (second-minor) block dim divisible by 8, so
+    # pad rows up to a multiple of 8 and trim the output afterwards; pick the
+    # largest multiple-of-8 row tile (<=128) dividing the padded height.
+    padded_out_h = -(-out_h // 8) * 8
+    tile_h = padded_out_h
+    for cand in range(128, 0, -8):
+        if padded_out_h % cand == 0:
+            tile_h = cand
+            break
+
     # phase planes of the 1-padded image, built by XLA (single uint8
     # transpose pass). padded size (h+2, w+2); each plane (out_h+1, out_w+1).
     padded = jnp.pad(images, ((0, 0), (1, 1), (1, 1)))
     ph = padded.reshape(b, out_h + 1, 2, out_w + 1, 2)
-    planes = [ph[:, :, a, :, bb] for a in (0, 1) for bb in (0, 1)]
+
+    # one (B, padded_out_h, out_w + 1) view per tap: phase plane shifted by
+    # its row offset - this turns the 1-row halo into plain non-overlapping
+    # blocks; extra rows beyond out_h are garbage and trimmed at the end
+    row_pad = padded_out_h - out_h
+    tap_views = []
+    for dy, dx in _TAPS:
+        a, bb, i0, _ = _tap_view(dy, dx)
+        view = ph[:, i0 : i0 + out_h, a, :, bb]
+        if row_pad:
+            view = jnp.pad(view, ((0, 0), (0, row_pad), (0, 0)))
+        tap_views.append(view)
+
+    # weights as (9, C) rows ordered like _TAPS
+    w9 = jnp.stack(
+        [weights[dy + 1, dx + 1, :] for dy, dx in _TAPS], axis=0
+    ).astype(jnp.float32)
     bias2d = bias.reshape(1, -1).astype(jnp.float32)
 
     kernel = partial(
-        _stem_kernel, out_h=out_h, out_w=out_w, negative_slope=negative_slope
+        _stem_kernel, out_w=out_w, negative_slope=negative_slope
     )
-    plane_spec = pl.BlockSpec(
-        (1, out_h + 1, out_w + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    tap_spec = pl.BlockSpec(
+        (1, tile_h, out_w + 1),
+        lambda i, r: (i, r, 0),
+        memory_space=pltpu.VMEM,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[
-            plane_spec,
-            plane_spec,
-            plane_spec,
-            plane_spec,
+        grid=(b, padded_out_h // tile_h),
+        in_specs=[tap_spec] * 9
+        + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, out_h, out_w, c_out),
-            lambda i: (i, 0, 0, 0),
+            (1, tile_h, out_w, c_out),
+            lambda i, r: (i, r, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, out_h, out_w, c_out), jnp.bfloat16),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+        out_shape=jax.ShapeDtypeStruct(
+            (b, padded_out_h, out_w, c_out), jnp.bfloat16
         ),
-    )(*planes, weights.astype(jnp.float32), bias2d)
+        scratch_shapes=[pltpu.VMEM((tile_h, out_w, c_out), jnp.float32)],
+        interpret=interpret,
+    )(*tap_views, w9, bias2d)
+    return out[:, :out_h] if row_pad else out
