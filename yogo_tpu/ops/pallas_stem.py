@@ -1,20 +1,24 @@
-"""Pallas TPU kernel: fused YOGO stem (uint8 -> conv3x3 stride2 + BN + LeakyReLU).
+"""EXPERIMENTAL Pallas TPU kernel: fused YOGO stem
+(uint8 -> conv3x3 stride2 + BN + LeakyReLU).
 
-The first backbone block is the one op XLA handles poorly on TPU: a stride-2
-3x3 conv over a single-channel 772x1032 image. With C_in=1 the MXU's
-contraction dim is 9, so XLA burns HBM bandwidth on padded layouts instead of
-compute (~4.8 ms per 128-image batch, vs a ~1.2 ms bandwidth roofline).
+Motivation: with C_in=1 the stem conv's MXU contraction dim is 9, and XLA
+spends ~4.8 ms per 128-image 772x1032 batch on it (vs a ~1.2 ms bandwidth
+roofline). This kernel decomposes the stride-2 conv into space-to-depth
+phase planes (built by XLA) and computes the 9 taps as unit-offset slices +
+FMAs, with inference BatchNorm folded into the weights.
 
-Design: the stride-2 conv is decomposed into 4 space-to-depth *phase planes*
-(even/odd row x even/odd column). XLA produces the planes (one uint8
-transpose pass - a layout change it lowers well); the Pallas kernel then
-computes all 9 taps as unit-offset slices of the planes (no strided vector
-access, which Mosaic cannot lower) with VPU FMAs, folds the inference-mode
-BatchNorm into the weights, applies LeakyReLU, and writes the
-(H/2, W/2, 16) bf16 activation once. Grid = (batch,); one image's planes +
-output fit comfortably in VMEM.
-
-Inference-path only (training keeps the differentiable XLA conv).
+Status: correctness-verified in interpret mode; compiles and runs on v5e,
+but the only formulation Mosaic currently lowers (channel-LEADING layout,
+9x16 broadcast FMAs) runs ~3x slower than XLA's conv, so the production
+inference path keeps the XLA stem. Retained as a tested Pallas example and
+a record of the Mosaic lowering constraints encountered:
+  - no uint8 -> bf16 cast (hop via int32 -> f32),
+  - no strided vector slices (hence XLA-side phase planes),
+  - minor-dim insertion only for 32-bit types; lane indexing must be
+    128-aligned (rules out per-channel NHWC stores for C=16),
+  - rank-3 dot_general unsupported,
+  - block sublane dims must be divisible by 8 (pad rows + trim),
+  - large unrolled bodies (144 FMA ops) explode remote-compile time.
 """
 
 from __future__ import annotations
@@ -47,36 +51,28 @@ def _tap_view(dy: int, dx: int):
 
 
 def _stem_kernel(*refs, out_w: int, negative_slope: float):
-    # refs: 9 tap-plane views (1, TH, out_w + 1) uint8, then w9 (9, C) f32,
-    # b (1, C) f32, then out_ref (1, TH, out_w, C) bf16, scratch
-    # (TH, out_w, C) f32.
+    # refs: 9 tap-plane views (1, TH, out_w + 1) uint8, then wc (C, 9) f32,
+    # b (C, 1, 1) f32, then out_ref (1, C, TH, out_w) bf16 (channel-major).
     #
-    # Mosaic constraints shape this kernel: no uint8->bf16 cast (hop via
-    # int32), no strided vector slices, minor-dim insertion only for 32-bit
-    # types (hence the f32 scratch; the bf16 result is one full-block store),
-    # and a fori_loop over channels keeps the unrolled MLIR small enough to
-    # compile quickly.
+    # Mosaic constraints shape this kernel (found the hard way): no
+    # uint8->bf16 cast (hop via int32), no strided vector slices (phase
+    # planes are pre-split by XLA), no minor-dim insertion for 16-bit types
+    # and no unaligned lane indexing (so channels live on a LEADING axis:
+    # taps stack on axis 0, the dot contracts the tap axis, and the store is
+    # one full channel-major block).
     tap_refs = refs[:9]
-    w_ref, b_ref, out_ref, scratch_ref = refs[9], refs[10], refs[11], refs[12]
+    w_ref, b_ref, out_ref = refs[9], refs[10], refs[11]
 
-    taps = []
-    for (dy, dx), ref in zip(_TAPS, tap_refs):
+    # 9 tap FMAs with the channel axis leading (broadcast over C is a
+    # leading-dim broadcast, which Mosaic lowers cleanly; rank-3 dots and
+    # minor-axis stacks do not)
+    out = b_ref[...] * jnp.ones((1, tap_refs[0].shape[1], out_w), jnp.float32)
+    for t_idx, ((dy, dx), ref) in enumerate(zip(_TAPS, tap_refs)):
         _, _, _, j0 = _tap_view(dy, dx)
         t = ref[0][:, j0 : j0 + out_w]
-        taps.append(t.astype(jnp.int32).astype(jnp.float32))
-
-    c_out = w_ref.shape[-1]
-
-    def chan_body(o, _):
-        acc = b_ref[0, o]
-        for t_idx in range(9):
-            acc = acc + taps[t_idx] * w_ref[t_idx, o]
-        scratch_ref[:, :, o] = acc  # f32 minor-dim insertion: supported
-        return 0
-
-    jax.lax.fori_loop(0, c_out, chan_body, 0)
-    val = scratch_ref[...]
-    act = jnp.where(val >= 0, val, negative_slope * val)
+        tf = t.astype(jnp.int32).astype(jnp.float32)
+        out = out + w_ref[:, t_idx][:, None, None] * tf[None]
+    act = jnp.where(out >= 0, out, negative_slope * out)
     out_ref[0] = act.astype(jnp.bfloat16)
 
 
@@ -152,11 +148,11 @@ def fused_stem(
             view = jnp.pad(view, ((0, 0), (0, row_pad), (0, 0)))
         tap_views.append(view)
 
-    # weights as (9, C) rows ordered like _TAPS
-    w9 = jnp.stack(
-        [weights[dy + 1, dx + 1, :] for dy, dx in _TAPS], axis=0
+    # weights as (C, 9) with columns ordered like _TAPS
+    wc = jnp.stack(
+        [weights[dy + 1, dx + 1, :] for dy, dx in _TAPS], axis=1
     ).astype(jnp.float32)
-    bias2d = bias.reshape(1, -1).astype(jnp.float32)
+    bias3d = bias.reshape(-1, 1, 1).astype(jnp.float32)
 
     kernel = partial(
         _stem_kernel, out_w=out_w, negative_slope=negative_slope
@@ -175,14 +171,15 @@ def fused_stem(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_h, out_w, c_out),
-            lambda i, r: (i, r, 0, 0),
+            (1, c_out, tile_h, out_w),
+            lambda i, r: (i, 0, r, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (b, padded_out_h, out_w, c_out), jnp.bfloat16
+            (b, c_out, padded_out_h, out_w), jnp.bfloat16
         ),
-        scratch_shapes=[pltpu.VMEM((tile_h, out_w, c_out), jnp.float32)],
         interpret=interpret,
-    )(*tap_views, w9, bias2d)
-    return out[:, :out_h] if row_pad else out
+    )(*tap_views, wc, bias3d)
+    # channel-major (NCHW) -> NHWC, trimming row padding
+    out = out[:, :, :out_h] if row_pad else out
+    return jnp.transpose(out, (0, 2, 3, 1))
