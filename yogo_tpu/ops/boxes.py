@@ -117,8 +117,10 @@ def encode_label_grid(labels: Array, Sx: int, Sy: int) -> Array:
     TPU-native version of the reference label encoder (reference:
     yogo/data/yogo_dataset.py:24-46). Row layout: [mask, x1, y1, x2, y2, cls].
     A box is assigned to the cell containing its center:
-    i = (x1+x2)*Sx//2, j = (y1+y2)*Sy//2; later boxes overwrite earlier ones
-    landing in the same cell (scatter with last-write-wins ordering).
+    i = (x1+x2)*Sx//2, j = (y1+y2)*Sy//2. NOTE: when two boxes land in the
+    same cell, XLA scatter order is unspecified - use the host encoder
+    (yogo_tpu.ops.grid.encode_label_grid_np) when the reference's
+    deterministic last-write-wins ordering matters.
 
     ``labels`` may be padded with rows whose class is < 0; those are dropped.
     """
