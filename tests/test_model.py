@@ -158,3 +158,25 @@ def test_num_params_base_model():
         + conv(128, 12, 1)
     )
     assert n == expected
+
+
+def test_param_and_grad_norm():
+    m = small_model()
+    v = m.init(jax.random.key(0))
+    pn = m.param_norm(v["params"])
+    assert pn > 0 and np.isfinite(pn)
+    # matches a manual flat-vector norm
+    flat = np.concatenate([np.asarray(p).ravel() for p in jax.tree.leaves(v["params"])])
+    np.testing.assert_allclose(pn, np.linalg.norm(flat), rtol=1e-5)
+    assert m.grad_norm is m.param_norm or m.grad_norm(v["params"]) == pn
+
+
+def test_from_pth_classmethod(tmp_path):
+    from yogo_tpu.utils.checkpoint import save_checkpoint
+
+    m = small_model()
+    v = m.init(jax.random.key(0))
+    p = tmp_path / "m.ckpt"
+    save_checkpoint(p, m, v, classes=["a", "b", "c", "d"])
+    m2, v2, meta = type(m).from_pth(p)
+    assert m2.grid == m.grid and meta["classes"] == ["a", "b", "c", "d"]

@@ -64,6 +64,18 @@ def test_forward_parity(torch, model_version, tmp_path):
     assert ref_out.shape == our_out.shape
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-3, atol=1e-5)
 
+    # detection-level parity: the postprocessed outputs of both frameworks
+    # produce the same boxes (BASELINE.md: "match reference detections
+    # within float tolerance")
+    from yogo_tpu.ops.postprocess import format_preds
+
+    for i in range(our_out.shape[0]):
+        ours_det = format_preds(our_out[i], obj_thresh=0.45)
+        ref_det = format_preds(ref_out[i], obj_thresh=0.45)
+        assert ours_det.shape == ref_det.shape
+        if len(ours_det):
+            np.testing.assert_allclose(ours_det, ref_det, rtol=1e-3, atol=1e-4)
+
 
 def test_forward_parity_training_mode_logits(torch):
     """Training-mode forward (raw class logits, BN batch stats) also agrees."""

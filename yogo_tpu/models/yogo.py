@@ -286,6 +286,19 @@ class YOGO:
             int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"])
         )
 
+    @staticmethod
+    def param_norm(params: Any) -> float:
+        """Global L2 norm of a parameter pytree
+        (reference: yogo/model.py:171-181)."""
+        return float(
+            jnp.sqrt(
+                sum(jnp.sum(p.astype(jnp.float32) ** 2) for p in jax.tree.leaves(params))
+            )
+        )
+
+    # same math applies to gradient pytrees (reference: yogo/model.py:157-169)
+    grad_norm = param_norm
+
     # ---------------------------------------------------------------- forward
     def _to_nhwc(self, x: Array) -> Array:
         """Accept reference-layout input: (B,C,H,W), (C,H,W) or (H,W);
@@ -369,6 +382,15 @@ class YOGO:
         return dataclasses.replace(self, compute_dtype=dtype)
 
     # ----------------------------------------------------------- construction
+    @classmethod
+    def from_pth(cls, pth_path, inference: bool = False):
+        """Load a reference-format .pth (or native .ckpt) checkpoint,
+        mirroring the reference classmethod (reference: yogo/model.py:94-147).
+        Returns (model_config, variables, meta)."""
+        from yogo_tpu.utils.checkpoint import load_any
+
+        return load_any(pth_path, inference=inference)
+
     @classmethod
     def create(
         cls,
