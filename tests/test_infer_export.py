@@ -226,3 +226,12 @@ def test_do_export_cli_writes_onnx(ckpt_and_images, tmp_path):
         )
     )
     assert (tmp_path / "exported.onnx").exists()
+
+
+def test_onnx_export_convnext(tmp_path):
+    from yogo_tpu.utils.export_model import build_onnx, verify_onnx
+
+    model = YOGO.create((32, 48), 0.15, 0.2, 2, model_version="convnext_small")
+    variables = model.init(jax.random.key(3))
+    blob = build_onnx(model, variables)
+    verify_onnx(model, variables, blob)

@@ -54,32 +54,8 @@ def _folded_conv_params(
     return w, b
 
 
-def build_onnx(
-    model: YOGO, variables: Dict[str, Any], batch_size: int = 1
-) -> bytes:
-    """Emit an ONNX ModelProto for a conv-stack YOGO model: uint8 input ->
-    decoded (B, 5+C, Sy, Sx) predictions with softmaxed classes."""
-    defn = model.defn
-    if defn.family != "conv_stack":
-        raise NotImplementedError(
-            f"ONNX export for family {defn.family} not yet supported; use "
-            "--format stablehlo"
-        )
-    params = variables["params"]
-    stats = variables.get("batch_stats", {})
-
-    h, w_in = model.img_size
-    Sx, Sy = model.grid
-    nodes: List[bytes] = []
-    inits: List[bytes] = []
-
-    nodes.append(op.node("Cast", ["images"], ["x_f32"], to=op.FLOAT))
-    cur = "x_f32"
-    if model.normalize_images:
-        inits.append(op.tensor_proto("c255", np.float32(255.0).reshape(())))
-        nodes.append(op.node("Div", [cur, "c255"], ["x_norm"]))
-        cur = "x_norm"
-
+def _emit_conv_stack(nodes, inits, cur, defn, params, stats) -> str:
+    """Emit the plain conv-stack backbone (BN folded). Returns the output name."""
     for i, s in enumerate(defn.blocks):
         conv = params[f"conv{i}"]
         bn_p = params.get(f"bn{i}")
@@ -106,6 +82,185 @@ def build_onnx(
             nodes.append(op.node("Sigmoid", [cur], [f"sig{i}"]))
             nodes.append(op.node("Mul", [cur, f"sig{i}"], [f"act{i}"]))
             cur = f"act{i}"
+    return cur
+
+
+_NCHW_TO_NHWC = [0, 2, 3, 1]
+_NHWC_TO_NCHW = [0, 3, 1, 2]
+
+
+def _emit_convnext(nodes, inits, cur, model: YOGO, params) -> str:
+    """Emit the native ConvNeXt-Small backbone + YOGO format head
+    (structure: yogo_tpu.models.yogo.ConvNeXtSmall). Convs run NCHW;
+    LayerNorm / MLP segments run NHWC via Transpose pairs - the same shape
+    torch.onnx gives timm convnext exports."""
+    uid = [0]
+
+    def name(tag):
+        uid[0] += 1
+        return f"cnx_{tag}_{uid[0]}"
+
+    def add_init(tag, arr):
+        n = name(tag)
+        inits.append(op.tensor_proto(n, np.asarray(arr, np.float32)))
+        return n
+
+    def conv(cur, p, stride, pads, group=1):
+        # flax HWIO -> ONNX OIHW; depthwise flax kernel is (kh,kw,1,O)
+        w = np.transpose(np.asarray(p["kernel"], np.float32), (3, 2, 0, 1))
+        wn = add_init("w", w)
+        bn = add_init("b", np.asarray(p["bias"], np.float32))
+        out = name("conv")
+        attrs = dict(
+            strides=[stride, stride],
+            pads=[pads] * 4,
+            kernel_shape=[w.shape[2], w.shape[3]],
+        )
+        if group > 1:
+            attrs["group"] = group
+        nodes.append(op.node("Conv", [cur, wn, bn], [out], **attrs))
+        return out
+
+    def transpose(cur, perm):
+        out = name("perm")
+        nodes.append(op.node("Transpose", [cur], [out], perm=perm))
+        return out
+
+    def layernorm(cur_nhwc, p):
+        sn = add_init("ln_s", p["scale"])
+        bn = add_init("ln_b", p["bias"])
+        out = name("ln")
+        nodes.append(
+            op.node(
+                "LayerNormalization",
+                [cur_nhwc, sn, bn],
+                [out],
+                axis=-1,
+                epsilon=1e-6,
+            )
+        )
+        return out
+
+    def dense(cur_nhwc, p):
+        wn = add_init("dw", np.asarray(p["kernel"], np.float32))  # (C, D)
+        bn = add_init("db", np.asarray(p["bias"], np.float32))
+        mm = name("mm")
+        nodes.append(op.node("MatMul", [cur_nhwc, wn], [mm]))
+        out = name("dense")
+        nodes.append(op.node("Add", [mm, bn], [out]))
+        return out
+
+    def gelu(cur):
+        # tanh-approximate GELU, matching jax.nn.gelu's default
+        c0 = add_init("g0", np.float32(0.044715).reshape(()))
+        c1 = add_init("g1", np.float32(np.sqrt(2.0 / np.pi)).reshape(()))
+        half = add_init("gh", np.float32(0.5).reshape(()))
+        one = add_init("g2", np.float32(1.0).reshape(()))
+        three = add_init("g3", np.float32(3.0).reshape(()))
+        x3 = name("x3")
+        nodes.append(op.node("Pow", [cur, three], [x3]))
+        t1 = name("t1")
+        nodes.append(op.node("Mul", [x3, c0], [t1]))
+        t2 = name("t2")
+        nodes.append(op.node("Add", [cur, t1], [t2]))
+        t3 = name("t3")
+        nodes.append(op.node("Mul", [t2, c1], [t3]))
+        th = name("th")
+        nodes.append(op.node("Tanh", [t3], [th]))
+        t4 = name("t4")
+        nodes.append(op.node("Add", [th, one], [t4]))
+        t5 = name("t5")
+        nodes.append(op.node("Mul", [cur, t4], [t5]))
+        out = name("gelu")
+        nodes.append(op.node("Mul", [t5, half], [out]))
+        return out
+
+    from yogo_tpu.models.yogo import ConvNeXtSmall
+
+    depths = ConvNeXtSmall.depths
+    dims = ConvNeXtSmall.dims
+
+    # stem: patchify conv + LN
+    cur = conv(cur, params["stem_conv"], stride=4, pads=0)
+    cur = transpose(cur, _NCHW_TO_NHWC)
+    cur = layernorm(cur, params["stem_norm"])
+    cur = transpose(cur, _NHWC_TO_NCHW)
+
+    for stage, (depth, dim) in enumerate(zip(depths, dims)):
+        if stage > 0:
+            cur = transpose(cur, _NCHW_TO_NHWC)
+            cur = layernorm(cur, params[f"down{stage}_norm"])
+            cur = transpose(cur, _NHWC_TO_NCHW)
+            cur = conv(cur, params[f"down{stage}_conv"], stride=2, pads=0)
+        for blk in range(depth):
+            p = params[f"stage{stage}_block{blk}"]
+            resid = cur
+            cur = conv(cur, p["dwconv"], stride=1, pads=3, group=dim)
+            cur = transpose(cur, _NCHW_TO_NHWC)
+            cur = layernorm(cur, p["norm"])
+            cur = dense(cur, p["pwconv1"])
+            cur = gelu(cur)
+            cur = dense(cur, p["pwconv2"])
+            gn = add_init("gamma", p["gamma"])
+            scaled = name("ls")
+            nodes.append(op.node("Mul", [cur, gn], [scaled]))
+            cur = transpose(scaled, _NHWC_TO_NCHW)
+            added = name("res")
+            nodes.append(op.node("Add", [resid, cur], [added]))
+            cur = added
+
+    # "format time!" head: 1x1 conv -> stride-4 transpose conv
+    cur = conv(cur, params["format_conv"], stride=1, pads=0)
+    wt = np.asarray(params["format_up"]["kernel"], np.float32)
+    # flax ConvTranspose keeps the kernel unflipped (transpose_kernel=False);
+    # ONNX ConvTranspose is the gradient-of-conv, so flip spatially, then
+    # HWIO -> (C_in, C_out, kH, kW)
+    wtn = add_init("wt", np.transpose(wt[::-1, ::-1], (2, 3, 0, 1)))
+    btn = add_init("bt", np.asarray(params["format_up"]["bias"], np.float32))
+    out = name("up")
+    nodes.append(
+        op.node(
+            "ConvTranspose",
+            [cur, wtn, btn],
+            [out],
+            strides=[4, 4],
+            pads=[0, 0, 0, 0],
+            kernel_shape=[4, 4],
+        )
+    )
+    return out
+
+
+def build_onnx(
+    model: YOGO, variables: Dict[str, Any], batch_size: int = 1
+) -> bytes:
+    """Emit an ONNX ModelProto for a YOGO model: uint8 input ->
+    decoded (B, 5+C, Sy, Sx) predictions with softmaxed classes."""
+    defn = model.defn
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    h, w_in = model.img_size
+    Sx, Sy = model.grid
+    nodes: List[bytes] = []
+    inits: List[bytes] = []
+
+    nodes.append(op.node("Cast", ["images"], ["x_f32"], to=op.FLOAT))
+    cur = "x_f32"
+    if model.normalize_images:
+        inits.append(op.tensor_proto("c255", np.float32(255.0).reshape(())))
+        nodes.append(op.node("Div", [cur, "c255"], ["x_norm"]))
+        cur = "x_norm"
+
+    if defn.family == "conv_stack":
+        cur = _emit_conv_stack(nodes, inits, cur, defn, params, stats)
+    elif defn.family == "convnext":
+        cur = _emit_convnext(nodes, inits, cur, model, params)
+    else:  # pragma: no cover
+        raise NotImplementedError(
+            f"ONNX export for family {defn.family} not supported; use "
+            "--format stablehlo"
+        )
 
     # ---- decode head (reference: yogo/model.py:277-313) ----
     def slice_channels(name, start, end):

@@ -39,15 +39,21 @@ def _conv_transpose(x, w, b, strides, pads):
     import jax
     import jax.numpy as jnp
 
-    # ONNX ConvTranspose weight layout is (C_in, C_out/group, kH, kW)
+    # ONNX ConvTranspose weight layout is (C_in, C_out/group, kH, kW);
+    # ONNX semantics: full "VALID" transposed conv, then crop `pads` from
+    # each spatial edge
+    # with transpose_kernel=True lax swaps the I/O dims internally, so the
+    # HWIO kernel must carry (kh, kw, C_out, C_in)
     out = jax.lax.conv_transpose(
         jnp.asarray(x, jnp.float32),
-        jnp.transpose(jnp.asarray(w, jnp.float32), (2, 3, 0, 1)),  # HWIO
+        jnp.transpose(jnp.asarray(w, jnp.float32), (2, 3, 1, 0)),
         strides=strides,
-        padding=[(pads[0], pads[2]), (pads[1], pads[3])],
+        padding="VALID",
         dimension_numbers=("NCHW", "HWIO", "NCHW"),
         transpose_kernel=True,
     )
+    h, wd = out.shape[2], out.shape[3]
+    out = out[:, :, pads[0] : h - pads[2], pads[1] : wd - pads[3]]
     if b is not None:
         out = out + jnp.asarray(b, jnp.float32)[None, :, None, None]
     return np.asarray(out)
@@ -104,6 +110,26 @@ def run_model(model_bytes: bytes, feeds: Dict[str, np.ndarray]):
             out = ins[0].astype(np.float32) / ins[1].astype(np.float32)
         elif op == "Cast":
             out = ins[0].astype(ONNX_TO_NP[a["to"]])
+        elif op == "Transpose":
+            out = np.transpose(ins[0], a["perm"])
+        elif op == "MatMul":
+            out = (
+                ins[0].astype(np.float32) @ ins[1].astype(np.float32)
+            )
+        elif op == "Tanh":
+            out = np.tanh(ins[0].astype(np.float32))
+        elif op == "Pow":
+            out = ins[0].astype(np.float32) ** ins[1].astype(np.float32)
+        elif op == "LayerNormalization":
+            axis = a.get("axis", -1)
+            eps = np.float32(a.get("epsilon", 1e-5))
+            x = ins[0].astype(np.float32)
+            mean = x.mean(axis=axis, keepdims=True)
+            var = ((x - mean) ** 2).mean(axis=axis, keepdims=True)
+            out = (x - mean) / np.sqrt(var + eps)
+            out = out * ins[1]
+            if len(ins) > 2 and ins[2] is not None:
+                out = out + ins[2]
         elif op == "Concat":
             out = np.concatenate(ins, axis=a["axis"])
         elif op == "Slice":

@@ -209,12 +209,18 @@ def parse_message(buf: bytes) -> Dict[int, List[Any]]:
     return fields
 
 
+def _to_signed64(v: int) -> int:
+    """protobuf int64 fields encode negatives as 10-byte varints;
+    reinterpret the unsigned value as two's-complement."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _unpack_varints(buf: bytes) -> List[int]:
     out = []
     pos = 0
     while pos < len(buf):
         v, pos = _read_varint(buf, pos)
-        out.append(v)
+        out.append(_to_signed64(v))
     return out
 
 
@@ -235,7 +241,7 @@ def parse_attribute(buf: bytes) -> Tuple[str, Any]:
     if atype == ATTR_FLOAT:
         return name, f[2][0]
     if atype == ATTR_INT:
-        return name, f[3][0]
+        return name, _to_signed64(f[3][0])
     if atype == ATTR_STRING:
         return name, f[4][0].decode()
     if atype == ATTR_TENSOR:
