@@ -235,3 +235,29 @@ def test_onnx_export_convnext(tmp_path):
     variables = model.init(jax.random.key(3))
     blob = build_onnx(model, variables)
     verify_onnx(model, variables, blob)
+
+
+def test_predict_tolerates_corrupt_image(ckpt_and_images, tmp_path):
+    """A malformed image mid-directory warns and skips its batch instead of
+    crashing (reference inference-loop behavior)."""
+    import shutil
+    import warnings as w
+
+    from yogo_tpu.infer import predict
+
+    ckpt, img_dir, *_ = ckpt_and_images
+    broken_dir = tmp_path / "broken"
+    shutil.copytree(img_dir, broken_dir)
+    (broken_dir / "im2.png").write_bytes(b"this is not a png")
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        res = predict(
+            ckpt,
+            path_to_images=broken_dir,
+            batch_size=2,
+            return_full_predictions=True,
+            use_tqdm=False,
+        )
+    assert any("continuing" in str(r.message) for r in rec)
+    # the unaffected batches still produced predictions
+    assert res is not None and np.abs(res[0]).sum() > 0

@@ -206,7 +206,18 @@ def predict(
     pending = prefetcher.submit(load_batch, starts[0]) if starts else None
 
     for bi, start in enumerate(starts):
-        imgs, names, real = pending.result()
+        # tolerate malformed images: warn and skip the batch, like the
+        # reference's inference loop (reference: yogo/infer.py:299-309)
+        try:
+            imgs, names, real = pending.result()
+        except Exception as e:
+            warnings.warn(f"got error {e}; continuing")
+            pending = (
+                prefetcher.submit(load_batch, starts[bi + 1])
+                if bi + 1 < len(starts)
+                else None
+            )
+            continue
         pending = (
             prefetcher.submit(load_batch, starts[bi + 1])
             if bi + 1 < len(starts)
