@@ -22,7 +22,7 @@ Defaults mirror the reference: obj 0.5, NMS IoU 0.5, min class confidence
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -12,7 +12,7 @@ unknown names fall back to base_model (reference: yogo/model_defns.py:11-18).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, Optional, Tuple
 
 

@@ -22,7 +22,6 @@ Divergences (documented):
 
 from __future__ import annotations
 
-import dataclasses
 import sys
 import time
 import warnings
