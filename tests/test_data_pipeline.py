@@ -290,3 +290,28 @@ def test_random_flips_jittable():
     f = jax.jit(random_flips)
     i1, l1 = f(jax.random.key(0), imgs, labels)
     assert i1.shape == imgs.shape and l1.shape == labels.shape
+
+
+def test_split_override_merges_test_paths(tmp_path):
+    """--dataset-split-override pools dataset_paths AND test_paths, then
+    resplits randomly (reference: yogo/data/yogo_dataloader.py:119-122)."""
+    from yogo_tpu.data.loader import get_datasets
+
+    pairs = [make_pair_dirs(tmp_path, f"o{i}", n_images=4, seed=i) for i in range(2)]
+    tpair = [make_pair_dirs(tmp_path, "ot", n_images=4, seed=9)]
+    d = write_defn(
+        tmp_path / "d.yml",
+        dataset_pairs=pairs,
+        test_pairs=tpair,
+        split={"train": 0.75, "val": 0.25},
+    )
+    from yogo_tpu.data.definition import DatasetDefinition
+
+    defn = DatasetDefinition.from_yaml(d)
+    override = SplitFractions.from_list([0.5, 0.25, 0.25], test_paths_present=False)
+    split = get_datasets(defn, Sx=8, Sy=6, image_hw=(40, 56),
+                         split_fraction_override=override)
+    total = 12  # 8 train + 4 explicit test, pooled
+    assert len(split["train"]) == 6
+    assert len(split["val"]) + len(split["test"]) == 6
+    assert len(split["train"]) + len(split["val"]) + len(split["test"]) == total
