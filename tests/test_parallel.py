@@ -62,3 +62,38 @@ def test_choose_device_and_free_port():
     assert d.platform in ("cpu", "tpu", "gpu")
     p = get_free_port()
     assert 0 < p < 65536
+
+
+def test_spmd_loss_invariant_to_device_count():
+    """The same batch gives the same loss whether computed on 1 device or
+    sharded over 8 - validates the masked normalization under GSPMD."""
+    import jax.numpy as jnp
+
+    from tests.data_fixtures import CLASSES
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.parallel.mesh import data_sharded, replicated
+    from yogo_tpu.train import make_eval_step
+
+    model = YOGO.create((48, 64), 0.1, 0.12, len(CLASSES),
+                        model_version="quarter_filters")
+    v = model.init(jax.random.key(0))
+    eval_fn = make_eval_step(model, dict(no_obj_weight=0.5, iou_weight=5.0,
+                                         classify_weight=1.0,
+                                         label_smoothing=0.01))
+    rng = np.random.default_rng(0)
+    Sx, Sy = model.grid
+    imgs = rng.integers(0, 255, (8, 1, 48, 64)).astype(np.uint8)
+    labels = np.zeros((8, 6, Sy, Sx), np.float32)
+    labels[:, :, 2, 3] = [1, 0.4, 0.4, 0.6, 0.6, 1]
+    mask = np.ones(8, np.float32)
+
+    losses = {}
+    for ndev in (1, 8):
+        mesh = get_mesh(jax.devices()[:ndev])
+        rep, dat, msk = replicated(mesh), data_sharded(mesh), data_sharded(mesh, 1)
+        step = jax.jit(eval_fn, in_shardings=(rep, rep, dat, dat, msk),
+                       out_shardings=(rep, rep))
+        di, dl, dm = shard_batch(mesh, imgs, labels, mask)
+        loss, _ = step(v["params"], v.get("batch_stats", {}), di, dl, dm)
+        losses[ndev] = float(loss)
+    np.testing.assert_allclose(losses[1], losses[8], rtol=1e-5)
