@@ -231,3 +231,65 @@ def test_format_to_numpy_schema():
         # peak prob == class probs at argmax row
         labels = arr[6].astype(int)
         np.testing.assert_allclose(arr[7], arr[8 + labels, np.arange(n)])
+
+
+# ------------------------------------------------- image_mask (padded batches)
+def _batch_preds(rng, b=4, c=7, s=6):
+    """Random decoded-style prediction batch with plausible ranges."""
+    preds = rng.uniform(0.0, 1.0, (b, 5 + c, s, s)).astype(np.float32)
+    preds[:, 2:4] *= 0.1  # small w/h
+    return preds
+
+
+def test_count_class_predictions_image_mask_equals_slice():
+    """Masking padded tail images must give the same counts as slicing them
+    off, without changing the compiled batch shape."""
+    rng = np.random.default_rng(11)
+    preds = _batch_preds(rng, b=6)
+    real = 4
+    mask = np.arange(6) < real
+    counted_mask = np.asarray(
+        count_class_predictions(jnp.asarray(preds), image_mask=jnp.asarray(mask))
+    )
+    counted_slice = np.asarray(
+        count_class_predictions(jnp.asarray(preds[:real]))
+    )
+    np.testing.assert_array_equal(counted_mask, counted_slice)
+
+
+def test_count_class_predictions_mask_no_recompile():
+    """Different `real` tail sizes at the same batch shape must reuse one
+    compiled executable (the round-1 [:real] slice recompiled per tail)."""
+    rng = np.random.default_rng(12)
+    preds = jnp.asarray(_batch_preds(rng, b=6))
+    count_class_predictions(preds, image_mask=jnp.arange(6) < 3)
+    misses_before = count_class_predictions._cache_size()
+    for real in (1, 2, 4, 5, 6):
+        count_class_predictions(preds, image_mask=jnp.arange(6) < real)
+    assert count_class_predictions._cache_size() == misses_before
+
+
+def test_format_preds_batched_image_mask_invalidates_padding():
+    rng = np.random.default_rng(13)
+    preds = _batch_preds(rng, b=4)
+    mask = np.array([True, True, False, False])
+    f = format_preds_batched(jnp.asarray(preds), image_mask=jnp.asarray(mask))
+    valid = np.asarray(f["valid"])
+    assert not valid[2:].any()
+
+
+def test_nms_numpy_huge_boxes_no_overflow():
+    """Untrained models can emit exp-huge box extents; the host oracle must
+    not overflow f32 (inf-inf -> NaN would silently become IoU 0)."""
+    big = np.float64(1e30)
+    boxes = np.array(
+        [[0, 0, big, big], [0, 0, big, big], [0, 0, 1, 1]], np.float32
+    )
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        keep = nms_numpy(boxes, scores, 0.5)
+    # the two identical huge boxes suppress to one; the small box survives
+    assert sorted(keep.tolist()) == [0, 2]

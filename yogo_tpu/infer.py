@@ -226,12 +226,15 @@ def predict(
 
         imgs_j = jnp.asarray(imgs)
         if count_predictions and not needs_full:
-            # fully fused on device: forward + NMS + count, no big transfers
+            # fully fused on device: forward + NMS + count, no big transfers;
+            # padded tail images are excluded by mask (a [:real] slice would
+            # change the shape and recompile per distinct tail size)
             counts = count_class_predictions(
-                forward(imgs_j)[:real],
+                forward(imgs_j),
                 obj_thresh=obj_thresh,
                 iou_thresh=iou_thresh,
                 min_class_confidence_threshold=min_class_confidence_threshold,
+                image_mask=jnp.arange(batch_size) < real,
             )
             tot_counts += np.asarray(counts, np.int64)
             if pbar:

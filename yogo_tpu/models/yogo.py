@@ -66,7 +66,9 @@ class ConvStack(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, *, train: bool = False) -> Array:
+    def __call__(
+        self, x: Array, *, train: bool = False, bn_frozen: bool = False
+    ) -> Array:
         for i, s in enumerate(self.blocks):
             conv_cls = nn.ConvTranspose if s.transpose else nn.Conv
             x = conv_cls(
@@ -82,8 +84,11 @@ class ConvStack(nn.Module):
                 name=f"conv{i}",
             )(x)
             if s.bn:
+                # bn_frozen: fine-tune BN-freeze - normalize with running
+                # stats and never update them, even in training
+                # (reference: yogo/model.py:67-70,89-92 `tuning=True`)
                 x = nn.BatchNorm(
-                    use_running_average=not train,
+                    use_running_average=(not train) or bn_frozen,
                     momentum=0.9,
                     epsilon=1e-5,
                     dtype=self.compute_dtype,
@@ -139,7 +144,11 @@ class ConvNeXtSmall(nn.Module):
     dims: Tuple[int, ...] = (96, 192, 384, 768)
 
     @nn.compact
-    def __call__(self, x: Array, *, train: bool = False) -> Array:
+    def __call__(
+        self, x: Array, *, train: bool = False, bn_frozen: bool = False
+    ) -> Array:
+        # bn_frozen is accepted for interface parity; ConvNeXt has no BN
+        del bn_frozen
         # stem: patchify
         x = nn.Conv(
             self.dims[0],
@@ -321,10 +330,14 @@ class YOGO:
         rngs: Optional[Dict[str, jax.Array]] = None,
         mutable: bool = False,
         channels_last: bool = False,
+        tuning: bool = False,
     ):
         """Forward pass: raw input -> decoded (B, 5+C, Sy, Sx) predictions.
 
         With mutable=True (training) returns (preds, new_model_state).
+        tuning=True freezes BatchNorm for fine-tuning: running stats are used
+        for normalization and never updated (reference: yogo/model.py:67-70,
+        loaded checkpoints are constructed with tuning=True at model.py:134).
         """
         if not channels_last:
             x = self._to_nhwc(x)
@@ -335,10 +348,17 @@ class YOGO:
         module = self.module()
         if mutable:
             raw, new_state = module.apply(
-                variables, x, train=train, rngs=rngs, mutable=["batch_stats"]
+                variables,
+                x,
+                train=train,
+                bn_frozen=tuning,
+                rngs=rngs,
+                mutable=["batch_stats"],
             )
         else:
-            raw = module.apply(variables, x, train=train, rngs=rngs)
+            raw = module.apply(
+                variables, x, train=train, bn_frozen=tuning, rngs=rngs
+            )
 
         Sx, Sy = self.grid
         cxs, cys = cell_offsets(Sx, Sy)

@@ -37,8 +37,12 @@ def nms_numpy(
 
     boxes: (N, 4) xyxy; scores: (N,). Returns kept indices sorted by
     descending score (stable).
+
+    Box math runs in float64: untrained models can emit exp-huge extents
+    whose f32 areas overflow to inf (inf - inf -> NaN would silently map to
+    IoU 0 and corrupt the oracle).
     """
-    boxes = np.asarray(boxes, np.float32)
+    boxes = np.asarray(boxes, np.float64)
     scores = np.asarray(scores, np.float32)
     order = np.argsort(-scores, kind="stable")
     keep = []

@@ -107,8 +107,13 @@ def format_preds_batched(
     iou_thresh: float = 0.5,
     min_class_confidence_threshold: float = 0.0,
     max_detections: int = DEFAULT_MAX_DETECTIONS,
+    image_mask: Optional[Array] = None,
 ) -> Dict[str, Array]:
     """Device-side batched formatter: (B, 5+C, Sy, Sx) -> padded detections.
+
+    image_mask: optional (B,) bool marking real (non-padding) images, so a
+    ragged final batch can stay at the compiled batch shape instead of being
+    sliced (slicing changes the shape and costs a recompile per tail size).
 
     Returns dict of fixed-shape arrays:
         boxes_cxcywh (B, K, 4), boxes_xyxy (B, K, 4), objectness (B, K),
@@ -126,6 +131,8 @@ def format_preds_batched(
 
     obj = flat[..., 4]
     passing = obj > obj_thresh
+    if image_mask is not None:
+        passing = passing & image_mask.astype(bool)[:, None]
     # top-K by objectness, masked entries sink to the bottom
     sort_key = jnp.where(passing, obj, -1.0)
     top_val, top_idx = jax.lax.top_k(sort_key, k)
@@ -175,16 +182,19 @@ def count_class_predictions(
     iou_thresh: float = 0.5,
     min_class_confidence_threshold: float = 0.0,
     max_detections: int = DEFAULT_MAX_DETECTIONS,
+    image_mask: Optional[Array] = None,
 ) -> Array:
     """Fused on-device class counting (replaces the reference's per-image host
     loop, reference: yogo/infer.py:60-124): filter -> NMS -> argmax ->
-    per-class histogram. (B, 5+C, Sy, Sx) -> (C,) int32 counts."""
+    per-class histogram. (B, 5+C, Sy, Sx) -> (C,) int32 counts.
+    `image_mask` excludes padding images without changing the batch shape."""
     f = format_preds_batched(
         preds,
         obj_thresh=obj_thresh,
         iou_thresh=iou_thresh,
         min_class_confidence_threshold=min_class_confidence_threshold,
         max_detections=max_detections,
+        image_mask=image_mask,
     )
     num_classes = f["class_probs"].shape[-1]
     cls = jnp.argmax(f["class_probs"], axis=-1)  # (B, K)

@@ -91,10 +91,16 @@ def make_train_step(
     tx: optax.GradientTransformation,
     loss_kwargs: Dict[str, float],
     augment: bool = True,
+    tuning: bool = False,
 ) -> Callable:
     """Build the pure train step: (state, imgs, labels, img_mask, rng) ->
     (state, loss, components). Augmentation (paired flips) runs on device
-    inside the step."""
+    inside the step.
+
+    tuning=True is the fine-tune BN-freeze path: BatchNorm normalizes with
+    the loaded running stats and never updates them (the reference loads
+    `--from-pretrained` checkpoints with tuning=True, which puts BN modules
+    in eval; reference: yogo/model.py:67-70,134, yogo/train.py:136-148)."""
 
     def step(state: TrainState, imgs, labels, img_mask, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -105,13 +111,24 @@ def make_train_step(
             imgs, labels = random_flips(rng_flip, imgs, labels)
 
         def loss_fn(params):
-            out, new_model_state = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                imgs,
-                train=True,
-                mutable=True,
-                rngs={"dropout": rng_drop},
-            )
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if tuning:
+                out = model.apply(
+                    variables,
+                    imgs,
+                    train=True,
+                    tuning=True,
+                    rngs={"dropout": rng_drop},
+                )
+                new_model_state = {"batch_stats": state.batch_stats}
+            else:
+                out, new_model_state = model.apply(
+                    variables,
+                    imgs,
+                    train=True,
+                    mutable=True,
+                    rngs={"dropout": rng_drop},
+                )
             loss, comps = yogo_loss(
                 out, labels, image_mask=img_mask, **loss_kwargs
             )
@@ -161,6 +178,7 @@ class Trainer:
         self.mesh = get_mesh()
         self.epoch = 0
         self.global_step = 0
+        self.tuning = False
         self.min_val_loss = float("inf")
         self.model_save_dir: Optional[Path] = None
         self._initialized = False
@@ -184,6 +202,9 @@ class Trainer:
         cfg = self.config
         pretrained = cfg.get("pretrained_path")
         compute_dtype = jnp.bfloat16 if cfg.get("half") else jnp.float32
+        # fine-tuning from a checkpoint freezes BatchNorm (reference loads
+        # pretrained models with tuning=True: yogo/model.py:134)
+        self.tuning = not (pretrained is None or pretrained == "none")
         if pretrained is None or pretrained == "none":
             self.model = YOGO.create(
                 img_size=cfg["image_hw"],
@@ -261,7 +282,9 @@ class Trainer:
         rep = replicated(self.mesh)
         dat = data_sharded(self.mesh)
         msk = data_sharded(self.mesh, ndim=1)
-        step_fn = make_train_step(self.model, self.tx, self.loss_kwargs)
+        step_fn = make_train_step(
+            self.model, self.tx, self.loss_kwargs, tuning=self.tuning
+        )
         self._train_step = jax.jit(
             step_fn,
             in_shardings=(rep, dat, dat, msk, rep),
@@ -334,13 +357,19 @@ class Trainer:
         if not self._initialized:
             raise RuntimeError("trainer not initialized")
 
-        n_dev = self.mesh.size
         profile_steps = int(self.config.get("profile_steps", 0) or 0)
+        commit_interval = int(self.config.get("log_commit_interval", 100))
         for epoch in range(self.config["epochs"]):
             self.epoch = epoch
             self.train_dataloader.set_epoch(epoch)
 
-            step_start = time.perf_counter()
+            # Per-step losses are buffered as device arrays and fetched once
+            # per commit interval: a float(loss) each step would serialize
+            # host<->device and defeat async dispatch (the reference likewise
+            # commits its wandb log every 100 steps, yogo/train.py:329-339).
+            pending: list = []
+            window_start = time.perf_counter()
+            window_imgs = 0
             for imgs, labels, mask in prefetch_to_device(
                 self.train_dataloader, self.mesh
             ):
@@ -358,20 +387,16 @@ class Trainer:
                 self.state, loss, comps = self._train_step(
                     self.state, imgs, labels, mask, self._rng
                 )
-                self.global_step = int(self.state.step)
-                now = time.perf_counter()
-                self.logger.log(
-                    {
-                        "train loss": float(loss),
-                        "epoch": epoch,
-                        "LR": float(self.lr_schedule(self.global_step)),
-                        "images/sec": batch_imgs / max(now - step_start, 1e-9),
-                        **{k: float(v) for k, v in comps.items()},
-                    },
-                    step=self.global_step,
-                    commit=self.global_step % 100 == 0,
-                )
-                step_start = now
+                self.global_step += 1
+                window_imgs += batch_imgs
+                pending.append((self.global_step, loss, comps))
+                if self.global_step % commit_interval == 0:
+                    window_start = self._flush_train_logs(
+                        pending, epoch, window_imgs, window_start
+                    )
+                    window_imgs = 0
+            if pending:
+                self._flush_train_logs(pending, epoch, window_imgs, window_start)
 
             if epoch % 4 == 0:
                 self._validate()
@@ -406,6 +431,32 @@ class Trainer:
 
         self.logger.finish()
         return test_metrics
+
+    def _flush_train_logs(
+        self, pending: list, epoch: int, window_imgs: int, window_start: float
+    ) -> float:
+        """Fetch the buffered per-step device scalars in one transfer and emit
+        the per-step log records. Returns the new window start time. The
+        fetch of the newest loss also acts as the honest step-rate fence
+        (see CLAUDE.md: async timing lies unless a scalar is pulled)."""
+        host_vals = jax.device_get([(l, c) for _, l, c in pending])
+        now = time.perf_counter()
+        rate = window_imgs / max(now - window_start, 1e-9)
+        last_step = pending[-1][0]
+        for (step, _, _), (loss, comps) in zip(pending, host_vals):
+            self.logger.log(
+                {
+                    "train loss": float(loss),
+                    "epoch": epoch,
+                    "LR": float(self.lr_schedule(step)),
+                    "images/sec": rate,
+                    **{k: float(v) for k, v in comps.items()},
+                },
+                step=step,
+                commit=step == last_step,
+            )
+        pending.clear()
+        return now
 
     # -------------------------------------------------------------- validate
     def _validate(self) -> None:
