@@ -293,3 +293,133 @@ def test_nms_numpy_huge_boxes_no_overflow():
         keep = nms_numpy(boxes, scores, 0.5)
     # the two identical huge boxes suppress to one; the small box survives
     assert sorted(keep.tolist()) == [0, 2]
+
+
+# --------------------------- PredictionLabelMatch / format_preds_and_labels_v2
+from yogo_tpu.ops.postprocess import (  # noqa: E402
+    PredictionLabelMatch,
+    format_preds_and_labels_v2,
+    match_preds_and_labels,
+)
+
+
+def _pred_row(box, obj, probs):
+    return np.array([*box, obj, *probs], np.float32)
+
+
+def _label_row(box, cls):
+    return np.array([1.0, *box, cls], np.float32)
+
+
+def test_match_preds_and_labels_hungarian():
+    """Two preds, three labels: IoU-optimal assignment, one missed label."""
+    preds = np.stack([
+        _pred_row([0.1, 0.1, 0.3, 0.3], 0.9, [0.8, 0.2]),
+        _pred_row([0.6, 0.6, 0.8, 0.8], 0.7, [0.1, 0.9]),
+    ])
+    labels = np.stack([
+        _label_row([0.12, 0.12, 0.32, 0.32], 0),
+        _label_row([0.61, 0.61, 0.81, 0.81], 1),
+        _label_row([0.4, 0.4, 0.5, 0.5], 1),  # no pred overlaps -> missed
+    ])
+    m = match_preds_and_labels(preds, labels)
+    assert m.preds.shape == (2, 7) and m.labels.shape == (2, 6)
+    # assignment pairs each pred with its overlapping label
+    order = np.argsort(m.labels[:, 5])
+    np.testing.assert_allclose(m.preds[order][0][:4], preds[0][:4])
+    np.testing.assert_allclose(m.preds[order][1][:4], preds[1][:4])
+    assert m.missed_labels is not None and len(m.missed_labels) == 1
+    assert m.missed_labels[0, 5] == 1
+    assert m.extra_predictions is None
+
+
+def test_match_preds_and_labels_extra():
+    preds = np.stack([
+        _pred_row([0.1, 0.1, 0.3, 0.3], 0.9, [0.8, 0.2]),
+        _pred_row([0.6, 0.6, 0.8, 0.8], 0.7, [0.1, 0.9]),
+    ])
+    labels = _label_row([0.12, 0.12, 0.32, 0.32], 0)[None]
+    m = match_preds_and_labels(preds, labels)
+    assert len(m.preds) == 1
+    assert m.extra_predictions is not None and len(m.extra_predictions) == 1
+    np.testing.assert_allclose(m.extra_predictions[0][:4], preds[1][:4])
+    assert m.missed_labels is None
+
+
+def test_prediction_label_match_concat():
+    a = match_preds_and_labels(
+        _pred_row([0.1, 0.1, 0.3, 0.3], 0.9, [0.8, 0.2])[None],
+        _label_row([0.1, 0.1, 0.3, 0.3], 0)[None],
+    )
+    b = match_preds_and_labels(
+        np.zeros((0, 7), np.float32),
+        _label_row([0.5, 0.5, 0.6, 0.6], 1)[None],
+    )
+    cat = PredictionLabelMatch.concat([a, b])
+    assert cat.preds.shape == (1, 7)
+    assert cat.labels.shape == (1, 6)
+    assert cat.missed_labels is not None and len(cat.missed_labels) == 1
+    assert cat.extra_predictions is None
+
+
+def test_convert_background_errors_semantics():
+    """Reference semantics (yogo/utils/prediction_formatting.py:206-251):
+    missed label -> (synthetic bg-onehot pred, original label); extra pred ->
+    (pred with 0 bg prob, bg label); matched preds gain a zero bg column."""
+    matched_pred = _pred_row([0.1, 0.1, 0.3, 0.3], 0.9, [0.8, 0.2])
+    m = PredictionLabelMatch(
+        preds=matched_pred[None],
+        labels=_label_row([0.1, 0.1, 0.3, 0.3], 0)[None],
+        missed_labels=_label_row([0.5, 0.5, 0.6, 0.6], 1)[None],
+        extra_predictions=_pred_row([0.7, 0.7, 0.9, 0.9], 0.6, [0.3, 0.7])[None],
+    )
+    out = m.convert_background_errors(3)  # 2 real classes + background
+    assert out.missed_labels is None and out.extra_predictions is None
+    assert out.preds.shape == (3, 8)  # 4 box + obj + 3 class probs
+    assert out.labels.shape == (3, 6)
+    # matched row: zero bg prob appended
+    np.testing.assert_allclose(out.preds[0], [*matched_pred, 0.0])
+    # missed row: bg onehot pred with objectness 1, label preserved
+    np.testing.assert_allclose(out.preds[1], [0.5, 0.5, 0.6, 0.6, 1, 0, 0, 1])
+    np.testing.assert_allclose(out.labels[1], [1, 0.5, 0.5, 0.6, 0.6, 1])
+    # extra row: original probs + 0 bg, label class = background (2)
+    np.testing.assert_allclose(out.preds[2], [0.7, 0.7, 0.9, 0.9, 0.6, 0.3, 0.7, 0])
+    np.testing.assert_allclose(out.labels[2], [1, 0.7, 0.7, 0.9, 0.9, 2])
+
+
+def test_convert_background_errors_rejects_bad_num_classes():
+    m = PredictionLabelMatch(
+        preds=np.zeros((1, 7), np.float32),
+        labels=np.zeros((1, 6), np.float32),
+        missed_labels=None,
+        extra_predictions=None,
+    )
+    with pytest.raises(ValueError, match="background"):
+        m.convert_background_errors(2)  # preds have C=2, need 3
+
+
+def test_format_preds_and_labels_v2_end_to_end():
+    """Build a (5+C, Sy, Sx) grid with one confident cell matching one label
+    cell and one labeled-but-unpredicted cell."""
+    c, s = 2, 4
+    pred = np.zeros((5 + c, s, s), np.float32)
+    # one detection at cell (1,1): cxcywh ~ (0.375, 0.375, 0.2, 0.2)
+    pred[:, 1, 1] = [0.375, 0.375, 0.2, 0.2, 0.95, 0.9, 0.1]
+    label = np.zeros((6, s, s), np.float32)
+    label[:, 1, 1] = [1, 0.28, 0.28, 0.48, 0.48, 0]
+    label[:, 3, 3] = [1, 0.8, 0.8, 0.9, 0.9, 1]  # missed
+    m = format_preds_and_labels_v2(pred, label)
+    assert len(m.preds) == 1 and len(m.labels) == 1
+    assert m.labels[0, 5] == 0
+    # preds are xyxy-formatted
+    np.testing.assert_allclose(
+        m.preds[0, :4], [0.275, 0.275, 0.475, 0.475], atol=1e-6)
+    assert m.missed_labels is not None and m.missed_labels[0, 5] == 1
+    assert m.extra_predictions is None
+
+
+def test_format_preds_and_labels_v2_rejects_batched():
+    with pytest.raises(ValueError, match="unbatched"):
+        format_preds_and_labels_v2(
+            np.zeros((2, 7, 4, 4), np.float32), np.zeros((2, 6, 4, 4), np.float32)
+        )

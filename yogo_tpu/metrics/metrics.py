@@ -27,9 +27,12 @@ from typing import List, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from yogo_tpu.metrics.matching import linear_sum_assignment
 from yogo_tpu.metrics.mean_ap import MeanAveragePrecision
-from yogo_tpu.ops.postprocess import format_preds_batched
+from yogo_tpu.ops.postprocess import (
+    PredictionLabelMatch,
+    format_preds_batched,
+    match_preds_and_labels,
+)
 
 NUM_ROC_THRESHOLDS = 500
 NUM_ECE_BINS = 30
@@ -117,23 +120,36 @@ class Metrics:
     ) -> None:
         flat = label_grid.reshape(6, -1).T
         gt = flat[flat[:, 0] == 1]  # (N, 6) [mask x1 y1 x2 y2 cls]
-        gt_boxes = gt[:, 1:5]
-        gt_cls = gt[:, 5].astype(np.int64)
 
-        m, n = len(det_boxes), len(gt_boxes)
-        iou = _pairwise_iou_np(gt_boxes, det_boxes) if m and n else np.zeros((n, m))
-        rows, cols = linear_sum_assignment(1.0 - iou)
+        formatted_preds = np.concatenate(
+            [det_boxes, det_obj[:, None], det_probs], axis=1
+        ).reshape(-1, 5 + self.num_classes)
+        pm: PredictionLabelMatch = match_preds_and_labels(formatted_preds, gt)
 
-        matched_gt = gt_cls[rows]
-        matched_probs = det_probs[cols]
-        matched_obj = det_obj[cols]
-        matched_iou = iou[rows, cols] if len(rows) else np.empty(0)
+        matched_gt = pm.labels[:, 5].astype(np.int64)
+        matched_probs = pm.preds[:, 5:]
+        matched_obj = pm.preds[:, 4]
+        matched_iou = (
+            np.diag(_pairwise_iou_np(pm.labels[:, 1:5], pm.preds[:, :4]))
+            if len(pm.preds)
+            else np.empty(0)
+        )
 
-        missed_idx = np.setdiff1d(np.arange(n), rows, assume_unique=True)
-        extra_idx = np.setdiff1d(np.arange(m), cols, assume_unique=True)
-        missed_cls = gt_cls[missed_idx]
-        extra_probs = det_probs[extra_idx]
-        extra_obj = det_obj[extra_idx]
+        missed_cls = (
+            pm.missed_labels[:, 5].astype(np.int64)
+            if pm.missed_labels is not None
+            else np.empty(0, np.int64)
+        )
+        extra_probs = (
+            pm.extra_predictions[:, 5:]
+            if pm.extra_predictions is not None
+            else np.empty((0, self.num_classes))
+        )
+        extra_obj = (
+            pm.extra_predictions[:, 4]
+            if pm.extra_predictions is not None
+            else np.empty(0)
+        )
 
         # missed / extra counters (reference: yogo/metrics.py:128-144)
         np.add.at(self.num_obj_missed_by_class, missed_cls, 1)
@@ -141,7 +157,7 @@ class Metrics:
             np.add.at(
                 self.num_obj_extra_by_class, extra_probs.argmax(axis=1), 1
             )
-        self.total_num_true_objects += len(rows)
+        self.total_num_true_objects += len(pm.labels)
 
         if self.include_mAP:
             self.mAP.update(
@@ -155,38 +171,18 @@ class Metrics:
             )
 
         # assemble classification-prob rows + targets for the accumulators
+        # via the public background-conversion API (background gets its OWN
+        # index num_classes, so the confusion matrix separates it from the
+        # last real class)
         if self.include_background:
-            bg = self.num_classes  # background = last class
-            nc = self.num_classes + 1
-            rows_list = []
-            tgt_list = []
-            if len(matched_probs):
-                p = np.concatenate(
-                    [matched_probs, np.zeros((len(matched_probs), 1))], axis=1
-                )
-                rows_list.append(p)
-                tgt_list.append(matched_gt)
-            if len(missed_cls):
-                # missed label -> synthetic "background" prediction, true class
-                p = np.zeros((len(missed_cls), nc))
-                p[:, bg] = 1.0
-                rows_list.append(p)
-                tgt_list.append(missed_cls)
-            if len(extra_probs):
-                # extra prediction -> true class is background
-                p = np.concatenate(
-                    [extra_probs, np.zeros((len(extra_probs), 1))], axis=1
-                )
-                rows_list.append(p)
-                tgt_list.append(np.full(len(extra_probs), bg, np.int64))
+            conv = pm.convert_background_errors(self.num_classes + 1)
+            all_probs = conv.preds[:, 5:]
+            all_tgts = conv.labels[:, 5].astype(np.int64)
         else:
-            rows_list = [matched_probs] if len(matched_probs) else []
-            tgt_list = [matched_gt] if len(matched_probs) else []
-
-        if not rows_list:
+            all_probs = matched_probs
+            all_tgts = matched_gt
+        if not len(all_probs):
             return
-        all_probs = np.concatenate(rows_list)
-        all_tgts = np.concatenate(tgt_list).astype(np.int64)
         self._accumulate_classification(all_probs, all_tgts)
 
     def _accumulate_classification(

@@ -13,9 +13,12 @@ from yogo_tpu.ops.grid import (  # noqa: F401
 )
 from yogo_tpu.ops.nms import batched_nms, nms_fixed, nms_numpy  # noqa: F401
 from yogo_tpu.ops.postprocess import (  # noqa: F401
+    PredictionLabelMatch,
     count_class_predictions,
     count_cells_for_formatted_preds,
     format_preds,
+    format_preds_and_labels_v2,
     format_preds_batched,
     format_to_numpy,
+    match_preds_and_labels,
 )

@@ -16,8 +16,9 @@ then max(class_probs) strictly > min_class_confidence_threshold (0 disables).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
-from typing import Dict, Literal, Optional
+from typing import Dict, List, Literal, Optional
 
 import jax
 import jax.numpy as jnp
@@ -230,6 +231,186 @@ def count_cells_for_formatted_preds(
     indices = p.argmax(axis=1)
     kept = indices[values > thresh]
     return np.bincount(kept, minlength=n_classes).astype(np.int64)
+
+
+@dataclass
+class PredictionLabelMatch:
+    """Matched detections vs labels for one or more images (reference:
+    yogo/utils/prediction_formatting.py:165-251). Three cases:
+      1. a one-to-one match between predictions and labels (`preds`/`labels`),
+      2. predictions that are actually background (`extra_predictions`),
+      3. labels that were missed (`missed_labels`).
+
+    preds: (N, 5+C) formatted predictions [x1 y1 x2 y2 obj *class_probs];
+    labels: (N, 6) label rows [mask x1 y1 x2 y2 class]; missed_labels (K, 6);
+    extra_predictions (M, 5+C). The latter two are None when empty.
+    """
+
+    preds: np.ndarray
+    labels: np.ndarray
+    missed_labels: Optional[np.ndarray]
+    extra_predictions: Optional[np.ndarray]
+
+    @staticmethod
+    def concat(
+        preds_and_labels: List["PredictionLabelMatch"],
+    ) -> "PredictionLabelMatch":
+        missed = [
+            p.missed_labels
+            for p in preds_and_labels
+            if p.missed_labels is not None
+        ]
+        extra = [
+            p.extra_predictions
+            for p in preds_and_labels
+            if p.extra_predictions is not None
+        ]
+        return PredictionLabelMatch(
+            preds=np.concatenate([p.preds for p in preds_and_labels], axis=0),
+            labels=np.concatenate([p.labels for p in preds_and_labels], axis=0),
+            missed_labels=np.concatenate(missed, axis=0) if missed else None,
+            extra_predictions=np.concatenate(extra, axis=0) if extra else None,
+        )
+
+    def convert_background_errors(self, num_classes: int) -> "PredictionLabelMatch":
+        """Fold missed/extra into a synthetic ``background`` class, assumed to
+        be the LAST of `num_classes` (reference:
+        yogo/utils/prediction_formatting.py:206-251). `num_classes` must count
+        the background class, i.e. num_classes == C + 1 where C is the number
+        of class-prob columns in `preds` (the reference's row shapes only
+        agree under that contract).
+
+          missed label  -> pred [box, obj 1, onehot(background)], label as-is
+          extra pred    -> pred [row, 0 background prob], label [1, box, bg]
+
+        Matched `preds` gain a zero background-probability column.
+        """
+        c = self.preds.shape[1] - 5
+        if num_classes != c + 1:
+            raise ValueError(
+                f"num_classes ({num_classes}) must include the background "
+                f"class: expected {c + 1} for predictions with {c} class "
+                "probabilities"
+            )
+        bg = num_classes - 1
+        new_preds, new_labels = [], []
+
+        missed = self.missed_labels if self.missed_labels is not None else []
+        extra = (
+            self.extra_predictions if self.extra_predictions is not None else []
+        )
+        for ml in np.asarray(missed, np.float32).reshape(-1, 6):
+            onehot = np.zeros(num_classes, np.float32)
+            onehot[bg] = 1.0
+            new_preds.append(np.concatenate([ml[1:5], [1.0], onehot]))
+            new_labels.append(ml)
+        for ep in np.asarray(extra, np.float32).reshape(-1, 5 + c):
+            new_preds.append(np.concatenate([ep, [0.0]]))
+            new_labels.append(
+                np.concatenate([[1.0], ep[:4], [float(bg)]])
+            )
+
+        preds_bg = np.concatenate(
+            [self.preds, np.zeros((len(self.preds), 1), self.preds.dtype)],
+            axis=1,
+        )
+        if not new_preds:
+            return PredictionLabelMatch(
+                preds=preds_bg,
+                labels=self.labels,
+                missed_labels=None,
+                extra_predictions=None,
+            )
+        return PredictionLabelMatch(
+            preds=np.concatenate([preds_bg, np.stack(new_preds)], axis=0),
+            labels=np.concatenate(
+                [self.labels, np.stack(new_labels)], axis=0
+            ),
+            missed_labels=None,
+            extra_predictions=None,
+        )
+
+
+def match_preds_and_labels(
+    formatted_preds: np.ndarray, formatted_labels: np.ndarray
+) -> PredictionLabelMatch:
+    """Hungarian-match formatted predictions against formatted labels for one
+    image (cost = 1 - pairwise IoU; reference:
+    yogo/utils/prediction_formatting.py:297-330).
+
+    formatted_preds: (M, 5+C) [x1 y1 x2 y2 obj *probs] (xyxy);
+    formatted_labels: (N, 6) [mask x1 y1 x2 y2 class].
+    """
+    from yogo_tpu.metrics.matching import linear_sum_assignment
+
+    formatted_preds = np.atleast_2d(np.asarray(formatted_preds, np.float32))
+    formatted_labels = np.asarray(formatted_labels, np.float32).reshape(-1, 6)
+    m, n = len(formatted_preds), len(formatted_labels)
+
+    if m and n:
+        iou = _pairwise_iou_xyxy(
+            formatted_labels[:, 1:5], formatted_preds[:, :4]
+        )
+    else:
+        iou = np.zeros((n, m), np.float32)
+    rows, cols = linear_sum_assignment(1.0 - iou)
+
+    matched_preds = formatted_preds[cols]
+    matched_labels = formatted_labels[rows]
+    extra_idx = np.setdiff1d(np.arange(m), cols, assume_unique=True)
+    missed_idx = np.setdiff1d(np.arange(n), rows, assume_unique=True)
+    extra = formatted_preds[extra_idx]
+    missed = formatted_labels[missed_idx]
+    return PredictionLabelMatch(
+        preds=matched_preds,
+        labels=matched_labels,
+        missed_labels=missed if len(missed) else None,
+        extra_predictions=extra if len(extra) else None,
+    )
+
+
+def format_preds_and_labels_v2(
+    pred: np.ndarray,
+    label: np.ndarray,
+    objectness_thresh: float = 0.5,
+    min_class_confidence_threshold: float = 0.0,
+) -> PredictionLabelMatch:
+    """Filter+format one image's raw prediction grid, then Hungarian-match it
+    against the label grid (reference:
+    yogo/utils/prediction_formatting.py:254-330).
+
+    pred: (5+C, Sy, Sx) decoded predictions; label: (6, Sy, Sx) grid.
+    """
+    pred = np.squeeze(np.asarray(pred))
+    label = np.squeeze(np.asarray(label))
+    if pred.ndim != 3:
+        raise ValueError(
+            "argument to format_pred should be unbatched result - "
+            f"shape should be (pred_shape, Sy, Sx), got {pred.shape}"
+        )
+    formatted_preds = format_preds(
+        pred,
+        obj_thresh=objectness_thresh,
+        iou_thresh=0.5,
+        box_format="xyxy",
+        min_class_confidence_threshold=min_class_confidence_threshold,
+    )
+    label_shape = label.shape[0]
+    flat = label.reshape(label_shape, -1).T
+    formatted_labels = flat[flat[:, 0].astype(bool)]
+    return match_preds_and_labels(formatted_preds, formatted_labels)
+
+
+def _pairwise_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(union > 0, inter / union, 0.0)
 
 
 def format_to_numpy(
