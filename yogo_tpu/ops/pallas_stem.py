@@ -183,3 +183,116 @@ def fused_stem(
     # channel-major (NCHW) -> NHWC, trimming row padding
     out = out[:, :, :out_h] if row_pad else out
     return jnp.transpose(out, (0, 2, 3, 1))
+
+
+# --------------------------------------------------------------------------
+# v2: the production stem kernel.
+#
+# Round-1 `fused_stem` lost to XLA (14.9 vs 4.8 ms @ bs=128) for three
+# reasons this version removes:
+#   1. in-kernel unaligned lane slices (t[:, j0:j0+out_w]) forced a lane
+#      rotate per tap - v2 pre-shifts ALL 9 tap planes in XLA, so the kernel
+#      does only aligned full-block FMAs,
+#   2. the padded output was trimmed with a slice (an extra full-tensor
+#      copy) - v2 relies on Mosaic's masked final-block writes,
+#   3. the NCHW->NHWC transpose at the end (another full copy) - v2 emits
+#      channel-major (B, C, H/2, W/2) and the caller feeds it to the next
+#      conv with NCHW dimension numbers.
+#
+# The per-channel fori_loop keeps the unrolled op count small (round 1's
+# 144-FMA body took >25 min to remote-compile).
+
+
+def _stem_kernel_v2(
+    planes_ref,  # (1, 9, TH, W2) uint8, fully pre-shifted tap planes
+    w_ref,  # (16, 9) f32 in SMEM: folded conv+BN weights per (channel, tap)
+    b_ref,  # (16,) f32 in SMEM: folded bias
+    out_ref,  # (1, C, TH, W2) bf16, channel-major
+    planes_f32,  # scratch (9, TH, W2) f32
+    acc_ref,  # scratch (C, TH, W2) f32
+    *,
+    negative_slope: float,
+):
+    # hop uint8 -> int32 -> f32 (no direct 8->16/32-bit float cast in Mosaic)
+    planes_f32[...] = planes_ref[0].astype(jnp.int32).astype(jnp.float32)
+    c_out = acc_ref.shape[0]
+
+    def one_channel(c, _):
+        acc = b_ref[c] * jnp.ones(planes_f32.shape[1:], jnp.float32)
+        for t in range(9):
+            acc = acc + w_ref[c, t] * planes_f32[t]
+        acc_ref[c] = jnp.where(acc >= 0, acc, negative_slope * acc)
+        return 0
+
+    jax.lax.fori_loop(0, c_out, one_channel, 0, unroll=False)
+    out_ref[0] = acc_ref[...].astype(jnp.bfloat16)
+
+
+@partial(jax.jit, static_argnames=("negative_slope", "interpret", "tile_h"))
+def fused_stem_nchw(
+    images: Array,
+    weights: Array,
+    bias: Array,
+    negative_slope: float = 0.01,
+    interpret: bool = False,
+    tile_h: int = 32,
+) -> Array:
+    """images (B, H, W) uint8 (H, W even) -> (B, C, H//2, W//2) bf16 NCHW.
+
+    pad-1 conv3x3 stride-2 with BN folded into weights/bias + LeakyReLU,
+    f32 accumulation. `weights` (3, 3, C) / `bias` (C,) from
+    fold_stem_params.
+    """
+    b, h, w = images.shape
+    out_h, out_w = h // 2, w // 2
+    c_out = weights.shape[-1]
+    n_tiles = -(-out_h // tile_h)
+    padded_h = n_tiles * tile_h
+
+    # fully pre-shifted tap planes, built by XLA in one fused pass:
+    # planes[:, 3*dy+dx, y, x] = padded[2y + dy, 2x + dx]
+    padded = jnp.pad(
+        images, ((0, 0), (1, 1 + (2 * padded_h - out_h * 2)), (1, 1))
+    )
+    planes = jnp.stack(
+        [
+            padded[:, dy : dy + 2 * padded_h : 2, dx : dx + 2 * out_w : 2]
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=1,
+    )  # (B, 9, padded_h, out_w) uint8
+
+    wc = jnp.stack(
+        [weights[dy, dx, :] for dy in range(3) for dx in range(3)], axis=1
+    ).astype(jnp.float32)  # (C, 9)
+
+    kernel = partial(_stem_kernel_v2, negative_slope=negative_slope)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 9, tile_h, out_w),
+                lambda i, r: (i, 0, r, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c_out, tile_h, out_w),
+            lambda i, r: (i, 0, r, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c_out, out_h, out_w), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((9, tile_h, out_w), jnp.float32),
+            pltpu.VMEM((c_out, tile_h, out_w), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(planes, wc, bias.astype(jnp.float32))
+    return out

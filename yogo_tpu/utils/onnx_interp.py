@@ -4,8 +4,13 @@ Executes graphs produced by yogo_tpu.utils.export_model so export parity can
 be asserted without onnxruntime (the reference gates exports on an
 onnxruntime allclose at rtol 1e-3 / atol 1e-5, reference:
 yogo/utils/export_model.py:127-133 - we keep the same gate, interpreted
-here). Ops: Conv, ConvTranspose, LeakyRelu, Sigmoid, Softmax, Exp, Clip,
-Mul, Add, Div, Sub, Cast, Concat, Slice, Constant.
+here). Also executes graphs produced by torch.onnx.export of the reference
+model, which breaks the writer/interpreter circularity: the interpreter is
+validated against an independent producer (tests/test_onnx_cross_validation).
+Ops: Conv, ConvTranspose, LeakyRelu, Sigmoid, Softmax, Exp, Clip, Mul, Add,
+Div, Sub, Cast, Concat, Slice, Constant, Identity, Reciprocal, Gather,
+Unsqueeze, Squeeze, Shape, Reshape, Split, BatchNormalization, MatMul, Tanh,
+Pow, LayerNormalization, Transpose.
 """
 
 from __future__ import annotations
@@ -141,6 +146,51 @@ def run_model(model_bytes: bytes, feeds: Dict[str, np.ndarray]):
             out = ins[0][tuple(sl)]
         elif op == "Constant":
             out = a["value"]
+        elif op == "Identity":
+            out = ins[0]
+        elif op == "Reciprocal":
+            out = np.float32(1.0) / ins[0].astype(np.float32)
+        elif op == "Gather":
+            out = np.take(ins[0], ins[1].astype(np.int64), axis=a.get("axis", 0))
+        elif op == "Unsqueeze":
+            axes = ins[1] if len(ins) > 1 and ins[1] is not None else a["axes"]
+            out = ins[0]
+            for ax in sorted(int(x) for x in np.atleast_1d(axes)):
+                out = np.expand_dims(out, ax)
+        elif op == "Squeeze":
+            axes = ins[1] if len(ins) > 1 and ins[1] is not None else a.get("axes")
+            out = (
+                np.squeeze(ins[0])
+                if axes is None
+                else np.squeeze(ins[0], tuple(int(x) for x in np.atleast_1d(axes)))
+            )
+        elif op == "Shape":
+            out = np.asarray(ins[0].shape, np.int64)
+        elif op == "Reshape":
+            out = ins[0].reshape(tuple(int(x) for x in ins[1]))
+        elif op == "Split":
+            axis = a.get("axis", 0)
+            if len(ins) > 1 and ins[1] is not None:
+                sizes = [int(x) for x in ins[1]]
+            elif "split" in a:
+                sizes = [int(x) for x in a["split"]]
+            else:
+                k = len(n["outputs"])
+                sizes = [ins[0].shape[axis] // k] * k
+            offs = np.cumsum([0] + sizes)
+            for oi, oname in enumerate(n["outputs"]):
+                sl = [slice(None)] * ins[0].ndim
+                sl[axis] = slice(int(offs[oi]), int(offs[oi + 1]))
+                env[oname] = np.asarray(ins[0][tuple(sl)])
+            continue
+        elif op == "BatchNormalization":
+            x = ins[0].astype(np.float32)
+            scale, bias, mean, var = (v.astype(np.float32) for v in ins[1:5])
+            eps = np.float32(a.get("epsilon", 1e-5))
+            shape = (1, -1) + (1,) * (x.ndim - 2)
+            out = (x - mean.reshape(shape)) / np.sqrt(
+                var.reshape(shape) + eps
+            ) * scale.reshape(shape) + bias.reshape(shape)
         else:  # pragma: no cover
             raise NotImplementedError(f"op {op} not supported by interpreter")
         env[n["outputs"][0]] = np.asarray(out)

@@ -129,7 +129,10 @@ def node(
         parts.append(enc_str(3, name))
     parts.append(enc_str(4, op_type))
     for k, v in attrs.items():
-        parts.append(enc_bytes(7, attribute(k, v)))
+        # NodeProto.attribute is field 5 (field 7 is `domain`!) - round 1
+        # wrote attributes into field 7, a writer+parser shared bug that the
+        # torch.onnx cross-validation caught (tests/test_onnx_cross_validation)
+        parts.append(enc_bytes(5, attribute(k, v)))
     return b"".join(parts)
 
 
@@ -224,14 +227,44 @@ def _unpack_varints(buf: bytes) -> List[int]:
     return out
 
 
+def _repeated_int64(values: List[Any]) -> List[int]:
+    """Decode a repeated int64 field that may be PACKED (one bytes blob of
+    varints - what this module's writer emits) or NON-PACKED (one varint
+    record per element - what torch.onnx emits). The protobuf spec requires
+    parsers to accept both."""
+    out: List[int] = []
+    for v in values:
+        if isinstance(v, (bytes, bytearray)):
+            out.extend(_unpack_varints(v))
+        else:
+            out.append(_to_signed64(v))
+    return out
+
+
 def parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     f = parse_message(buf)
-    dims = _unpack_varints(f[1][0]) if 1 in f else []
+    dims = _repeated_int64(f.get(1, []))
     dtype = ONNX_TO_NP[f[2][0]]
     name = f[8][0].decode() if 8 in f else ""
     raw = f[9][0] if 9 in f else b""
-    arr = np.frombuffer(raw, dtype=dtype).reshape(dims)
+    if raw:
+        arr = np.frombuffer(raw, dtype=dtype).reshape(dims)
+    elif 7 in f and dtype == np.int64:  # int64_data field, repeated
+        arr = np.asarray(_repeated_int64(f[7]), np.int64).reshape(dims)
+    elif 4 in f and dtype == np.float32:  # float_data field
+        arr = np.asarray(
+            [v if isinstance(v, float) else _unpack_floats(v) for v in f[4]],
+            dtype=object,
+        )
+        arr = np.concatenate([np.atleast_1d(np.asarray(a, np.float32)) for a in arr])
+        arr = arr.reshape(dims)
+    else:
+        arr = np.frombuffer(b"", dtype=dtype).reshape(dims)
     return name, arr
+
+
+def _unpack_floats(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, np.float32)
 
 
 def parse_attribute(buf: bytes) -> Tuple[str, Any]:
@@ -247,7 +280,7 @@ def parse_attribute(buf: bytes) -> Tuple[str, Any]:
     if atype == ATTR_TENSOR:
         return name, parse_tensor(f[5][0])[1]
     if atype == ATTR_INTS:
-        return name, _unpack_varints(f[8][0]) if 8 in f else []
+        return name, _repeated_int64(f.get(8, []))
     if atype == ATTR_FLOATS:
         raw = f[7][0]
         return name, list(np.frombuffer(raw, np.float32))
@@ -261,7 +294,8 @@ def parse_node(buf: bytes) -> Dict[str, Any]:
         "outputs": [b.decode() for b in f.get(2, [])],
         "name": f[3][0].decode() if 3 in f else "",
         "op_type": f[4][0].decode(),
-        "attrs": dict(parse_attribute(a) for a in f.get(7, [])),
+        # NodeProto.attribute = field 5 per onnx.proto3
+        "attrs": dict(parse_attribute(a) for a in f.get(5, [])),
     }
 
 
