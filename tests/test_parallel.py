@@ -97,3 +97,99 @@ def test_spmd_loss_invariant_to_device_count():
         loss, _ = step(v["params"], v.get("batch_stats", {}), di, dl, dm)
         losses[ndev] = float(loss)
     np.testing.assert_allclose(losses[1], losses[8], rtol=1e-5)
+
+
+def test_spmd_multistep_training_matches_single_device(tmp_path):
+    """Several FULL train steps (fwd+bwd+adamw+BN updates) over the 8-device
+    mesh must descend and match the single-device run step-for-step; a
+    checkpoint saved from the sharded state must restore to equal params
+    (VERDICT round-1 item 10)."""
+    import jax.numpy as jnp
+
+    from tests.data_fixtures import CLASSES
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.parallel.mesh import data_sharded, replicated
+    from yogo_tpu.train import TrainState, make_optimizer, make_train_step
+    from yogo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    model = YOGO.create((48, 64), 0.1, 0.12, len(CLASSES),
+                        model_version="quarter_filters")
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 20)
+    loss_kwargs = dict(no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+                       label_smoothing=0.01)
+    step_fn = make_train_step(model, tx, loss_kwargs, augment=False)
+
+    rng = np.random.default_rng(1)
+    Sx, Sy = model.grid
+    imgs = rng.integers(0, 255, (8, 1, 48, 64)).astype(np.uint8)
+    labels = np.zeros((8, 6, Sy, Sx), np.float32)
+    labels[:, :, 2, 3] = [1, 0.4, 0.4, 0.6, 0.6, 1]
+    mask = np.ones(8, np.float32)
+    key = jax.random.key(7)
+
+    losses = {}
+    final_states = {}
+    for ndev in (1, 8):
+        mesh = get_mesh(jax.devices()[:ndev])
+        rep, dat, msk = replicated(mesh), data_sharded(mesh), data_sharded(mesh, 1)
+        jstep = jax.jit(step_fn, in_shardings=(rep, dat, dat, msk, rep),
+                        out_shardings=(rep, rep, rep))
+        v = model.init(jax.random.key(0))
+        state = TrainState(params=v["params"],
+                           batch_stats=v.get("batch_stats", {}),
+                           opt_state=tx.init(v["params"]),
+                           step=jnp.asarray(0, jnp.int32))
+        run = []
+        first_stats = None
+        for _ in range(6):
+            di, dl, dm = shard_batch(mesh, imgs, labels, mask)
+            state, loss, _ = jstep(state, di, dl, dm, key)
+            if first_stats is None:
+                first_stats = jax.device_get(state.batch_stats)
+            run.append(float(loss))
+        losses[ndev] = run
+        final_states[ndev] = (state, first_stats)
+
+    # loss descends on the 8-device mesh and tracks the 1-device run
+    assert losses[8][-1] < losses[8][0]
+    np.testing.assert_allclose(losses[1], losses[8], rtol=2e-4)
+    # BN running stats after the FIRST step (computed from identical initial
+    # params - well-conditioned) agree across device counts. Later steps are
+    # NOT compared elementwise: Adam normalizes early updates to ~±lr
+    # regardless of gradient magnitude, so reduction-order float noise flips
+    # update directions on near-zero params even while the loss trajectories
+    # match to 2e-4 (asserted above).
+    for a, b in zip(jax.tree.leaves(final_states[1][1]),
+                    jax.tree.leaves(final_states[8][1])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+    # checkpoint from the SHARDED state restores to the same params
+    p = tmp_path / "sharded.ckpt"
+    st8 = final_states[8][0]
+    save_checkpoint(
+        p, model,
+        {"params": jax.device_get(st8.params),
+         "batch_stats": jax.device_get(st8.batch_stats)},
+        opt_state=jax.device_get(st8.opt_state),
+        step=int(st8.step), classes=CLASSES, model_name="spmd",
+    )
+    m2, v2, meta = load_checkpoint(p)
+    assert meta["step"] == 6
+    for a, b in zip(jax.tree.leaves(st8.params),
+                    jax.tree.leaves(v2["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # restored variables drive an eval step on the mesh to the same loss
+    from yogo_tpu.train import make_eval_step
+
+    mesh = get_mesh()
+    rep, dat, msk = replicated(mesh), data_sharded(mesh), data_sharded(mesh, 1)
+    eval_step = jax.jit(make_eval_step(model, loss_kwargs),
+                        in_shardings=(rep, rep, dat, dat, msk),
+                        out_shardings=(rep, rep))
+    di, dl, dm = shard_batch(mesh, imgs, labels, mask)
+    l_live, _ = eval_step(st8.params, st8.batch_stats, di, dl, dm)
+    l_restored, _ = eval_step(v2["params"], v2.get("batch_stats", {}), di, dl, dm)
+    np.testing.assert_allclose(float(l_live), float(l_restored), rtol=1e-6)
