@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tests.data_fixtures import CLASSES, make_image, make_label_file, make_pair_dirs, write_defn
+from tests.data_fixtures import CLASSES, make_label_file, make_pair_dirs, write_defn
 from yogo_tpu.data.dataset import ConcatDataset, ObjectDetectionDataset, Subset
 from yogo_tpu.data.definition import DatasetDefinition
 from yogo_tpu.data.labels import AREA_FILTER_THRESHOLD, load_labels

@@ -1,5 +1,4 @@
 import numpy as np
-import pytest
 
 from yogo_tpu.metrics import Metrics
 from yogo_tpu.metrics.matching import linear_sum_assignment

@@ -5,7 +5,6 @@ import pytest
 
 from yogo_tpu.models.defns import MODELS, get_model_defn
 from yogo_tpu.models.yogo import YOGO
-from yogo_tpu.ops.grid import grid_size
 
 CONV_STACKS = [n for n in MODELS if n != "convnext_small"]
 

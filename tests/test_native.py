@@ -96,7 +96,7 @@ def test_load_labels_native_matches_python(tmp_path):
     fast = load_labels(p, ["a", "b", "c"])
     os.environ["YOGO_TPU_NO_NATIVE"] = "1"
     try:
-        import yogo_tpu.native as nat
+        import yogo_tpu.native as nat  # noqa: F401 - import side effects under test
 
         slow = load_labels(p, ["a", "b", "c"])
     finally:

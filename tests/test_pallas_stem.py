@@ -3,7 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
+
 
 from yogo_tpu.ops.pallas_stem import fold_stem_params, fused_stem
 

@@ -3,7 +3,6 @@
 from types import SimpleNamespace
 
 import jax
-import numpy as np
 
 from tests.data_fixtures import CLASSES, make_pair_dirs, write_defn
 from yogo_tpu.models.yogo import YOGO

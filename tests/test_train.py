@@ -3,8 +3,6 @@
 training-loop tests - this improves on its test strategy per SURVEY §4)."""
 
 import json
-from types import SimpleNamespace
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,8 +72,6 @@ def test_cosine_schedule_matches_torch_semantics():
 
 
 def test_grad_clip_elementwise():
-    import optax
-
     tx, _ = make_optimizer(1.0, 0.0, 10.0, 100, clip_value=1.0)
     params = {"w": jnp.zeros(3)}
     grads = {"w": jnp.array([0.5, 100.0, -100.0])}

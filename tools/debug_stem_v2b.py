@@ -6,7 +6,6 @@ Variants (all small shape, B=1, divisible tiles):
   fori  - the production kernel (fori_loop + dynamic acc_ref[c] store)
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

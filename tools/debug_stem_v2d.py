@@ -1,9 +1,8 @@
 """Third bisection: planes built inside vs outside the jit enclosing pallas."""
-from functools import partial
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from yogo_tpu.ops.pallas_stem import fused_stem_nchw, fold_stem_params
+from yogo_tpu.ops.pallas_stem import fused_stem_nchw
 
 H, W = 128, 256
 OH, OW = H // 2, W // 2

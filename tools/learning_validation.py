@@ -7,7 +7,7 @@ Run on the TPU (default env): ~10 min incl. compile. Last verified result
   confusion [[47,0],[0,45]], 9 of 101 held-out objects missed.
 This is the round-1 proof that the full pipeline (data -> device augmentation
 -> SPMD train step -> checkpointing -> Hungarian-matched eval) converges."""
-import os, sys, json
+import os, json
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
 import numpy as np, yaml
 from pathlib import Path

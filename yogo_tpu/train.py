@@ -50,7 +50,6 @@ from yogo_tpu.parallel.mesh import (
 )
 from yogo_tpu.utils.checkpoint import (
     load_any,
-    restore_opt_state,
     save_checkpoint,
 )
 from yogo_tpu.utils.default_hyperparams import DefaultHyperparams as df
