@@ -1,0 +1,204 @@
+"""Exercise the import-gated paths (zarr, wandb) with in-test fakes.
+
+zarr and wandb are absent from this environment, so round 1 left
+ZarrDataset, the RunLogger wandb mirror, and the wandb table helpers
+unexecuted. These tests install minimal fake modules in sys.modules to run
+the real code paths (reference behaviors: yogo/data/image_path_dataset.py:
+76-126, yogo/train.py:225-265,329-339, yogo/utils/utils.py:50-129)."""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+# ------------------------------------------------------------------ fake zarr
+class _FakeZarrArray:
+    """(H, W, N) image stack with zarr.Array's `initialized` property."""
+
+    def __init__(self, data):
+        self._d = np.asarray(data)
+
+    @property
+    def initialized(self):
+        return self._d.shape[2]
+
+    def __getitem__(self, idx):
+        return self._d[idx]
+
+
+class _FakeZarrGroup:
+    def __init__(self, arrays):
+        self._arrays = [np.asarray(a) for a in arrays]
+
+    def __len__(self):
+        return len(self._arrays)
+
+    def __getitem__(self, idx):
+        return _FakeZarrLeaf(self._arrays[idx])
+
+
+class _FakeZarrLeaf:
+    def __init__(self, arr):
+        self._arr = arr
+
+    def __getitem__(self, sl):
+        return self._arr[sl]
+
+
+@pytest.fixture()
+def fake_zarr(monkeypatch, tmp_path):
+    mod = types.ModuleType("zarr")
+    mod.Array = _FakeZarrArray
+    stores = {}
+
+    def open(path, mode="r"):
+        return stores[str(path)]
+
+    mod.open = open
+    mod._stores = stores
+    monkeypatch.setitem(sys.modules, "zarr", mod)
+    return mod, tmp_path
+
+
+def test_zarr_dataset_array_mode(fake_zarr):
+    mod, tmp_path = fake_zarr
+    from yogo_tpu.data.image_source import ZarrDataset
+
+    rng = np.random.default_rng(0)
+    stack = rng.integers(0, 255, (40, 56, 12), np.uint8)
+    zp = tmp_path / "imgs.zip"
+    zp.write_bytes(b"")  # existence check only; store resolved via fake
+    mod._stores[str(zp)] = _FakeZarrArray(stack)
+
+    ds = ZarrDataset(zp)
+    assert len(ds) == 12
+    img, name = ds[3]
+    assert img.shape == (1, 40, 56)
+    np.testing.assert_array_equal(img[0], stack[:, :, 3])
+    # zero-padded synthesized names (reference: image_path_dataset.py:105-106)
+    assert name == "img_03.png"
+
+
+def test_zarr_dataset_group_mode_crop_normalize(fake_zarr):
+    mod, tmp_path = fake_zarr
+    from yogo_tpu.data.image_source import ZarrDataset
+
+    rng = np.random.default_rng(1)
+    arrays = [rng.integers(0, 255, (40, 56), np.uint8) for _ in range(3)]
+    zp = tmp_path / "group.zarr"
+    zp.mkdir()
+    mod._stores[str(zp)] = _FakeZarrGroup(arrays)
+
+    ds = ZarrDataset(zp, crop_hw=(20, 56), normalize_images=True)
+    assert len(ds) == 3
+    img, name = ds[1]
+    assert img.shape == (1, 20, 56)
+    assert img.dtype == np.float32 and img.max() <= 1.0
+    np.testing.assert_allclose(
+        img[0], arrays[1][10:30].astype(np.float32) / 255.0
+    )
+
+
+def test_get_dataset_zarr_selector(fake_zarr):
+    mod, tmp_path = fake_zarr
+    from yogo_tpu.data.image_source import ZarrDataset, get_dataset
+
+    zp = tmp_path / "s.zip"
+    zp.write_bytes(b"")
+    mod._stores[str(zp)] = _FakeZarrArray(np.zeros((8, 8, 2), np.uint8))
+    ds = get_dataset(path_to_zarr=zp)
+    assert isinstance(ds, ZarrDataset)
+    with pytest.raises(ValueError):
+        get_dataset(path_to_images=tmp_path, path_to_zarr=zp)
+
+
+def test_zarr_dataset_missing_file(fake_zarr):
+    from yogo_tpu.data.image_source import ZarrDataset
+
+    with pytest.raises(FileNotFoundError):
+        ZarrDataset(Path("/nonexistent/store.zip"))
+
+
+# ----------------------------------------------------------------- fake wandb
+class _FakeRun:
+    name = "fake-run-7"
+
+
+class _Calls:
+    def __init__(self):
+        self.logs = []
+        self.summary = {}
+        self.finished = False
+        self.config_updates = []
+
+
+@pytest.fixture()
+def fake_wandb(monkeypatch):
+    calls = _Calls()
+    mod = types.ModuleType("wandb")
+
+    class _Config:
+        @staticmethod
+        def update(d, allow_val_change=False):
+            calls.config_updates.append(d)
+
+    mod.login = lambda anonymous=None: None
+    mod.init = lambda **kw: _FakeRun()
+    mod.log = lambda metrics, step=None: calls.logs.append((step, metrics))
+    mod.summary = calls.summary
+    mod.finish = lambda: setattr(calls, "finished", True)
+    mod.config = _Config()
+
+    class _Table:
+        def __init__(self, data=None, columns=None):
+            self.data = data
+            self.columns = columns
+
+    mod.Table = _Table
+    mod.plot_table = lambda vspec, table, fields, strings: (vspec, table)
+    monkeypatch.setitem(sys.modules, "wandb", mod)
+    return mod, calls
+
+
+def test_runlogger_mirrors_to_wandb(fake_wandb, tmp_path):
+    mod, calls = fake_wandb
+    from yogo_tpu.utils.logging import RunLogger
+
+    lg = RunLogger(log_dir=tmp_path, config={"a": 1}, use_wandb=True,
+                   name=None)
+    assert lg.run_name == "fake-run-7"  # picked up from the wandb run
+    lg.update_config({"Sx": 8})
+    lg.log({"train loss": 1.5}, step=1, commit=False)
+    lg.log({"LR": 0.1}, step=2, commit=True)  # one commit -> one wandb.log
+    lg.summary({"test mAP": 0.5})
+    lg.finish()
+
+    assert calls.config_updates == [{"Sx": 8}]
+    assert len(calls.logs) == 1
+    step, metrics = calls.logs[0]
+    assert step == 2 and metrics == {"train loss": 1.5, "LR": 0.1}
+    assert calls.summary["test mAP"] == 0.5
+    assert calls.finished
+    # the jsonl mirror is written regardless
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_wandb_roc_and_confusion_helpers(fake_wandb):
+    mod, _ = fake_wandb
+    from yogo_tpu.utils.wandb_helpers import get_wandb_confusion, get_wandb_roc
+
+    fpr = [np.linspace(0, 1, 5), np.linspace(0, 1, 5)]
+    tpr = [np.linspace(0, 1, 5) ** 0.5, np.linspace(0, 1, 5) ** 2]
+    thr = np.linspace(0, 1, 5)
+    table = get_wandb_roc(fpr, tpr, thr, ["a", "b"])
+    assert table.columns == ["fpr", "tpr", "threshold", "class"]
+    assert len(table.data) == 10
+
+    conf = np.array([[5, 1], [2, 7]])
+    vspec, tbl = get_wandb_confusion(conf, ["a", "b"], "test confusion")
+    assert vspec == "wandb/confusion_matrix/v1"
+    rows = tbl.data
+    assert ["0 - a", "1 - b", 1] in [list(r) for r in rows]

@@ -192,3 +192,74 @@ def test_linear_sum_assignment_rectangular():
     cost = np.array([[1.0, 0.1, 2.0]])
     r, c = linear_sum_assignment(cost)
     assert (r.tolist(), c.tolist()) == ([0], [1])
+
+
+def test_dense_scene_within_detection_cap():
+    """The device formatter caps detections at max_detections per image; a
+    realistic dense 772x1032 scene (base-model grid 97x129, several hundred
+    objects - far above real blood-smear densities) must stay under the 1024
+    cap, and when the cap IS binding the Metrics engine must still count
+    every kept detection and never silently drop matched labels."""
+    import jax.numpy as jnp
+
+    from yogo_tpu.ops.postprocess import format_preds_batched
+
+    rng = np.random.default_rng(0)
+    sy, sx = 97, 129
+    c = 3
+    n_obj = 700  # dense: ~6% of cells occupied
+    pred = np.zeros((1, 5 + c, sy, sx), np.float32)
+    cells = rng.choice(sy * sx, n_obj, replace=False)
+    ys, xs = np.unravel_index(cells, (sy, sx))
+    pred[0, 0, ys, xs] = (xs + 0.5) / sx
+    pred[0, 1, ys, xs] = (ys + 0.5) / sy
+    pred[0, 2, ys, xs] = 0.004  # small boxes: no NMS suppression
+    pred[0, 3, ys, xs] = 0.004
+    pred[0, 4, ys, xs] = 0.9
+    pred[0, 5 + 0, ys, xs] = 0.95
+    f = format_preds_batched(jnp.asarray(pred))
+    assert int(np.asarray(f["valid"]).sum()) == n_obj  # cap not hit
+
+    # force the cap: capacity below the object count drops the excess but
+    # keeps exactly max_detections (documented truncation behavior)
+    f_small = format_preds_batched(jnp.asarray(pred), max_detections=512)
+    assert int(np.asarray(f_small["valid"]).sum()) == 512
+
+
+def test_metrics_dense_scene_counts_complete():
+    """End-to-end Metrics.update on a dense scene: every object is matched
+    (no silent drops below the cap)."""
+    rng = np.random.default_rng(1)
+    sy, sx = 97, 129
+    classes = ["a", "b", "c"]
+    n_obj = 600
+    pred = np.zeros((1, 8, sy, sx), np.float32)
+    labels = np.zeros((1, 6, sy, sx), np.float32)
+    cells = rng.choice(sy * sx, n_obj, replace=False)
+    ys, xs = np.unravel_index(cells, (sy, sx))
+    cls = rng.integers(0, 3, n_obj)
+    cx, cy = (xs + 0.5) / sx, (ys + 0.5) / sy
+    w = h = 0.004
+    pred[0, 0, ys, xs] = cx
+    pred[0, 1, ys, xs] = cy
+    pred[0, 2, ys, xs] = w
+    pred[0, 3, ys, xs] = h
+    pred[0, 4, ys, xs] = 0.9
+    pred[0, 5 + 0, ys, xs] = 0.02
+    for k in range(3):
+        pred[0, 5 + k, ys[cls == k], xs[cls == k]] = 0.95
+    labels[0, 0, ys, xs] = 1
+    labels[0, 1, ys, xs] = cx - w / 2
+    labels[0, 2, ys, xs] = cy - h / 2
+    labels[0, 3, ys, xs] = cx + w / 2
+    labels[0, 4, ys, xs] = cy + h / 2
+    labels[0, 5, ys, xs] = cls
+
+    m = Metrics(classes=classes, include_mAP=True, include_background=True)
+    m.update(pred, labels)
+    out = m.compute()
+    total_true = int(out[9][0])
+    assert total_true == n_obj  # every detection matched, none dropped
+    assert int(out[7].sum()) == 0  # no missed
+    assert int(out[8].sum()) == 0  # no extra
+    assert out[0]["map_50"] > 0.99

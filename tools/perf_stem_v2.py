@@ -28,12 +28,12 @@ def timeit(fn, *args, reps=3):
 
 
 def scan_over(fn):
+    # NOTE: pallas_call inside lax.scan faults on this backend (axon) -
+    # unroll the K batches as a python loop inside one jitted program
     def run(stack, *params):
-        def body(c, x):
-            out = fn(x, *params)
-            return c + out.astype(jnp.float32).sum(), None
-
-        tot, _ = jax.lax.scan(body, jnp.float32(0), stack)
+        tot = jnp.float32(0)
+        for i in range(K):
+            tot = tot + fn(stack[i], *params).astype(jnp.float32).sum()
         return tot
 
     return run
