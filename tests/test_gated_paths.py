@@ -202,3 +202,55 @@ def test_wandb_roc_and_confusion_helpers(fake_wandb):
     assert vspec == "wandb/confusion_matrix/v1"
     rows = tbl.data
     assert ["0 - a", "1 - b", 1] in [list(r) for r in rows]
+
+
+# ------------------------------------------------------------------- fake mo
+def test_openvino_mo_invoked_when_on_path(monkeypatch, tmp_path):
+    """`yogo export` runs OpenVINO's `mo` converter when it exists on PATH
+    (reference: yogo/utils/export_model.py:138-150). A fake `mo` script
+    records its argv and emits the IR files."""
+    import os
+    import stat
+    from types import SimpleNamespace
+
+    import jax
+
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.utils.checkpoint import save_checkpoint
+    from yogo_tpu.utils.export_model import do_export
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    mo = bindir / "mo"
+    arglog = tmp_path / "mo_args.txt"
+    mo.write_text(
+        "#!/usr/bin/env bash\n"
+        f'echo "$@" > {arglog}\n'
+        'out=""; model=""\n'
+        'while [ $# -gt 0 ]; do\n'
+        '  case "$1" in\n'
+        '    --input_model) model="$2"; shift 2;;\n'
+        '    --output_dir) out="$2"; shift 2;;\n'
+        "    *) shift;;\n"
+        "  esac\n"
+        "done\n"
+        'base=$(basename "$model" .onnx)\n'
+        'touch "$out/$base.xml" "$out/$base.bin"\n'
+    )
+    mo.chmod(mo.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    model = YOGO.create((48, 64), 0.1, 0.12, 3, model_version="quarter_filters")
+    variables = model.init(jax.random.key(0))
+    ckpt = tmp_path / "m.ckpt"
+    save_checkpoint(ckpt, model, variables, classes=["a", "b", "c"])
+
+    outfile = tmp_path / "exported"
+    do_export(SimpleNamespace(input=str(ckpt), crop_height=None,
+                              output_filename=str(outfile), simplify=True,
+                              format="onnx"))
+    assert (tmp_path / "exported.onnx").exists()
+    assert (tmp_path / "exported.xml").exists()
+    assert (tmp_path / "exported.bin").exists()
+    args = arglog.read_text()
+    assert "--compress_to_fp16 True" in args
