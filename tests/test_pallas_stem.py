@@ -97,3 +97,63 @@ def test_fused_stem_against_model_block0():
         sub.apply(subv, jnp.asarray(imgs[..., None], jnp.float32), train=False)
     )
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_model_integration_interpret_parity(monkeypatch):
+    """YOGO.apply with the fused Pallas stem (interpret mode on CPU) matches
+    the XLA path at bf16 tolerance, and detections agree exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.ops.postprocess import format_preds
+
+    model = YOGO.create((64, 96), 0.08, 0.1, 3,
+                        compute_dtype=jnp.bfloat16)
+    v = model.init(jax.random.key(0))
+    # damp the random weights: bf16 rounding noise otherwise amplifies
+    # multiplicatively through 7 untrained conv blocks, which tests noise
+    # propagation rather than the stem wiring
+    v = jax.tree.map(lambda a: 0.3 * a, v)
+    x = np.random.default_rng(0).integers(0, 255, (2, 1, 64, 96), np.uint8)
+
+    monkeypatch.setenv("YOGO_PALLAS_STEM", "0")
+    ref = np.asarray(model.apply(v, jnp.asarray(x), inference=True))
+    monkeypatch.setenv("YOGO_PALLAS_STEM", "interpret")
+    got = np.asarray(model.apply(v, jnp.asarray(x), inference=True))
+
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got[:, :2], ref[:, :2], rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(
+        np.log(got[:, 2:4]), np.log(ref[:, 2:4]), rtol=0.05, atol=0.1
+    )
+    np.testing.assert_allclose(got[:, 4:], ref[:, 4:], rtol=0.05, atol=0.02)
+    for i in range(2):
+        d_ref = format_preds(ref[i], obj_thresh=0.45)
+        d_got = format_preds(got[i], obj_thresh=0.45)
+        assert d_ref.shape == d_got.shape
+
+
+def test_model_integration_eligibility(monkeypatch):
+    """The fast path only engages for the canonical stem at inference with
+    raw uint8 input + bf16 compute."""
+    import jax
+    import jax.numpy as jnp
+
+    from yogo_tpu.models.yogo import YOGO
+
+    monkeypatch.setenv("YOGO_PALLAS_STEM", "interpret")
+    m = YOGO.create((64, 96), 0.08, 0.1, 3, compute_dtype=jnp.bfloat16)
+    x_u8 = jnp.zeros((1, 64, 96, 1), jnp.uint8)
+    x_f32 = jnp.zeros((1, 64, 96, 1), jnp.float32)
+
+    assert m._stem_pallas_mode(x_u8, train=False, mutable=False) == "interpret"
+    assert m._stem_pallas_mode(x_u8, train=True, mutable=True) is None
+    assert m._stem_pallas_mode(x_f32, train=False, mutable=False) is None
+    m32 = m.with_compute_dtype(jnp.float32)
+    assert m32._stem_pallas_mode(x_u8, False, False) is None
+    cnx = YOGO.create((64, 96), 0.08, 0.1, 3, model_version="convnext_small",
+                      compute_dtype=jnp.bfloat16)
+    assert cnx._stem_pallas_mode(x_u8, False, False) is None
+    monkeypatch.setenv("YOGO_PALLAS_STEM", "0")
+    assert m._stem_pallas_mode(x_u8, False, False) is None

@@ -67,9 +67,19 @@ class ConvStack(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, *, train: bool = False, bn_frozen: bool = False
+        self,
+        x: Array,
+        *,
+        train: bool = False,
+        bn_frozen: bool = False,
+        start_block: int = 0,
     ) -> Array:
+        """start_block > 0 skips the leading blocks - used when the fused
+        Pallas stem (ops/pallas_stem.fused_stem_nchw) has already computed
+        them; params of skipped blocks stay in the tree untouched."""
         for i, s in enumerate(self.blocks):
+            if i < start_block:
+                continue
             conv_cls = nn.ConvTranspose if s.transpose else nn.Conv
             x = conv_cls(
                 features=s.out,
@@ -308,16 +318,83 @@ class YOGO:
     # same math applies to gradient pytrees (reference: yogo/model.py:157-169)
     grad_norm = param_norm
 
+    # ------------------------------------------------------- pallas fast path
+    def _stem_pallas_mode(self, x: Array, train: bool, mutable: bool):
+        """Decide whether the fused Pallas stem kernel replaces block 0 for
+        this forward. Returns None (use XLA), "compiled", or "interpret".
+
+        Gated by YOGO_PALLAS_STEM: "0" (default - off: the axon dev harness
+        crashes when a Mosaic kernel shares an executable with a large XLA
+        graph, so the kernel must be dispatched standalone - see
+        docs/perf-notes.md), "auto" (compiled on TPU only), "1" (force
+        compiled), "interpret" (force interpreter, for CPU tests).
+        Eligibility: inference on a conv_stack whose first block is the
+        canonical 1->C conv3x3 s2 + BN + LeakyReLU with no dropout, bf16
+        compute, raw uint8 input.
+        """
+        import os
+
+        setting = os.environ.get("YOGO_PALLAS_STEM", "0")
+        if setting == "0":
+            return None
+        if train or mutable:
+            return None
+        if self.defn.family != "conv_stack" or self.input_channels != 1:
+            return None
+        b0 = self.defn.blocks[0]
+        if not (
+            b0.kernel == 3
+            and b0.stride == 2
+            and b0.bn
+            and b0.act == "leaky_relu"
+            and not b0.transpose
+            and b0.dropout == 0
+        ):
+            return None
+        if self.compute_dtype != jnp.bfloat16:
+            return None
+        if x.dtype != jnp.uint8:
+            return None
+        h, w = self.img_size
+        if h % 2 or w % 2:
+            return None
+        if setting == "interpret":
+            return "interpret"
+        if setting == "1":
+            return "compiled"
+        return "compiled" if jax.default_backend() == "tpu" else None
+
+    def _apply_pallas_stem(
+        self, variables: Dict[str, Any], x_nhwc_u8: Array, interpret: bool
+    ) -> Array:
+        """Fused uint8 stem (conv0 + bn0 + leaky) via the Pallas kernel;
+        returns the block-0 activation in NHWC bf16."""
+        from yogo_tpu.ops.pallas_stem import fused_stem_nchw
+
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        k = params["conv0"]["kernel"].astype(jnp.float32)  # (3,3,1,C)
+        g = params["bn0"]["scale"].astype(jnp.float32)
+        beta = params["bn0"]["bias"].astype(jnp.float32)
+        mu = stats["bn0"]["mean"].astype(jnp.float32)
+        var = stats["bn0"]["var"].astype(jnp.float32)
+        s = g * jax.lax.rsqrt(var + 1e-5)
+        w9 = k[:, :, 0, :] * s
+        bias = beta - mu * s
+        out_nchw = fused_stem_nchw(
+            x_nhwc_u8[..., 0], w9, bias, interpret=interpret
+        )
+        return jnp.transpose(out_nchw, (0, 2, 3, 1))
+
     # ---------------------------------------------------------------- forward
     def _to_nhwc(self, x: Array) -> Array:
         """Accept reference-layout input: (B,C,H,W), (C,H,W) or (H,W);
-        uint8 or float (reference: yogo/model.py:267-273)."""
+        uint8 or float (reference: yogo/model.py:267-273). uint8 is kept
+        as-is here so the fused stem can consume it raw; callers cast."""
         if x.ndim == 2:
             x = x[None, None]
         elif x.ndim == 3:
             x = x[None]
-        if not jnp.issubdtype(x.dtype, jnp.floating):
-            x = x.astype(jnp.float32)
         return jnp.transpose(x, (0, 2, 3, 1))
 
     def apply(
@@ -341,24 +418,39 @@ class YOGO:
         """
         if not channels_last:
             x = self._to_nhwc(x)
-        elif not jnp.issubdtype(x.dtype, jnp.floating):
-            x = x.astype(jnp.float32)
-        x = x.astype(self.compute_dtype)
 
         module = self.module()
-        if mutable:
-            raw, new_state = module.apply(
+        pallas_mode = self._stem_pallas_mode(x, train, mutable)
+        if pallas_mode is not None:
+            # block 0 (conv+BN+leaky on raw uint8) runs as one fused Pallas
+            # kernel; the flax stack continues from block 1
+            h = self._apply_pallas_stem(
+                variables, x, interpret=pallas_mode == "interpret"
+            )
+            raw = module.apply(
                 variables,
-                x,
-                train=train,
+                h.astype(self.compute_dtype),
+                train=False,
                 bn_frozen=tuning,
-                rngs=rngs,
-                mutable=["batch_stats"],
+                start_block=1,
             )
         else:
-            raw = module.apply(
-                variables, x, train=train, bn_frozen=tuning, rngs=rngs
-            )
+            if not jnp.issubdtype(x.dtype, jnp.floating):
+                x = x.astype(jnp.float32)
+            x = x.astype(self.compute_dtype)
+            if mutable:
+                raw, new_state = module.apply(
+                    variables,
+                    x,
+                    train=train,
+                    bn_frozen=tuning,
+                    rngs=rngs,
+                    mutable=["batch_stats"],
+                )
+            else:
+                raw = module.apply(
+                    variables, x, train=train, bn_frozen=tuning, rngs=rngs
+                )
 
         Sx, Sy = self.grid
         cxs, cys = cell_offsets(Sx, Sy)
