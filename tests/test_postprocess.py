@@ -423,3 +423,38 @@ def test_format_preds_and_labels_v2_rejects_batched():
         format_preds_and_labels_v2(
             np.zeros((2, 7, 4, 4), np.float32), np.zeros((2, 6, 4, 4), np.float32)
         )
+
+
+def test_format_preds_and_labels_deprecated():
+    """Reference-parity behavior of the deprecated cell/argmax matcher
+    (reference: yogo/utils/prediction_formatting.py:333-424)."""
+    import warnings as _w
+
+    from yogo_tpu.ops.postprocess import format_preds_and_labels
+
+    c, s = 2, 4
+    pred = np.zeros((5 + c, s, s), np.float32)
+    pred[:, 1, 1] = [0.375, 0.375, 0.2, 0.2, 0.95, 0.9, 0.1]
+    pred[:, 3, 3] = [0.875, 0.875, 0.1, 0.1, 0.8, 0.2, 0.8]
+    label = np.zeros((6, s, s), np.float32)
+    label[:, 1, 1] = [1, 0.28, 0.28, 0.48, 0.48, 0]
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", DeprecationWarning)
+        preds, labels = format_preds_and_labels(pred, label)
+    # one label -> argmax-IoU pred selected, boxes converted to xyxy
+    assert preds.shape == (1, 7) and labels.shape == (1, 6)
+    np.testing.assert_allclose(preds[0, :4], [0.275, 0.275, 0.475, 0.475],
+                               atol=1e-6)
+
+    # fallback: objectness threshold removes all preds -> same-cell matching
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", DeprecationWarning)
+        preds2, labels2 = format_preds_and_labels(pred, label,
+                                                  objectness_thresh=0.99)
+    assert preds2.shape == (1, 7)
+    np.testing.assert_allclose(preds2[0, :4], [0.275, 0.275, 0.475, 0.475],
+                               atol=1e-6)
+
+    with pytest.raises(ValueError, match="objectness_thresh"):
+        format_preds_and_labels(pred, label, objectness_thresh=1.5)

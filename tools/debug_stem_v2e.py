@@ -1,5 +1,5 @@
 """Fault bisection: batch size and scan-wrapping at real image shape."""
-import sys, time
+
 import jax, jax.numpy as jnp, numpy as np
 from yogo_tpu.ops.pallas_stem import fused_stem_nchw, fold_stem_params
 

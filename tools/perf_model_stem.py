@@ -13,7 +13,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from yogo_tpu.models.yogo import YOGO
 from yogo_tpu.utils.default_hyperparams import DefaultHyperparams as df

@@ -13,7 +13,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 os.environ.setdefault("YOGO_PALLAS_STEM", "0")
 

@@ -17,6 +17,7 @@ from yogo_tpu.ops.postprocess import (  # noqa: F401
     count_class_predictions,
     count_cells_for_formatted_preds,
     format_preds,
+    format_preds_and_labels,
     format_preds_and_labels_v2,
     format_preds_batched,
     format_to_numpy,

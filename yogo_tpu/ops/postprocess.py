@@ -401,6 +401,62 @@ def format_preds_and_labels_v2(
     return match_preds_and_labels(formatted_preds, formatted_labels)
 
 
+def format_preds_and_labels(
+    pred: np.ndarray,
+    label: np.ndarray,
+    use_IoU: bool = True,
+    objectness_thresh: float = 0.5,
+    min_class_confidence_threshold: float = 0.0,
+):
+    """DEPRECATED: use format_preds_and_labels_v2. Reference-parity port of
+    the old matching (reference: yogo/utils/prediction_formatting.py:333-424):
+    per labeled cell, pick the argmax-IoU prediction among threshold
+    survivors (with replacement - one prediction can serve many labels), or
+    fall back to naive same-cell matching.
+
+    Returns (preds (N, 5+C) xyxy, labels (N, 6))."""
+    import warnings
+
+    warnings.warn("use format_preds_and_labels_v2 instead", DeprecationWarning)
+    pred = np.squeeze(np.asarray(pred, np.float32))
+    label = np.squeeze(np.asarray(label, np.float32))
+    if pred.ndim != 3:
+        raise ValueError(
+            "argument to format_pred should be unbatched result - "
+            f"shape should be (pred_shape, Sy, Sx), got {pred.shape}"
+        )
+    if not 0 <= objectness_thresh < 1:
+        raise ValueError(
+            "must have 0 <= objectness_thresh < 1; got "
+            f"objectness_thresh={objectness_thresh}"
+        )
+    flat_preds = pred.reshape(pred.shape[0], -1).T.copy()
+    flat_labels = label.reshape(label.shape[0], -1).T
+    pred_mask = (flat_preds[:, 4] > objectness_thresh) & (
+        flat_preds[:, 5:].max(axis=1) > min_class_confidence_threshold
+    )
+    labels_mask = flat_labels[:, 0].astype(bool)
+    labels_with_objects = flat_labels[labels_mask]
+
+    if use_IoU and pred_mask.sum() >= len(labels_with_objects):
+        preds_with_objects = flat_preds[pred_mask].copy()
+        preds_with_objects[:, :4] = _cxcywh_to_xyxy_np(
+            preds_with_objects[:, :4]
+        )
+        iou = _pairwise_iou_xyxy(
+            labels_with_objects[:, 1:5], preds_with_objects[:, :4]
+        )
+        if iou.shape[1] > 0:
+            idx = iou.argmax(axis=1)
+        else:
+            idx = np.empty(0, np.int64)
+        final_preds = preds_with_objects[idx]
+    else:
+        final_preds = flat_preds[labels_mask].copy()
+        final_preds[:, :4] = _cxcywh_to_xyxy_np(final_preds[:, :4])
+    return final_preds, labels_with_objects
+
+
 def _pairwise_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
     area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
