@@ -9,7 +9,10 @@ north star describes (/root/repo/BASELINE.json).
 Host->device transfer is excluded deliberately: in this dev harness the TPU
 is reached through a network relay that uploads at ~40 MB/s (measured), a
 harness artifact ~100x slower than real v5e PCIe/DMA. The input pipeline is
-benchmarked separately in production use.
+benchmarked separately in production use. The relay also charges a fixed
+~28 ms per dispatch+fetch round trip, so the scan runs 16 batches per
+dispatch to amortize that fixed cost toward the steady-state rate (K=4 at
+bs=256 under-reported by ~10%; measured K/bs sweep in docs/perf-notes.md).
 
 Prints one JSON line:
   {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N/5000}
@@ -20,11 +23,10 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 BASELINE_IMG_PER_S = 5000.0
 IMG_HW = (772, 1032)
-NUM_BATCHES = 4
+NUM_BATCHES = 16
 
 
 def measure(model, variables, batch_size: int) -> float:
@@ -40,19 +42,20 @@ def measure(model, variables, batch_size: int) -> float:
         total, _ = jax.lax.scan(body, jnp.float32(0), stack)
         return total
 
-    rng = np.random.default_rng(0)
-    stack = rng.integers(
-        0, 255, (NUM_BATCHES, batch_size, 1, *IMG_HW), dtype=np.uint8
-    )
-    dstack = jax.device_put(stack)
+    # generate on device: 6.5 GB of uint8 batches would take minutes
+    # through the ~40 MB/s relay upload
+    dstack = jax.jit(
+        lambda k: jax.random.randint(
+            k, (NUM_BATCHES, batch_size, 1, *IMG_HW), 0, 255, jnp.uint8
+        )
+    )(jax.random.key(0))
+    jax.block_until_ready(dstack)
 
-    r = run_all(dstack)  # compile + warmup
-    r.block_until_ready()
+    float(run_all(dstack))  # compile + warmup
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        r = run_all(dstack)
-        r.block_until_ready()
+        total = float(run_all(dstack))  # scalar fetch = honest fence
         dt = time.perf_counter() - t0
         best = max(best, NUM_BATCHES * batch_size / dt)
     return best
@@ -72,7 +75,7 @@ def main() -> None:
     variables = model.init(jax.random.key(0))
 
     best = 0.0
-    for bs in (256, 128):
+    for bs in (512, 256, 128):
         try:
             best = max(best, measure(model, variables, bs))
             break  # largest batch that fits wins; no need to go smaller

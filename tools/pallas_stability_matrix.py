@@ -21,6 +21,9 @@ CASES = [
     "transpose_pallas_same_jit",
     "pallas_jit_then_conv_jit",
     "two_pallas_dispatches",
+    "barrier_then_sum_same_jit",
+    "transpose_barrier_pallas_same_jit",
+    "barrier_then_model_rest_same_jit",
 ]
 
 B, H, W = 32, 772, 1032
@@ -83,6 +86,40 @@ def child(case: str) -> None:
         o2 = f(x)
         jax.block_until_ready((o1, o2))
         s = float(jnp.sum(o1.astype(jnp.float32)))
+    elif case == "barrier_then_sum_same_jit":
+        # theory: XLA assigns non-default layouts to the pallas custom-call
+        # result when a consumer follows in the same executable; a barrier
+        # may pin the default layout
+        def f(xx):
+            o = fused_stem_nchw(xx, w, b)
+            (o,) = jax.lax.optimization_barrier((o,))
+            return o.astype(jnp.float32).sum()
+
+        s = float(jax.jit(f)(x))
+    elif case == "transpose_barrier_pallas_same_jit":
+        xc = x[:, None]
+
+        def f(xx):
+            t = jnp.transpose(xx, (0, 2, 3, 1))[..., 0]
+            (t,) = jax.lax.optimization_barrier((t,))
+            return fused_stem_nchw(t, w, b)
+
+        out = jax.jit(f)(xc)
+        jax.block_until_ready(out)
+        s = float(jnp.sum(out.astype(jnp.float32)))
+    elif case == "barrier_then_model_rest_same_jit":
+        w1 = jnp.asarray(rng.normal(0, 0.1, (3, 3, 16, 32)), jnp.bfloat16)
+
+        def f(xx):
+            o = fused_stem_nchw(xx, w, b)
+            (o,) = jax.lax.optimization_barrier((o,))
+            z = jax.lax.conv_general_dilated(
+                o, w1, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NCHW", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            return z.sum()
+
+        s = float(jax.jit(f)(x))
     else:
         raise SystemExit(f"unknown case {case}")
     print(f"RESULT {case}: OK {s:.3e}")
@@ -93,7 +130,9 @@ def main() -> None:
 
     env = dict(os.environ)
     env["JAX_COMPILATION_CACHE_DIR"] = "/root/repo/.jax_cache_tpu"
-    for case in CASES:
+    import sys as _s
+    only = _s.argv[2:] if len(_s.argv) > 2 else None
+    for case in (only or CASES):
         t0 = time.time()
         r = subprocess.run(
             [sys.executable, __file__, case],
@@ -109,7 +148,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1:
+    if len(sys.argv) > 1 and sys.argv[1] != "run":
         child(sys.argv[1])
     else:
         main()

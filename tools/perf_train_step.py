@@ -1,0 +1,69 @@
+"""Honest train-step throughput after the buffered-logging fix.
+
+N chained train steps (state donated, each step depends on the previous)
+with ONE float(loss) fetch at the end: the data dependency fences every
+step, so the wall clock is real, and no per-step host sync throttles
+dispatch (the round-1 loop fetched float(loss) every step).
+
+Usage: python tools/perf_train_step.py [bs] [steps]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yogo_tpu.models.yogo import YOGO
+from yogo_tpu.train import TrainState, make_optimizer, make_train_step
+from yogo_tpu.utils.default_hyperparams import DefaultHyperparams as df
+
+
+def main():
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    model = YOGO.create(
+        (772, 1032), df.ANCHOR_W, df.ANCHOR_H, num_classes=7,
+        compute_dtype=jnp.bfloat16,
+    )
+    v = model.init(jax.random.key(0))
+    tx, _ = make_optimizer(3e-4, 5e-2, 10.0, 1000)
+    state = TrainState(
+        params=v["params"], batch_stats=v.get("batch_stats", {}),
+        opt_state=tx.init(v["params"]), step=jnp.asarray(0, jnp.int32),
+    )
+    step = jax.jit(
+        make_train_step(model, tx, dict(no_obj_weight=0.5, iou_weight=5.0,
+                                        classify_weight=1.0,
+                                        label_smoothing=0.01)),
+        donate_argnums=(0,),
+    )
+
+    Sx, Sy = model.grid
+    imgs = jax.jit(
+        lambda k: jax.random.randint(k, (bs, 1, 772, 1032), 0, 255, jnp.uint8)
+    )(jax.random.key(1))
+    labels = np.zeros((bs, 6, Sy, Sx), np.float32)
+    labels[:, :, 20, 30] = [1, 0.4, 0.4, 0.5, 0.5, 2]
+    labels = jnp.asarray(labels)
+    mask = jnp.ones(bs, jnp.float32)
+    rng = jax.random.key(2)
+
+    state, loss, _ = step(state, imgs, labels, mask, rng)  # compile+warm
+    print(f"warmup loss {float(loss):.4f}")
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss, _ = step(state, imgs, labels, mask, rng)
+    final = float(loss)  # fences the whole chain
+    dt = (time.perf_counter() - t0) / n_steps
+    print(
+        f"train step bs={bs}: {dt * 1000:.1f} ms/step = {bs / dt:.0f} img/s "
+        f"(final loss {final:.4f})"
+    )
+
+
+if __name__ == "__main__":
+    main()
