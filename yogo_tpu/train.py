@@ -357,7 +357,9 @@ class Trainer:
             raise RuntimeError("trainer not initialized")
 
         profile_steps = int(self.config.get("profile_steps", 0) or 0)
-        commit_interval = int(self.config.get("log_commit_interval", 100))
+        commit_interval = max(
+            1, int(self.config.get("log_commit_interval", 100) or 100)
+        )
         for epoch in range(self.config["epochs"]):
             self.epoch = epoch
             self.train_dataloader.set_epoch(epoch)

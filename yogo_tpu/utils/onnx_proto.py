@@ -251,20 +251,17 @@ def parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
         arr = np.frombuffer(raw, dtype=dtype).reshape(dims)
     elif 7 in f and dtype == np.int64:  # int64_data field, repeated
         arr = np.asarray(_repeated_int64(f[7]), np.int64).reshape(dims)
-    elif 4 in f and dtype == np.float32:  # float_data field
-        arr = np.asarray(
-            [v if isinstance(v, float) else _unpack_floats(v) for v in f[4]],
-            dtype=object,
-        )
-        arr = np.concatenate([np.atleast_1d(np.asarray(a, np.float32)) for a in arr])
-        arr = arr.reshape(dims)
+    elif 4 in f and dtype == np.float32:  # float_data field (packed or not)
+        vals: List[float] = []
+        for v in f[4]:
+            if isinstance(v, (bytes, bytearray)):
+                vals.extend(np.frombuffer(v, np.float32).tolist())
+            else:
+                vals.append(float(v))
+        arr = np.asarray(vals, np.float32).reshape(dims)
     else:
         arr = np.frombuffer(b"", dtype=dtype).reshape(dims)
     return name, arr
-
-
-def _unpack_floats(buf: bytes) -> np.ndarray:
-    return np.frombuffer(buf, np.float32)
 
 
 def parse_attribute(buf: bytes) -> Tuple[str, Any]:
