@@ -5,7 +5,11 @@ with ONE float(loss) fetch at the end: the data dependency fences every
 step, so the wall clock is real, and no per-step host sync throttles
 dispatch (the round-1 loop fetched float(loss) every step).
 
-Usage: python tools/perf_train_step.py [bs] [steps]
+Usage: python tools/perf_train_step.py [bs] [steps] [scan_k]
+
+With scan_k > 1, additionally times a program that runs scan_k train steps
+inside one lax.scan dispatch (same batch each step) — isolating the per-
+dispatch overhead from real step compute.
 """
 
 import sys
@@ -23,6 +27,7 @@ from yogo_tpu.utils.default_hyperparams import DefaultHyperparams as df
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    scan_k = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
     model = YOGO.create(
         (772, 1032), df.ANCHOR_W, df.ANCHOR_H, num_classes=7,
@@ -63,6 +68,36 @@ def main():
         f"train step bs={bs}: {dt * 1000:.1f} ms/step = {bs / dt:.0f} img/s "
         f"(final loss {final:.4f})"
     )
+
+    if scan_k > 1:
+        # scan_k steps fused into ONE dispatch (same batch each step):
+        # the delta vs the loop above is pure per-dispatch overhead
+        inner = make_train_step(
+            model, tx,
+            dict(no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+                 label_smoothing=0.01),
+        )
+
+        @jax.jit
+        def multi(state, imgs, labels, mask, rng):
+            def body(st, _):
+                st, loss, _ = inner(st, imgs, labels, mask, rng)
+                return st, loss
+            state, losses = jax.lax.scan(body, state, None, length=scan_k)
+            return state, losses[-1]
+
+        state, loss = multi(state, imgs, labels, mask, rng)  # compile
+        print(f"scan warmup loss {float(loss):.4f}")
+        t0 = time.perf_counter()
+        reps = max(1, n_steps // scan_k)
+        for _ in range(reps):
+            state, loss = multi(state, imgs, labels, mask, rng)
+        final = float(loss)
+        dt = (time.perf_counter() - t0) / (reps * scan_k)
+        print(
+            f"scan({scan_k}) train step bs={bs}: {dt * 1000:.1f} ms/step = "
+            f"{bs / dt:.0f} img/s (final loss {final:.4f})"
+        )
 
 
 if __name__ == "__main__":
