@@ -19,10 +19,21 @@ Prints one JSON line:
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# reuse the repo's persistent compile cache unless the caller overrides it:
+# novel XLA graphs take minutes to compile through this harness's relay
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+    ),
+)
 
 BASELINE_IMG_PER_S = 5000.0
 IMG_HW = (772, 1032)
