@@ -172,6 +172,37 @@ def test_onnx_export_roundtrip_and_parity(ckpt_and_images, tmp_path):
     verify_onnx(model, variables, blob)
 
 
+def test_onnx_export_nonidentity_bn_stats(ckpt_and_images):
+    """BN folding must survive trained (non-identity) running stats: with
+    freshly-init stats (mean=0, var=1) any folding bug is invisible, which
+    is exactly how the round-2 CLI-drive regression slipped past the suite
+    (a TPU-side bf16 reference, fixed by pinning verify_onnx's reference
+    forward to CPU). Perturb the stats like a trained net and require tight
+    elementwise agreement, not just the relative gate."""
+    import numpy as np
+
+    from yogo_tpu.utils.export_model import build_onnx, verify_onnx
+
+    _, _, model, variables = ckpt_and_images
+    rng = np.random.default_rng(3)
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    for leaf in stats.values():
+        leaf["mean"] = rng.normal(0.0, 0.2, leaf["mean"].shape).astype(np.float32)
+        leaf["var"] = rng.uniform(0.5, 2.0, leaf["var"].shape).astype(np.float32)
+    # tame the head so w/h = anchor*exp(t) stays O(1): untrained weights fed
+    # through perturbed-variance BN explode the exp channels otherwise,
+    # and the relative gate is vacuous on huge values
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    head = sorted(k for k in params if k.startswith("conv"))[-1]
+    params[head] = {k: v * 1e-3 for k, v in params[head].items()}
+    perturbed = {"params": params, "batch_stats": stats}
+    blob = build_onnx(model, perturbed)
+    max_dev = verify_onnx(model, perturbed, blob)
+    # decoded sigmoid/exp outputs of a small untrained net: interpreter and
+    # jax should agree to f32 roundoff, far below the reference gate
+    assert max_dev < 1e-2
+
+
 def test_onnx_export_normalized_model(tmp_path):
     from yogo_tpu.utils.export_model import build_onnx, verify_onnx
 

@@ -365,12 +365,23 @@ def verify_onnx(
         np.uint8
     )
 
+    import jax
     import jax.numpy as jnp
 
     x_ref = x.astype(np.float32)
     if model.normalize_images:
         x_ref = x_ref / 255.0
-    want = np.asarray(model.apply(variables, jnp.asarray(x_ref), inference=True))
+    # Pin the reference forward to the CPU backend: on TPU, f32 convs run
+    # with bf16-mantissa inputs at default precision, and that rounding
+    # noise alone can exceed the rtol-1e-3 gate (the reference's export
+    # parity check is likewise CPU-side: yogo/utils/export_model.py:123-133).
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        vars_cpu = jax.device_put(variables, cpu)
+        want = np.asarray(
+            model.apply(vars_cpu, jax.device_put(jnp.asarray(x_ref), cpu),
+                        inference=True)
+        )
 
     try:  # pragma: no cover - onnxruntime absent in this environment
         import onnxruntime

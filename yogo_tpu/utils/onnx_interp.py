@@ -22,22 +22,40 @@ import numpy as np
 from yogo_tpu.utils.onnx_proto import ONNX_TO_NP, parse_model
 
 
+def _cpu_pinned(fn):
+    """Run `fn` with JAX placement pinned to the host CPU backend.
+
+    The interpreter is a *reference* runtime (it stands in for
+    onnxruntime's f32 CPU kernels in the export parity gate), so its convs
+    must be exact f32: on a TPU-default process, unpinned lax convs execute
+    with bf16-mantissa inputs and the rounding noise alone blows the
+    rtol-1e-3 gate (found by the round-2 CLI export drive)."""
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return fn(cpu)
+
+
 def _conv(x, w, b, strides, pads, group=1):
-    """NCHW conv via lax (fast, correct padding semantics)."""
+    """NCHW conv via lax on CPU (fast, correct padding semantics)."""
     import jax
     import jax.numpy as jnp
 
-    out = jax.lax.conv_general_dilated(
-        jnp.asarray(x, jnp.float32),
-        jnp.asarray(w, jnp.float32),
-        window_strides=strides,
-        padding=[(pads[0], pads[2]), (pads[1], pads[3])],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=group,
-    )
-    if b is not None:
-        out = out + jnp.asarray(b, jnp.float32)[None, :, None, None]
-    return np.asarray(out)
+    def run(cpu):
+        out = jax.lax.conv_general_dilated(
+            jax.device_put(jnp.asarray(x, jnp.float32), cpu),
+            jax.device_put(jnp.asarray(w, jnp.float32), cpu),
+            window_strides=strides,
+            padding=[(pads[0], pads[2]), (pads[1], pads[3])],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=group,
+        )
+        if b is not None:
+            out = out + jnp.asarray(b, jnp.float32)[None, :, None, None]
+        return np.asarray(out)
+
+    return _cpu_pinned(run)
 
 
 def _conv_transpose(x, w, b, strides, pads):
@@ -49,19 +67,23 @@ def _conv_transpose(x, w, b, strides, pads):
     # each spatial edge
     # with transpose_kernel=True lax swaps the I/O dims internally, so the
     # HWIO kernel must carry (kh, kw, C_out, C_in)
-    out = jax.lax.conv_transpose(
-        jnp.asarray(x, jnp.float32),
-        jnp.transpose(jnp.asarray(w, jnp.float32), (2, 3, 1, 0)),
-        strides=strides,
-        padding="VALID",
-        dimension_numbers=("NCHW", "HWIO", "NCHW"),
-        transpose_kernel=True,
-    )
-    h, wd = out.shape[2], out.shape[3]
-    out = out[:, :, pads[0] : h - pads[2], pads[1] : wd - pads[3]]
-    if b is not None:
-        out = out + jnp.asarray(b, jnp.float32)[None, :, None, None]
-    return np.asarray(out)
+    def run(cpu):
+        out = jax.lax.conv_transpose(
+            jax.device_put(jnp.asarray(x, jnp.float32), cpu),
+            jnp.transpose(jax.device_put(jnp.asarray(w, jnp.float32), cpu),
+                          (2, 3, 1, 0)),
+            strides=strides,
+            padding="VALID",
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+            transpose_kernel=True,
+        )
+        h, wd = out.shape[2], out.shape[3]
+        out = out[:, :, pads[0] : h - pads[2], pads[1] : wd - pads[3]]
+        if b is not None:
+            out = out + jnp.asarray(b, jnp.float32)[None, :, None, None]
+        return np.asarray(out)
+
+    return _cpu_pinned(run)
 
 
 def run_model(model_bytes: bytes, feeds: Dict[str, np.ndarray]):
