@@ -148,3 +148,107 @@ def test_writer_emits_attributes_in_correct_proto_field():
     assert strided, "stride-2 convs must carry a readable strides attribute"
     for n in convs:
         assert "pads" in n["attrs"]
+
+
+# ------------------------------------------ wire-format robustness (parser)
+def test_parse_attribute_floats_nonpacked_and_empty():
+    """protobuf parsers must accept repeated floats NON-PACKED (one fixed32
+    record per element - legal, and some exporters emit it) and an absent
+    field for an empty float list."""
+    from yogo_tpu.utils import onnx_proto as op
+
+    nonpacked = (
+        op.enc_str(1, "scales")
+        + op.enc_float(7, 1.5)
+        + op.enc_float(7, 2.5)
+        + op.enc_varint(20, op.ATTR_FLOATS)
+    )
+    name, vals = op.parse_attribute(nonpacked)
+    assert name == "scales" and vals == [1.5, 2.5]
+
+    empty = op.enc_str(1, "scales") + op.enc_varint(20, op.ATTR_FLOATS)
+    name, vals = op.parse_attribute(empty)
+    assert vals == []
+
+
+def test_parse_tensor_int32_data_field():
+    """TensorProto.int32_data (field 5) legally carries int32/int8/uint8/
+    bool/float16 payloads; the parser must not fall through to an empty
+    raw_data read."""
+    import numpy as np
+
+    from yogo_tpu.utils import onnx_proto as op
+
+    # int32 tensor [[1, -2], [3, 4]] via non-packed int32_data
+    body = (
+        op.enc_packed_varints(1, [2, 2])  # dims
+        + op.enc_varint(2, 6)  # INT32
+        + op.enc_varint(5, 1)
+        + op.enc_varint(5, (1 << 64) - 2)  # -2 as 10-byte varint
+        + op.enc_varint(5, 3)
+        + op.enc_varint(5, 4)
+        + op.enc_str(8, "t")
+    )
+    name, arr = op.parse_tensor(body)
+    assert name == "t" and arr.dtype == np.int32
+    np.testing.assert_array_equal(arr, [[1, -2], [3, 4]])
+
+
+def test_parse_tensor_missing_data_raises():
+    from yogo_tpu.utils import onnx_proto as op
+
+    body = op.enc_packed_varints(1, [2]) + op.enc_varint(2, 6) + op.enc_str(8, "t")
+    with pytest.raises(ValueError, match="no supported data field"):
+        op.parse_tensor(body)
+
+
+# -------------------------------------------- interpreter op semantics
+def test_interp_reshape_zero_copies_input_dim():
+    """ONNX Reshape: a 0 target entry copies the input dim (allowzero=0
+    default) - the form torch exporters emit for flatten-style reshapes."""
+    import numpy as np
+
+    from yogo_tpu.utils import onnx_proto as op
+    from yogo_tpu.utils.onnx_interp import run_model
+
+    nodes = [op.node("Reshape", ["x", "shape"], ["y"])]
+    inits = [op.tensor_proto("shape", np.asarray([0, -1], np.int64))]
+    g = op.graph(
+        nodes,
+        "t",
+        [op.value_info("x", op.FLOAT, (2, 3, 4))],
+        [op.value_info("y", op.FLOAT, (2, 12))],
+        inits,
+    )
+    m = op.model(g)
+    x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    (y,) = run_model(m, {"x": x})
+    assert y.shape == (2, 12)
+    np.testing.assert_array_equal(y, x.reshape(2, 12))
+
+
+def test_interp_split_uneven_last_chunk_smaller():
+    """Equal-split with a non-divisible axis follows opset-18 semantics:
+    ceil-sized chunks with a smaller final chunk (was: silent truncation)."""
+    import numpy as np
+
+    from yogo_tpu.utils import onnx_proto as op
+    from yogo_tpu.utils.onnx_interp import run_model
+
+    nodes = [op.node("Split", ["x"], ["a", "b", "c"], axis=0)]
+    g = op.graph(
+        nodes,
+        "t",
+        [op.value_info("x", op.FLOAT, (7, 2))],
+        [
+            op.value_info("a", op.FLOAT, (3, 2)),
+            op.value_info("b", op.FLOAT, (3, 2)),
+            op.value_info("c", op.FLOAT, (1, 2)),
+        ],
+        [],
+    )
+    m = op.model(g)
+    x = np.arange(14, dtype=np.float32).reshape(7, 2)
+    a, b, c = run_model(m, {"x": x})
+    assert a.shape == (3, 2) and b.shape == (3, 2) and c.shape == (1, 2)
+    np.testing.assert_array_equal(np.concatenate([a, b, c]), x)

@@ -157,3 +157,68 @@ def test_model_integration_eligibility(monkeypatch):
     assert cnx._stem_pallas_mode(x_u8, False, False) is None
     monkeypatch.setenv("YOGO_PALLAS_STEM", "0")
     assert m._stem_pallas_mode(x_u8, False, False) is None
+
+
+def test_split_dispatch_api_interpret_parity(monkeypatch):
+    """pallas_stem_forward (own jit) + forward_from_block1 (second jit)
+    reproduces YOGO.apply - the split-dispatch structure infer.py uses so
+    the Mosaic kernel never shares an executable with the rest of the
+    model (docs/perf-notes.md axon stability matrix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yogo_tpu.models.yogo import YOGO
+
+    model = YOGO.create((64, 96), 0.08, 0.1, 3, compute_dtype=jnp.bfloat16)
+    v = jax.tree.map(lambda a: 0.3 * a, model.init(jax.random.key(0)))
+    x = np.random.default_rng(1).integers(0, 255, (2, 1, 64, 96), np.uint8)
+
+    monkeypatch.setenv("YOGO_PALLAS_STEM", "0")
+    ref = np.asarray(model.apply(v, jnp.asarray(x), inference=True))
+
+    stem = jax.jit(
+        lambda imgs: model.pallas_stem_forward(v, imgs, interpret=True)
+    )
+    rest = jax.jit(lambda h: model.forward_from_block1(v, h, inference=True))
+    h = jax.block_until_ready(stem(jnp.asarray(x)))
+    assert h.dtype == jnp.bfloat16 and h.shape[1] == 16  # NCHW block-0 out
+    got = np.asarray(rest(h))
+
+    np.testing.assert_allclose(got[:, :2], ref[:, :2], rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(got[:, 4:], ref[:, 4:], rtol=0.05, atol=0.02)
+
+
+def test_compiled_mode_under_jit_falls_back_to_xla(monkeypatch):
+    """YOGO_PALLAS_STEM=1 under an outer jit must NOT inline the Mosaic
+    kernel into the full-model executable (the axon crash topology):
+    apply falls back to the XLA stem when x is a tracer."""
+    import jax
+    import jax.numpy as jnp
+
+    from yogo_tpu.models import yogo as yogo_mod
+    from yogo_tpu.models.yogo import YOGO
+
+    model = YOGO.create((64, 96), 0.08, 0.1, 3, compute_dtype=jnp.bfloat16)
+    v = model.init(jax.random.key(0))
+    x = jnp.zeros((1, 1, 64, 96), jnp.uint8)
+
+    monkeypatch.setenv("YOGO_PALLAS_STEM", "0")
+    ref = np.asarray(jax.jit(
+        lambda i: model.apply(v, i, inference=True)
+    )(x))
+
+    calls = []
+
+    def boom(*a, **k):  # the kernel must never be traced under the jit
+        calls.append(1)
+        raise AssertionError("pallas stem inlined into an outer jit")
+
+    monkeypatch.setattr(
+        "yogo_tpu.ops.pallas_stem.fused_stem_nchw", boom
+    )
+    monkeypatch.setenv("YOGO_PALLAS_STEM", "1")
+    got = np.asarray(jax.jit(
+        lambda i: model.apply(v, i, inference=True)
+    )(x))
+    assert not calls
+    np.testing.assert_array_equal(got, ref)

@@ -159,8 +159,38 @@ def predict(
 
     # jitted forward (full batch shape only; last batch is padded)
     @jax.jit
-    def forward(imgs):
+    def forward_xla(imgs):
         return model.apply(variables, imgs, inference=True)
+
+    # Opt-in fused Pallas stem (YOGO_PALLAS_STEM): dispatched as its OWN
+    # executable, then a second jit for blocks 1..n + decode. A Mosaic
+    # kernel inlined into the full-model jit crashes the axon TPU worker
+    # (docs/perf-notes.md), and back-to-back unfenced Mosaic dispatches do
+    # too - hence the block_until_ready fence between stem and rest.
+    probe = jax.ShapeDtypeStruct(
+        (batch_size, model.input_channels, *model.img_size), jnp.uint8
+    )
+    stem_mode = model._stem_pallas_mode(probe, train=False, mutable=False)
+    if stem_mode is not None:
+
+        @jax.jit
+        def stem_fn(imgs):
+            return model.pallas_stem_forward(
+                variables, imgs, interpret=stem_mode == "interpret"
+            )
+
+        @jax.jit
+        def rest_fn(h):
+            return model.forward_from_block1(variables, h, inference=True)
+
+        def forward(imgs):
+            if imgs.dtype != jnp.uint8:  # normalized float input: XLA path
+                return forward_xla(imgs)
+            h = jax.block_until_ready(stem_fn(imgs))
+            return rest_fn(h)
+
+    else:
+        forward = forward_xla
 
     Sx, Sy = model.grid
     pred_dim = 5 + num_classes

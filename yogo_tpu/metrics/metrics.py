@@ -30,24 +30,13 @@ import numpy as np
 from yogo_tpu.metrics.mean_ap import MeanAveragePrecision
 from yogo_tpu.ops.postprocess import (
     PredictionLabelMatch,
+    elementwise_iou_xyxy,
     format_preds_batched,
     match_preds_and_labels,
 )
 
 NUM_ROC_THRESHOLDS = 500
 NUM_ECE_BINS = 30
-
-
-def _pairwise_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
-    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-    lt = np.maximum(a[:, None, :2], b[None, :, :2])
-    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
-    wh = np.clip(rb - lt, 0, None)
-    inter = wh[..., 0] * wh[..., 1]
-    union = area_a[:, None] + area_b[None, :] - inter
-    with np.errstate(invalid="ignore", divide="ignore"):
-        return np.where(union > 0, inter / union, 0.0)
 
 
 class Metrics:
@@ -130,7 +119,7 @@ class Metrics:
         matched_probs = pm.preds[:, 5:]
         matched_obj = pm.preds[:, 4]
         matched_iou = (
-            np.diag(_pairwise_iou_np(pm.labels[:, 1:5], pm.preds[:, :4]))
+            elementwise_iou_xyxy(pm.labels[:, 1:5], pm.preds[:, :4])
             if len(pm.preds)
             else np.empty(0)
         )

@@ -364,13 +364,11 @@ class YOGO:
             return "compiled"
         return "compiled" if jax.default_backend() == "tpu" else None
 
-    def _apply_pallas_stem(
-        self, variables: Dict[str, Any], x_nhwc_u8: Array, interpret: bool
-    ) -> Array:
-        """Fused uint8 stem (conv0 + bn0 + leaky) via the Pallas kernel;
-        returns the block-0 activation in NHWC bf16."""
-        from yogo_tpu.ops.pallas_stem import fused_stem_nchw
-
+    def _stem_kernel_params(
+        self, variables: Dict[str, Any]
+    ) -> Tuple[Array, Array]:
+        """BN-folded block-0 weights for the fused Pallas stem:
+        (3,3,C) taps scaled by gamma/sqrt(var+eps), bias beta - mu*scale."""
         params = variables["params"]
         stats = variables.get("batch_stats", {})
         k = params["conv0"]["kernel"].astype(jnp.float32)  # (3,3,1,C)
@@ -379,12 +377,52 @@ class YOGO:
         mu = stats["bn0"]["mean"].astype(jnp.float32)
         var = stats["bn0"]["var"].astype(jnp.float32)
         s = g * jax.lax.rsqrt(var + 1e-5)
-        w9 = k[:, :, 0, :] * s
-        bias = beta - mu * s
+        return k[:, :, 0, :] * s, beta - mu * s
+
+    def _apply_pallas_stem(
+        self, variables: Dict[str, Any], x_nhwc_u8: Array, interpret: bool
+    ) -> Array:
+        """Fused uint8 stem (conv0 + bn0 + leaky) via the Pallas kernel;
+        returns the block-0 activation in NHWC bf16."""
+        from yogo_tpu.ops.pallas_stem import fused_stem_nchw
+
+        w9, bias = self._stem_kernel_params(variables)
         out_nchw = fused_stem_nchw(
             x_nhwc_u8[..., 0], w9, bias, interpret=interpret
         )
         return jnp.transpose(out_nchw, (0, 2, 3, 1))
+
+    # ----------------------------------------------- split-dispatch pallas API
+    def pallas_stem_forward(
+        self, variables: Dict[str, Any], x: Array, *, interpret: bool = False
+    ) -> Array:
+        """Block 0 alone via the fused Pallas kernel, returning the kernel's
+        native NCHW bf16 activation with NO trailing XLA ops. Jit this by
+        itself: on the axon dev harness a Mosaic kernel is only stable when
+        its executable is standalone (docs/perf-notes.md), so production
+        callers pair one jit of this with one jit of forward_from_block1."""
+        from yogo_tpu.ops.pallas_stem import fused_stem_nchw
+
+        x = self._to_nhwc(x)
+        w9, bias = self._stem_kernel_params(variables)
+        return fused_stem_nchw(x[..., 0], w9, bias, interpret=interpret)
+
+    def forward_from_block1(
+        self,
+        variables: Dict[str, Any],
+        h_nchw: Array,
+        *,
+        inference: bool = False,
+        tuning: bool = False,
+    ) -> Array:
+        """Blocks 1.. + decode from a block-0 activation in NCHW (the
+        layout pallas_stem_forward emits). The second executable of the
+        split-dispatch pallas path."""
+        h = jnp.transpose(h_nchw, (0, 2, 3, 1)).astype(self.compute_dtype)
+        raw = self.module().apply(
+            variables, h, train=False, bn_frozen=tuning, start_block=1
+        )
+        return self._decode_raw(raw, inference)
 
     # ---------------------------------------------------------------- forward
     def _to_nhwc(self, x: Array) -> Array:
@@ -421,6 +459,13 @@ class YOGO:
 
         module = self.module()
         pallas_mode = self._stem_pallas_mode(x, train, mutable)
+        if pallas_mode == "compiled" and isinstance(x, jax.core.Tracer):
+            # under an outer jit/scan the pallas_call would be inlined into
+            # one executable with the rest of the model - the topology that
+            # crashes the axon TPU worker (docs/perf-notes.md). Jitted
+            # callers must use the split-dispatch API instead
+            # (pallas_stem_forward + forward_from_block1, as infer.py does).
+            pallas_mode = None
         if pallas_mode is not None:
             # block 0 (conv+BN+leaky on raw uint8) runs as one fused Pallas
             # kernel; the flax stack continues from block 1
@@ -452,6 +497,13 @@ class YOGO:
                     variables, x, train=train, bn_frozen=tuning, rngs=rngs
                 )
 
+        out = self._decode_raw(raw, inference)
+        if mutable:
+            return out, new_state
+        return out
+
+    def _decode_raw(self, raw: Array, inference: bool) -> Array:
+        """NHWC backbone logits -> decoded (B, 5+C, Sy, Sx) predictions."""
         Sx, Sy = self.grid
         cxs, cys = cell_offsets(Sx, Sy)
         out = decode_predictions(
@@ -464,10 +516,7 @@ class YOGO:
             self.height_multiplier,
             inference=inference,
         )
-        out = jnp.transpose(out, (0, 3, 1, 2))  # -> (B, 5+C, Sy, Sx)
-        if mutable:
-            return out, new_state
-        return out
+        return jnp.transpose(out, (0, 3, 1, 2))  # -> (B, 5+C, Sy, Sx)
 
     # ----------------------------------------------------------------- resize
     def resize(

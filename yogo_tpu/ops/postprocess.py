@@ -469,6 +469,20 @@ def _pairwise_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return np.where(union > 0, inter / union, 0.0)
 
 
+def elementwise_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-for-row IoU of already-matched box pairs: (K,4),(K,4) -> (K,).
+    O(K), unlike taking the diagonal of the full pairwise matrix."""
+    lt = np.maximum(a[:, :2], b[:, :2])
+    rb = np.minimum(a[:, 2:], b[:, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[:, 0] * wh[:, 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a + area_b - inter
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(union > 0, inter / union, 0.0)
+
+
 def format_to_numpy(
     img_id: int,
     prediction_tensor: np.ndarray,

@@ -189,7 +189,15 @@ def run_model(model_bytes: bytes, feeds: Dict[str, np.ndarray]):
         elif op == "Shape":
             out = np.asarray(ins[0].shape, np.int64)
         elif op == "Reshape":
-            out = ins[0].reshape(tuple(int(x) for x in ins[1]))
+            # ONNX: a 0 entry copies the corresponding input dim
+            # (allowzero=0 default, the form torch exporters emit)
+            shape = [int(x) for x in ins[1]]
+            if not a.get("allowzero", 0):
+                shape = [
+                    ins[0].shape[i] if s == 0 else s
+                    for i, s in enumerate(shape)
+                ]
+            out = ins[0].reshape(tuple(shape))
         elif op == "Split":
             axis = a.get("axis", 0)
             if len(ins) > 1 and ins[1] is not None:
@@ -197,8 +205,12 @@ def run_model(model_bytes: bytes, feeds: Dict[str, np.ndarray]):
             elif "split" in a:
                 sizes = [int(x) for x in a["split"]]
             else:
+                # opset-18 equal-split: ceil-sized chunks, last one smaller
+                # when the axis is not evenly divisible
                 k = len(n["outputs"])
-                sizes = [ins[0].shape[axis] // k] * k
+                n_ax = ins[0].shape[axis]
+                chunk = -(-n_ax // k)
+                sizes = [chunk] * (k - 1) + [n_ax - chunk * (k - 1)]
             offs = np.cumsum([0] + sizes)
             for oi, oname in enumerate(n["outputs"]):
                 sl = [slice(None)] * ins[0].ndim

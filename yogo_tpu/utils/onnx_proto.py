@@ -22,14 +22,34 @@ import numpy as np
 # TensorProto.DataType
 FLOAT = 1
 UINT8 = 2
+INT8 = 3
+UINT16 = 4
+INT16 = 5
+INT32 = 6
 INT64 = 7
+BOOL = 9
+FLOAT16 = 10
+DOUBLE = 11
 
 NP_TO_ONNX = {
     np.dtype(np.float32): FLOAT,
     np.dtype(np.uint8): UINT8,
     np.dtype(np.int64): INT64,
 }
+# parser accepts a wider set than the writer emits (torch graphs carry
+# int32/bool/fp16 initializers)
 ONNX_TO_NP = {v: k for k, v in NP_TO_ONNX.items()}
+ONNX_TO_NP.update(
+    {
+        INT8: np.dtype(np.int8),
+        UINT16: np.dtype(np.uint16),
+        INT16: np.dtype(np.int16),
+        INT32: np.dtype(np.int32),
+        BOOL: np.dtype(np.bool_),
+        FLOAT16: np.dtype(np.float16),
+        DOUBLE: np.dtype(np.float64),
+    }
+)
 
 # AttributeProto.AttributeType
 ATTR_FLOAT = 1
@@ -241,6 +261,18 @@ def _repeated_int64(values: List[Any]) -> List[int]:
     return out
 
 
+def _repeated_float32(values: List[Any]) -> List[float]:
+    """Decode a repeated float field, PACKED (bytes of fixed32) or
+    NON-PACKED (one fixed32 record per element)."""
+    out: List[float] = []
+    for v in values:
+        if isinstance(v, (bytes, bytearray)):
+            out.extend(np.frombuffer(v, np.float32).tolist())
+        else:
+            out.append(float(v))
+    return out
+
+
 def parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     f = parse_message(buf)
     dims = _repeated_int64(f.get(1, []))
@@ -252,15 +284,20 @@ def parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     elif 7 in f and dtype == np.int64:  # int64_data field, repeated
         arr = np.asarray(_repeated_int64(f[7]), np.int64).reshape(dims)
     elif 4 in f and dtype == np.float32:  # float_data field (packed or not)
-        vals: List[float] = []
-        for v in f[4]:
-            if isinstance(v, (bytes, bytearray)):
-                vals.extend(np.frombuffer(v, np.float32).tolist())
-            else:
-                vals.append(float(v))
-        arr = np.asarray(vals, np.float32).reshape(dims)
+        arr = np.asarray(_repeated_float32(f[4]), np.float32).reshape(dims)
+    elif 5 in f:  # int32_data: also carries int8/16, uint8/16, bool, fp16
+        vals = np.asarray(_repeated_int64(f[5]), np.int64)
+        if dtype == np.float16:
+            arr = vals.astype(np.uint16).view(np.float16).reshape(dims)
+        else:
+            arr = vals.astype(dtype).reshape(dims)
+    elif int(np.prod(dims)) == 0:
+        arr = np.zeros(dims, dtype=dtype)
     else:
-        arr = np.frombuffer(b"", dtype=dtype).reshape(dims)
+        raise ValueError(
+            f"tensor {name!r}: no supported data field for dtype "
+            f"{np.dtype(dtype).name} with dims {dims}"
+        )
     return name, arr
 
 
@@ -279,8 +316,8 @@ def parse_attribute(buf: bytes) -> Tuple[str, Any]:
     if atype == ATTR_INTS:
         return name, _repeated_int64(f.get(8, []))
     if atype == ATTR_FLOATS:
-        raw = f[7][0]
-        return name, list(np.frombuffer(raw, np.float32))
+        # packed or non-packed, possibly absent (empty list)
+        return name, _repeated_float32(f.get(7, []))
     raise ValueError(f"unsupported attribute type {atype}")
 
 
