@@ -69,7 +69,24 @@ def torch_onnx_export_bytes(torch, net, example) -> bytes:
         onnx_proto_utils._add_onnxscript_fn = orig
 
 
-@pytest.mark.parametrize("model_version", ["base_model", "silu_model"])
+# every conv-stack architecture (convnext_small needs timm on the torch
+# side, which this env lacks)
+CONV_STACK_VERSIONS = [
+    "base_model",
+    "silu_model",
+    "double_filters",
+    "triple_filters",
+    "half_filters",
+    "quarter_filters",
+    "depth_ver_0",
+    "depth_ver_1",
+    "depth_ver_2",
+    "depth_ver_3",
+    "depth_ver_4",
+]
+
+
+@pytest.mark.parametrize("model_version", CONV_STACK_VERSIONS)
 def test_interpreter_reproduces_torch_exported_graph(torch, model_version):
     ref_model_mod, ref_defns = import_reference_model()
     from yogo_tpu.utils.onnx_interp import run_model
