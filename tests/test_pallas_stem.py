@@ -195,7 +195,6 @@ def test_compiled_mode_under_jit_falls_back_to_xla(monkeypatch):
     import jax
     import jax.numpy as jnp
 
-    from yogo_tpu.models import yogo as yogo_mod
     from yogo_tpu.models.yogo import YOGO
 
     model = YOGO.create((64, 96), 0.08, 0.1, 3, compute_dtype=jnp.bfloat16)
