@@ -201,3 +201,43 @@ def test_ciou_matches_torch_reimplementation():
         torch.tensor(pred, dtype=torch.float32), torch.tensor(tgt, dtype=torch.float32)
     ).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-6)
+
+
+def test_encode_label_grid_drops_out_of_range_centers():
+    """A box whose center lands outside [0,1) (legal YOLO txt at the image
+    edge) must be DROPPED by both encoders: the reference python loop raises
+    IndexError on it, and an unguarded device scatter would silently wrap it
+    into a cell on the opposite edge of the grid."""
+    Sx, Sy = 8, 6
+    labels = np.array(
+        [
+            [1.0, 0.95, 0.4, 1.05, 0.6],  # center x == 1.0 -> column Sx
+            [2.0, -0.10, 0.4, 0.05, 0.6],  # center x < 0 -> wraps negative
+            [0.0, 0.40, 0.4, 0.60, 0.6],  # in range -> kept
+        ],
+        np.float32,
+    )
+    dev = np.asarray(encode_label_grid(jnp.asarray(labels), Sx, Sy))
+    host = encode_label_grid_np(labels, Sx, Sy)
+    np.testing.assert_array_equal(dev, host)
+    assert dev[0].sum() == 1.0  # only the in-range box survives
+    assert dev[5, 3, 4] == 0.0 and dev[0, 3, 4] == 1.0  # center (0.5, 0.5)
+    assert dev[0, :, 0].sum() == 0.0  # nothing wrapped into column 0
+
+
+def test_encode_label_grid_np_drops_padding_rows():
+    """The numpy twin accepts the same padded (class < 0) layout as the
+    device encoder instead of writing a phantom class -1 object at (0,0)."""
+    Sx, Sy = 8, 6
+    labels = np.array(
+        [
+            [0.0, 0.40, 0.4, 0.60, 0.6],
+            [-1.0, 0.0, 0.0, 0.0, 0.0],  # padding row
+        ],
+        np.float32,
+    )
+    host = encode_label_grid_np(labels, Sx, Sy)
+    dev = np.asarray(encode_label_grid(jnp.asarray(labels), Sx, Sy))
+    np.testing.assert_array_equal(dev, host)
+    assert host[0].sum() == 1.0
+    assert host[0, 0, 0] == 0.0  # no phantom object at (0,0)

@@ -153,7 +153,7 @@ def test_smoothed_ce_matches_torch():
     targets = rng.integers(0, 6, 32)
     ours = np.asarray(
         smoothed_cross_entropy(
-            jnp.asarray(logits), jnp.asarray(targets), 6, 0.01
+            jnp.asarray(logits), jnp.asarray(targets), 0.01
         )
     )
     theirs = (

@@ -30,7 +30,7 @@ Array = jax.Array
 
 
 def smoothed_cross_entropy(
-    logits: Array, targets: Array, num_classes: int, label_smoothing: float
+    logits: Array, targets: Array, label_smoothing: float
 ) -> Array:
     """Per-element CE with label smoothing, matching torch.nn.CrossEntropyLoss
     (reduction='none'): target distribution (1-eps)*onehot + eps/C."""
@@ -67,7 +67,6 @@ def yogo_loss(
     Returns (total_loss, components dict of f32 scalars)."""
     preds = preds.astype(jnp.float32)
     labels = labels.astype(jnp.float32)
-    num_classes = preds.shape[1] - 5
 
     if image_mask is None:
         batch_size = jnp.float32(preds.shape[0])
@@ -100,7 +99,7 @@ def yogo_loss(
     # ---- classification term --------------------------------------------
     logits = jnp.moveaxis(preds[:, 5:], 1, -1)  # (B, Sy, Sx, C)
     targets = labels[:, 5].astype(jnp.int32)
-    ce = smoothed_cross_entropy(logits, targets, num_classes, label_smoothing)
+    ce = smoothed_cross_entropy(logits, targets, label_smoothing)
     classification_loss = classify_weight * jnp.sum(mask * ce) / batch_size
 
     # ---- objectness term --------------------------------------------------

@@ -73,12 +73,14 @@ class MeanAveragePrecision:
         recall = tp_cum / n_gt
         precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-12)
         # precision envelope (monotone non-increasing from the right)
-        for i in range(len(precision) - 1, 0, -1):
-            precision[i - 1] = max(precision[i - 1], precision[i])
+        precision = np.maximum.accumulate(precision[::-1])[::-1]
         # sample at 101 recall points
         idx = np.searchsorted(recall, RECALL_POINTS, side="left")
-        prec_at = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0)
-        prec_at = np.where(idx < len(precision), prec_at, 0.0)
+        prec_at = np.where(
+            idx < len(precision),
+            precision[np.minimum(idx, len(precision) - 1)],
+            0.0,
+        )
         return float(prec_at.mean())
 
     def compute(self) -> Dict[str, float]:

@@ -76,23 +76,37 @@ class Metrics:
         self.mAP = MeanAveragePrecision(self.num_classes)
 
     # ---------------------------------------------------------------- update
-    def update(self, preds, labels) -> None:
+    def update(self, preds, labels, image_mask=None) -> None:
         """preds: (B, 5+C, Sy, Sx) decoded inference-mode predictions
-        (class probabilities); labels: (B, 6, Sy, Sx) grids."""
+        (class probabilities); labels: (B, 6, Sy, Sx) grids.
+
+        image_mask: optional (B,) 0/1 marking real (non-padding) images.
+        Pass it instead of boolean-slicing preds/labels: a slice changes the
+        leading dim and recompiles the jitted formatter per tail size."""
         dets = format_preds_batched(
             jnp.asarray(preds),
             obj_thresh=self.obj_thresh,
             iou_thresh=self.iou_thresh,
             min_class_confidence_threshold=self.min_class_confidence_threshold,
             max_detections=self.max_detections,
+            image_mask=(
+                jnp.asarray(image_mask) if image_mask is not None else None
+            ),
         )
         boxes = np.asarray(dets["boxes_xyxy"])
         objness = np.asarray(dets["objectness"])
         probs = np.asarray(dets["class_probs"])
         valid = np.asarray(dets["valid"])
         labels = np.asarray(labels)
+        real = (
+            np.asarray(image_mask).astype(bool)
+            if image_mask is not None
+            else np.ones(labels.shape[0], bool)
+        )
 
         for i in range(labels.shape[0]):
+            if not real[i]:
+                continue
             self._update_one(
                 boxes[i][valid[i]],
                 objness[i][valid[i]],

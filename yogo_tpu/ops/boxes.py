@@ -123,15 +123,24 @@ def encode_label_grid(labels: Array, Sx: int, Sy: int) -> Array:
     deterministic last-write-wins ordering matters.
 
     ``labels`` may be padded with rows whose class is < 0; those are dropped.
+    Boxes whose center falls outside [0, 1) are also dropped: the reference
+    raises IndexError on them, and an unguarded scatter would silently wrap
+    them into a cell on the opposite edge of the grid.
     """
     labels = jnp.asarray(labels, jnp.float32)
     n = labels.shape[0]
     out = jnp.zeros((6, Sy, Sx), jnp.float32)
     if n == 0:
         return out
-    valid = labels[:, 0] >= 0
     ii = jnp.floor((labels[:, 1] + labels[:, 3]) * Sx / 2).astype(jnp.int32)
     jj = jnp.floor((labels[:, 2] + labels[:, 4]) * Sy / 2).astype(jnp.int32)
+    valid = (
+        (labels[:, 0] >= 0)
+        & (ii >= 0)
+        & (ii < Sx)
+        & (jj >= 0)
+        & (jj < Sy)
+    )
     rows = jnp.concatenate(
         [
             jnp.ones((n, 1), jnp.float32),

@@ -73,7 +73,9 @@ def encode_label_grid_np(labels: np.ndarray, Sx: int, Sy: int) -> np.ndarray:
     """Host (numpy) label-grid encoder: (N, 5) [cls, x1, y1, x2, y2] -> (6, Sy, Sx).
 
     Deterministic last-write-wins ordering, matching the reference python loop
-    (reference: yogo/data/yogo_dataset.py:24-46).
+    (reference: yogo/data/yogo_dataset.py:24-46). Same input contract as the
+    device twin ``yogo_tpu.ops.boxes.encode_label_grid``: padding rows
+    (class < 0) and boxes whose center is outside [0, 1) are dropped.
     """
     out = np.zeros((6, Sy, Sx), dtype=np.float32)
     labels = np.asarray(labels, dtype=np.float32)
@@ -81,7 +83,8 @@ def encode_label_grid_np(labels: np.ndarray, Sx: int, Sy: int) -> np.ndarray:
         return out
     ii = ((labels[:, 1] + labels[:, 3]) * Sx // 2).astype(np.int64)
     jj = ((labels[:, 2] + labels[:, 4]) * Sy // 2).astype(np.int64)
-    for i, j, row in zip(ii, jj, labels):
+    valid = (labels[:, 0] >= 0) & (ii >= 0) & (ii < Sx) & (jj >= 0) & (jj < Sy)
+    for i, j, row in zip(ii[valid], jj[valid], labels[valid]):
         out[0, j, i] = 1.0
         out[1:5, j, i] = row[1:]
         out[5, j, i] = row[0]

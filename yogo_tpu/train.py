@@ -566,9 +566,10 @@ class Trainer:
             )
             total_loss += float(loss)
             n_batches += 1
-            preds_np = np.asarray(preds)[mask.astype(bool)]
-            labels_np = labels[mask.astype(bool)]
-            metrics.update(preds_np, labels_np)
+            # keep the compiled batch shape: the mask excludes padded tail
+            # images inside the jitted formatter (a boolean slice here would
+            # recompile it per distinct tail size)
+            metrics.update(np.asarray(preds), labels, image_mask=mask)
 
         (
             mAP,
