@@ -180,6 +180,18 @@ def test_loader_batches_and_padding():
     assert mask.tolist() == [1.0, 1.0, 0.0, 0.0]  # 10 = 4+4+2 real
 
 
+def test_loader_pads_when_dataset_smaller_than_batch():
+    """Padding must wrap the dataset as many times as needed: a single
+    concatenate slice under-fills when pad > len(dataset), breaking the
+    fixed-batch-shape contract the one-compiled-program design relies on."""
+    dl = DataLoader(ArrayDataset(3), batch_size=8)
+    (imgs, labels, mask), = list(dl)
+    assert imgs.shape == (8, 1, 8, 8)
+    assert mask.tolist() == [1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    # wrapped indices cycle through the dataset
+    assert imgs[:, 0, 0, 0].tolist() == [0, 1, 2, 0, 1, 2, 0, 1]
+
+
 def test_loader_shuffle_deterministic_per_epoch():
     dl = DataLoader(ArrayDataset(16), batch_size=4, shuffle=True)
     dl.set_epoch(0)

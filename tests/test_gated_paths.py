@@ -172,14 +172,17 @@ def test_runlogger_mirrors_to_wandb(fake_wandb, tmp_path):
     assert lg.run_name == "fake-run-7"  # picked up from the wandb run
     lg.update_config({"Sx": 8})
     lg.log({"train loss": 1.5}, step=1, commit=False)
-    lg.log({"LR": 0.1}, step=2, commit=True)  # one commit -> one wandb.log
+    # advancing the step flushes the buffered step-1 row (wandb semantics:
+    # uncommitted rows belong to one step; merging across steps loses data)
+    lg.log({"LR": 0.1}, step=2, commit=True)
     lg.summary({"test mAP": 0.5})
     lg.finish()
 
     assert calls.config_updates == [{"Sx": 8}]
-    assert len(calls.logs) == 1
-    step, metrics = calls.logs[0]
-    assert step == 2 and metrics == {"train loss": 1.5, "LR": 0.1}
+    assert calls.logs == [
+        (1, {"train loss": 1.5}),
+        (2, {"LR": 0.1}),
+    ]
     assert calls.summary["test mAP"] == 0.5
     assert calls.finished
     # the jsonl mirror is written regardless

@@ -16,8 +16,15 @@ def test_jsonl_commit_buffering(tmp_path):
         json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()
     ]
     committed = [l for l in lines if "loss" in l]
-    assert len(committed) == 2  # buffered steps coalesce into the commit
-    assert committed[0]["step"] == 3 and committed[0]["loss"] == 0.8
+    # wandb semantics: an uncommitted row flushes when the step advances,
+    # so EVERY step survives (merging across steps would overwrite 99 of
+    # every 100 per-step train records)
+    assert [(l["step"], l["loss"]) for l in committed] == [
+        (1, 1.0),
+        (2, 0.9),
+        (3, 0.8),
+        (4, 0.7),
+    ]
     assert any("_summary" in l for l in lines)
     assert json.loads((tmp_path / "config.json").read_text()) == {"a": 1}
 

@@ -116,3 +116,45 @@ def test_dataset_uses_native_and_matches_python(tmp_path):
     img, grid = ds[0]
     assert img.shape == (1, 40, 56) and img.dtype == np.uint8
     assert grid.shape == (6, 6, 8)
+
+
+def test_parse_labels_no_silent_truncation(tmp_path):
+    """Files beyond the initial 4096-row buffer are fully parsed (the C
+    parser returns the total count and the wrapper retries with an
+    exact-size buffer) - silent truncation would drop training labels."""
+    p = tmp_path / "big.txt"
+    n = 5000
+    p.write_text("1 0.5 0.5 0.01 0.01\n" * n)
+    rows = native.parse_labels(p)
+    assert rows is not None and len(rows) == n
+
+
+def test_parse_labels_rejects_malformed(tmp_path):
+    """Malformed files return None so the python path raises the
+    reference's errors (the old parser silently skipped/mangled rows)."""
+    bad_fields = tmp_path / "six.txt"
+    bad_fields.write_text("0 0.5 0.5 0.1 0.1 0.9\n")  # 6 fields
+    assert native.parse_labels(bad_fields) is None
+
+    bad_coord = tmp_path / "coord.txt"
+    bad_coord.write_text("0 0.5 0.5 0.1 0.1\n0 0.5 oops 0.1 0.1\n")
+    assert native.parse_labels(bad_coord) is None
+
+    short_row = tmp_path / "short.txt"
+    short_row.write_text("0 0.5 0.5 0.1 0.1\n1 0.5 0.5\n")
+    assert native.parse_labels(short_row) is None
+
+    long_line = tmp_path / "long.txt"
+    long_line.write_text("0 0.5 0.5 0.1 0.1" + " " * 600 + "\n")
+    assert native.parse_labels(long_line) is None
+
+
+def test_image_size(tmp_path):
+    from PIL import Image
+
+    p = tmp_path / "s.png"
+    Image.fromarray(np.zeros((20, 30), np.uint8)).save(p)
+    assert native.image_size(p) == (20, 30)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"nope")
+    assert native.image_size(bad) is None

@@ -62,13 +62,21 @@ def fake_batch(model, b=8, n_obj=2, seed=0):
 
 def test_cosine_schedule_matches_torch_semantics():
     """optax cosine_decay(alpha=1/decay) == torch CosineAnnealingLR
-    (eta_min = lr/decay, T_max = total steps), stepped per batch."""
+    (eta_min = lr/decay, T_max = total steps), stepped per batch. The
+    host-side closed-form twin returned by make_optimizer (used for
+    logging without a device dispatch) must match the optax schedule the
+    optimizer actually follows."""
+    import optax
+
     lr, decay, total = 3e-4, 10.0, 100
     _, sched = make_optimizer(lr, 5e-2, decay, total)
+    opt_sched = optax.cosine_decay_schedule(lr, total, alpha=1.0 / decay)
     eta_min = lr / decay
     for t in [0, 1, 50, 99, 100]:
         want = eta_min + (lr - eta_min) * (1 + np.cos(np.pi * t / total)) / 2
-        np.testing.assert_allclose(float(sched(t)), want, rtol=1e-6)
+        np.testing.assert_allclose(sched(t), want, rtol=1e-6)
+        np.testing.assert_allclose(float(opt_sched(t)), want, rtol=1e-6)
+        np.testing.assert_allclose(sched(t), float(opt_sched(t)), rtol=1e-6)
 
 
 def test_grad_clip_elementwise():
@@ -347,12 +355,49 @@ def test_flush_train_logs_buffers_and_emits_per_step(tmp_path):
     lines = [json.loads(l)
              for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
     committed = [l for l in lines if "train loss" in l]
-    # commit only on the window's last step (wandb semantics) -> one record
-    # carrying the final step's values
-    assert len(committed) == 1
-    rec = committed[0]
-    assert rec["step"] == 3
-    assert rec["train loss"] == 3.0
-    assert rec["iou_loss"] == 30.0
-    assert np.isclose(rec["LR"], 0.3)
-    assert rec["images/sec"] > 0
+    # every buffered step must survive as its own record (wandb flushes an
+    # uncommitted row when the step advances; merging would drop 99 of 100)
+    assert [(l["step"], l["train loss"], l["iou_loss"]) for l in committed] == [
+        (1, 1.0, 10.0),
+        (2, 2.0, 20.0),
+        (3, 3.0, 30.0),
+    ]
+    assert np.isclose(committed[-1]["LR"], 0.3)
+    assert committed[-1]["images/sec"] > 0
+
+
+def test_restore_opt_state_roundtrip(tmp_path):
+    """--resume-optimizer: saved AdamW moments restore exactly into a fresh
+    optimizer state template (extension over the reference, which restores
+    model weights only)."""
+    from yogo_tpu.utils.checkpoint import restore_opt_state
+
+    model = tiny_model()
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
+    state = make_state(model, tx)
+    # take one step so the moments are non-trivial
+    step = make_train_step(
+        model, tx,
+        dict(no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+             label_smoothing=0.01),
+    )
+    imgs, labels, mask = fake_batch(model)
+    state, _, _ = jax.jit(step)(
+        state, jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(mask),
+        jax.random.key(0),
+    )
+
+    p = tmp_path / "ck.ckpt"
+    save_checkpoint(
+        p, model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        opt_state=state.opt_state, epoch=0, step=1,
+        classes=CLASSES, model_name="r",
+    )
+    _, _, meta = load_checkpoint(p)
+    template = tx.init(state.params)
+    restored = restore_opt_state(meta, template)
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # without the bytes, the template passes through untouched
+    assert restore_opt_state({}, template) is template

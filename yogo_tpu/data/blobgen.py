@@ -10,6 +10,8 @@ Pure numpy on the host - this feeds the same device pipeline as real data.
 
 from __future__ import annotations
 
+import threading
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Dict, List, Mapping, Optional, Tuple, Union
@@ -42,7 +44,12 @@ class BlobDataset:
         self.background_img_shape = tuple(background_img_shape)
         self.normalize_images = normalize_images
         self.area_threshold = 500
-        self.rng = np.random.default_rng(seed)
+        # np.random.Generator is NOT thread-safe and the loader calls
+        # __getitem__ from worker threads: hand each item its own child
+        # generator, spawned under a lock (reference uses one generator but
+        # runs in separate DataLoader worker *processes*)
+        self._seed_seq = np.random.SeedSequence(seed)
+        self._seed_lock = threading.Lock()
 
         dir_paths: Dict[int, List[Path]] = {
             self._convert_label(k, classes): [Path(p) for p in v]
@@ -99,14 +106,24 @@ class BlobDataset:
         host-side anyway."""
         with ThreadPoolExecutor() as ex:
             loaded = list(ex.map(read_image_robust, paths))
+        bg_h, bg_w = self.background_img_shape
         thumbs, classes = [], []
+        n_oversized = 0
         for img, cls in zip(loaded, self.thumb_classes):
             if img is None:
                 continue
             img2d = img[0]
+            if img2d.shape[0] > bg_h or img2d.shape[1] > bg_w:
+                n_oversized += 1  # cannot be placed on the background at all
+                continue
             if img2d.shape[0] * img2d.shape[1] > self.area_threshold:
                 thumbs.append(img2d)
                 classes.append(cls)
+        if n_oversized:
+            warnings.warn(
+                f"dropped {n_oversized} thumbnails larger than the "
+                f"{bg_h}x{bg_w} background"
+            )
         self.thumb_classes = np.array(classes)
         return thumbs
 
@@ -125,12 +142,19 @@ class BlobDataset:
         return int(np.mean(vals)) if vals else brightness_threshold
 
     def _propose_coords(
-        self, h: int, w: int, previous: List[np.ndarray], num_tries: int = 100
+        self,
+        rng: np.random.Generator,
+        h: int,
+        w: int,
+        previous: List[np.ndarray],
+        num_tries: int = 100,
     ) -> Optional[Tuple[int, int, np.ndarray]]:
         bg_h, bg_w = self.background_img_shape
         for _ in range(num_tries):
-            y = int(self.rng.integers(0, bg_h - h))
-            x = int(self.rng.integers(0, bg_w - w))
+            # inclusive upper placement: a h-tall thumbnail fits at any
+            # y in [0, bg_h - h] (also keeps h == bg_h from crashing)
+            y = int(rng.integers(0, bg_h - h + 1))
+            x = int(rng.integers(0, bg_w - w + 1))
             box = np.array(
                 [[x / bg_w, y / bg_h, (x + w) / bg_w, (y + h) / bg_h]],
                 np.float32,
@@ -151,7 +175,10 @@ class BlobDataset:
         if idx >= self.length:
             raise IndexError(f"index {idx} is out of bounds for length {self.length}")
 
-        choice = self.rng.integers(0, len(self.thumbnails), size=self.n)
+        with self._seed_lock:
+            child = self._seed_seq.spawn(1)[0]
+        rng = np.random.default_rng(child)
+        choice = rng.integers(0, len(self.thumbnails), size=self.n)
         picked = [
             (int(self.thumb_classes[i]), self.thumbnails[i]) for i in choice
         ]
@@ -162,12 +189,12 @@ class BlobDataset:
         coords: List[np.ndarray] = []
         classes: List[int] = []
         for cls, thumb in picked:
-            if self.rng.random() < 0.5:
+            if rng.random() < 0.5:
                 thumb = thumb[:, ::-1]
-            if self.rng.random() < 0.5:
+            if rng.random() < 0.5:
                 thumb = thumb[::-1, :]
             h, w = thumb.shape
-            proposal = self._propose_coords(h, w, coords)
+            proposal = self._propose_coords(rng, h, w, coords)
             if proposal is None:
                 continue
             x, y, box = proposal
@@ -175,10 +202,13 @@ class BlobDataset:
             coords.append(box)
             classes.append(cls)
 
-        rows = np.concatenate(
-            [np.asarray(classes, np.float32)[:, None], np.concatenate(coords)],
-            axis=1,
-        )
+        if coords:
+            rows = np.concatenate(
+                [np.asarray(classes, np.float32)[:, None], np.concatenate(coords)],
+                axis=1,
+            )
+        else:  # every placement was rejected: a valid empty-label image
+            rows = np.zeros((0, 5), np.float32)
         label_grid = encode_label_grid_np(rows, self.Sx, self.Sy)
 
         out_img: np.ndarray = img[None]  # (1, H, W)

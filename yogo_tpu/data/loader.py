@@ -137,7 +137,10 @@ class DataLoader:
             return
 
         num_batches = len(self)
-        padded = np.concatenate([order, order[: num_batches * self.batch_size - n]])
+        # np.resize repeats `order` as many times as needed: a single slice
+        # under-fills when the pad exceeds the dataset size (e.g. 10 images
+        # at batch_size 64), breaking the fixed-batch-shape contract
+        padded = np.resize(order, num_batches * self.batch_size)
         real = np.zeros(len(padded), bool)
         real[:n] = True
 

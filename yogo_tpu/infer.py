@@ -206,11 +206,16 @@ def predict(
     np_results: List[np.ndarray] = []
     tot_counts = np.zeros(num_classes, np.int64)
 
+    # one persistent decode pool for the whole run (a fresh pool per batch
+    # would spawn+join up to num_workers OS threads on every hot-path load)
+    decode_pool = (
+        ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
+    )
+
     def load_batch(start: int):
         idxs = range(start, min(start + batch_size, n_images))
-        if num_workers > 0:
-            with ThreadPoolExecutor(max_workers=num_workers) as ex:
-                items = list(ex.map(dataset.__getitem__, idxs))
+        if decode_pool is not None:
+            items = list(decode_pool.map(dataset.__getitem__, idxs))
         else:
             items = [dataset[i] for i in idxs]
         imgs = np.stack([im for im, _ in items])
@@ -322,6 +327,8 @@ def predict(
             pbar.update(real)
 
     prefetcher.shutdown(wait=False)
+    if decode_pool is not None:
+        decode_pool.shutdown(wait=False)
     if pbar:
         pbar.close()
 

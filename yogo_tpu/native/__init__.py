@@ -159,16 +159,22 @@ def decode_batch(
 def parse_labels(path, max_rows: int = 4096) -> Optional[np.ndarray]:
     """Parse a YOLO txt -> (N, 5) float32 [cls, xc, yc, w, h]; rows with
     non-numeric class tokens carry cls = -1 for the caller to resolve.
-    Returns None if the library is unavailable or the file can't be read."""
+    Returns None when the library is unavailable, the file can't be read,
+    or the file is malformed - the caller's python parser then produces
+    the reference's error messages. Files larger than max_rows re-parse
+    with an exact-size buffer (no silent truncation)."""
     lib = get_lib()
     if lib is None:
         return None
-    out = np.empty((max_rows, 5), np.float64)
-    n = lib.yogo_parse_labels(
-        str(path).encode(),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        max_rows,
-    )
-    if n < 0:
-        return None
-    return out[:n].copy()
+    while True:
+        out = np.empty((max_rows, 5), np.float64)
+        n = lib.yogo_parse_labels(
+            str(path).encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            max_rows,
+        )
+        if n < 0:  # -1 unreadable, -2 malformed: python path decides
+            return None
+        if n <= max_rows:
+            return out[:n].copy()
+        max_rows = n  # capacity overflow: retry with the exact count

@@ -276,16 +276,29 @@ int yogo_decode_batch(const char** paths, int n, uint8_t* out, int out_h,
 }
 
 // Parse a YOLO label txt: rows "cls xc yc w h" (space or comma separated,
-// optional header). Writes up to max_rows rows of 5 doubles (keeping full
-// strtod precision, bit-identical to python float()). Returns the row count,
-// or -1 on IO error. Class tokens that aren't numeric get value -1 in
-// column 0 and the caller resolves them against the class list.
+// optional single header line). Writes up to max_rows rows of 5 doubles
+// (keeping full strtod precision, bit-identical to python float()) but keeps
+// COUNTING past capacity, so the return value is the TOTAL row count - the
+// caller re-allocates and retries when it exceeds max_rows (silent
+// truncation would drop training labels). Returns -1 on IO error and -2 on
+// anything malformed (wrong field count, non-numeric coordinates past the
+// first line, over-long lines): the caller then falls back to the python
+// parser, which raises the reference's error messages. Class tokens that
+// aren't numeric get value -1 in column 0 for the caller to resolve.
 int yogo_parse_labels(const char* path, double* out, int max_rows) {
   FILE* f = fopen(path, "r");
   if (!f) return -1;
   char line[512];
   int rows = 0;
-  while (rows < max_rows && fgets(line, sizeof(line), f)) {
+  bool first_content_line = true;
+  while (fgets(line, sizeof(line), f)) {
+    // a line that filled the buffer without a newline was split by fgets:
+    // bail to the (unbounded) python parser rather than mis-parse
+    size_t len = strlen(line);
+    if (len == sizeof(line) - 1 && line[len - 1] != '\n' && !feof(f)) {
+      fclose(f);
+      return -2;
+    }
     // normalize separators
     for (char* p = line; *p; ++p)
       if (*p == ',' || *p == '\t') *p = ' ';
@@ -295,26 +308,42 @@ int yogo_parse_labels(const char* path, double* out, int max_rows) {
 
     double vals[5];
     int got = 0;
-    bool numeric_cls = true;
     char* tok = strtok(s, " \n\r");
     while (tok && got < 5) {
       char* end = nullptr;
       double v = strtod(tok, &end);
       if (end == tok || *end != '\0') {
         if (got == 0) {
-          numeric_cls = false;
-          v = -1.0;  // caller resolves class names
+          v = -1.0;  // class name token: caller resolves
         } else {
-          got = -1;  // non-numeric coordinate: header row, skip line
+          got = -1;  // non-numeric coordinate
           break;
         }
       }
       vals[got++] = v;
       tok = strtok(nullptr, " \n\r");
     }
-    if (got != 5) continue;  // header or malformed line
-    (void)numeric_cls;
-    std::memcpy(out + size_t(rows) * 5, vals, sizeof(vals));
+    if (got == -1) {
+      // only the first content line may be non-row text (a header);
+      // malformed coordinates further down must error via the python path
+      if (first_content_line) {
+        first_content_line = false;
+        continue;
+      }
+      fclose(f);
+      return -2;
+    }
+    if (got != 5 || tok != nullptr) {  // wrong field count
+      if (first_content_line && got < 5) {
+        first_content_line = false;  // short header line
+        continue;
+      }
+      fclose(f);
+      return -2;
+    }
+    first_content_line = false;
+    if (rows < max_rows)
+      std::memcpy(out + size_t(rows) * 5, vals, sizeof(vals));
     ++rows;
   }
   fclose(f);

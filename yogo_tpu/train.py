@@ -22,6 +22,7 @@ Divergences (documented):
 
 from __future__ import annotations
 
+import math
 import sys
 import time
 import warnings
@@ -50,6 +51,7 @@ from yogo_tpu.parallel.mesh import (
 )
 from yogo_tpu.utils.checkpoint import (
     load_any,
+    restore_opt_state,
     save_checkpoint,
 )
 from yogo_tpu.utils.default_hyperparams import DefaultHyperparams as df
@@ -82,7 +84,18 @@ def make_optimizer(
         optax.clip(clip_value),
         optax.adamw(learning_rate=schedule, weight_decay=weight_decay),
     )
-    return tx, schedule
+
+    def host_schedule(step: int) -> float:
+        """Closed-form host twin of `schedule` for logging: the optax
+        schedule is jnp-backed, so evaluating it eagerly dispatches a tiny
+        program to the default device per call (~28 ms each through the
+        dev-harness relay)."""
+        t = min(max(float(step), 0.0), float(max(total_steps, 1)))
+        frac = 0.5 * (1.0 + math.cos(math.pi * t / max(total_steps, 1)))
+        alpha = 1.0 / decay_factor
+        return learning_rate * ((1.0 - alpha) * frac + alpha)
+
+    return tx, host_schedule
 
 
 def make_train_step(
@@ -204,6 +217,7 @@ class Trainer:
         # fine-tuning from a checkpoint freezes BatchNorm (reference loads
         # pretrained models with tuning=True: yogo/model.py:134)
         self.tuning = not (pretrained is None or pretrained == "none")
+        self._pretrained_meta = None
         if pretrained is None or pretrained == "none":
             self.model = YOGO.create(
                 img_size=cfg["image_hw"],
@@ -221,6 +235,7 @@ class Trainer:
             self.global_step = 0
         else:
             model, variables, meta = load_any(pretrained)
+            self._pretrained_meta = meta
             if list(model.img_size) != list(cfg["image_hw"]):
                 raise RuntimeError(
                     "mismatch in pretrained network image resize shape and "
@@ -232,6 +247,10 @@ class Trainer:
             self.global_step = meta.get("step", 0)
             cfg["normalize_images"] = self.model.normalize_images
             cfg["model"] = self.model.model_version
+            # the --rgb-images help text promises "overridden if loading a
+            # checkpoint"; without this an RGB checkpoint gets 1-channel
+            # batches and fails on input-channel mismatch
+            cfg["rgb"] = self.model.is_rgb
         self.Sx, self.Sy = self.model.grid
 
     def _init_dataset(self) -> None:
@@ -271,6 +290,11 @@ class Trainer:
             label_smoothing=cfg["label_smoothing"],
         )
         opt_state = self.tx.init(self.variables["params"])
+        # --resume-optimizer: exact resume restores AdamW moments from the
+        # checkpoint (extension: the reference restores neither optimizer
+        # nor schedule state, yogo/train.py:136-148 - off by default)
+        if cfg.get("resume_optimizer") and self._pretrained_meta is not None:
+            opt_state = restore_opt_state(self._pretrained_meta, opt_state)
         self.state = TrainState(
             params=self.variables["params"],
             batch_stats=self.variables.get("batch_stats", {}),
@@ -690,6 +714,7 @@ def do_training(args) -> None:
         "wandb_project": args.wandb_project,
         "use_wandb": getattr(args, "wandb", True),
         "profile_steps": getattr(args, "profile_steps", 0),
+        "resume_optimizer": getattr(args, "resume_optimizer", False),
     }
     trainer = Trainer(config)
     trainer.init()

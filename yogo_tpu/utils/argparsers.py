@@ -222,6 +222,14 @@ def train_parser(parser=None):
         help="log to wandb when available (--no-wandb for local-only JSONL logs)",
     )
     parser.add_argument(
+        "--resume-optimizer", default=False, action=boolean_action,
+        help=(
+            "with --from-pretrained: restore the saved AdamW optimizer "
+            "state from a .ckpt for an exact resume (the reference restores "
+            "model weights only)"
+        ),
+    )
+    parser.add_argument(
         "--profile-steps", type=uint, default=0,
         help=(
             "capture a jax.profiler trace of this many early train steps "

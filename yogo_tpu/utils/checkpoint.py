@@ -117,7 +117,8 @@ def load_any(path: Union[str, Path], inference: bool = False):
 
         return load_pth(path, inference=inference)
     # sniff: msgpack checkpoints start with a fixmap/map byte, torch zips "PK"
-    head = path.read_bytes()[:2]
+    with open(path, "rb") as f:
+        head = f.read(2)
     if head == b"PK":
         from yogo_tpu.utils.torch_bridge import load_pth
 

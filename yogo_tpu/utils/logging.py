@@ -76,19 +76,31 @@ class RunLogger:
             self._write({"_config_update": updates})
 
     def log(self, metrics: Dict[str, Any], step: int, commit: bool = True) -> None:
-        """Buffer metrics; flush on commit (mirrors wandb.log commit semantics
-        used every 100 steps in the reference, yogo/train.py:329-339)."""
+        """Buffer metrics for `step`; flush on commit OR when step advances.
+
+        Mirrors wandb.log's real semantics (reference commits every 100
+        steps, yogo/train.py:329-339): uncommitted rows belong to ONE step,
+        and logging a different step flushes the previous row — without
+        that, back-to-back per-step records with the same keys would
+        overwrite each other and 99 of every 100 steps would be lost."""
         if not self.enabled:
             return
+        if self._pending and self._pending.get("step") != step:
+            self._flush_pending()
         self._pending.update(metrics)
         self._pending["step"] = step
         if commit:
-            self._write(self._pending)
-            if self.wandb is not None:
-                w = dict(self._pending)
-                w.pop("step", None)
-                self.wandb.log(w, step=step)
-            self._pending = {}
+            self._flush_pending()
+
+    def _flush_pending(self) -> None:
+        if not self._pending:
+            return
+        self._write(self._pending)
+        if self.wandb is not None:
+            w = dict(self._pending)
+            s = w.pop("step", None)
+            self.wandb.log(w, step=s)
+        self._pending = {}
 
     def summary(self, metrics: Dict[str, Any]) -> None:
         if not self.enabled:
