@@ -257,3 +257,26 @@ def test_openvino_mo_invoked_when_on_path(monkeypatch, tmp_path):
     assert (tmp_path / "exported.bin").exists()
     args = arglog.read_text()
     assert "--compress_to_fp16 True" in args
+
+
+def test_wandb_roc_accepts_ragged_curves(fake_wandb):
+    """Per-class ROC curves of different lengths (per-class-threshold ROC
+    output) must build a table - np.asarray on a ragged list raises on
+    numpy>=1.24, which the pure-python iteration avoids."""
+    from yogo_tpu.utils.wandb_helpers import get_wandb_roc
+
+    table = get_wandb_roc(
+        fpr=[[0.0, 0.5, 1.0], [0.0, 0.2, 0.6, 1.0]],
+        tpr=[[0.0, 0.7, 1.0], [0.0, 0.4, 0.8, 1.0]],
+        thresholds=[[0.9, 0.5, 0.1], [0.95, 0.6, 0.3, 0.05]],
+        classes=["a", "b"],
+    )
+    assert len(table.data) == 7  # 3 + 4 rows
+    # shared 1-D thresholds broadcast over rectangular classes
+    table2 = get_wandb_roc(
+        fpr=[0.0, 0.5, 1.0],
+        tpr=[[0.0, 0.7, 1.0], [0.0, 0.4, 0.8]],
+        thresholds=[0.9, 0.5, 0.1],
+        classes=["a", "b"],
+    )
+    assert len(table2.data) == 6

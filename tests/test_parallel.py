@@ -193,3 +193,25 @@ def test_spmd_multistep_training_matches_single_device(tmp_path):
     l_live, _ = eval_step(st8.params, st8.batch_stats, di, dl, dm)
     l_restored, _ = eval_step(v2["params"], v2.get("batch_stats", {}), di, dl, dm)
     np.testing.assert_allclose(float(l_live), float(l_restored), rtol=1e-6)
+
+
+def test_initialize_multihost_pod_autodetect(monkeypatch):
+    """A multi-entry TPU_WORKER_HOSTNAMES triggers argless autodetect init;
+    a single/empty value stays a no-op (previously the documented autodetect
+    path was unreachable: no env vars meant an unconditional False)."""
+    calls = []
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    import jax
+
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda *a, **k: calls.append((a, k))
+    )
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    assert initialize_multihost() is True
+    assert calls == [((), {})]  # argless autodetect
+
+    calls.clear()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0")
+    assert initialize_multihost() is False
+    assert calls == []

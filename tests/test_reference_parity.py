@@ -145,3 +145,22 @@ def test_pth_roundtrip(torch, tmp_path):
         ref_out = ref_net(torch.from_numpy(x_np.copy())).numpy()
     our_out = np.asarray(m2.apply(v2, jnp.asarray(x_np), inference=True))
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-3, atol=1e-5)
+
+
+def test_pth_interop_rejects_convnext_clearly():
+    """The .pth weight-name mapping covers the conv_stack family only; a
+    convnext model must fail with a clear NotImplementedError instead of an
+    opaque KeyError mid-mapping."""
+    import pytest
+
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.utils.torch_bridge import (
+        state_dict_to_variables,
+        variables_to_state_dict,
+    )
+
+    cnx = YOGO.create((64, 96), 0.08, 0.1, 3, model_version="convnext_small")
+    with pytest.raises(NotImplementedError, match="conv_stack family only"):
+        state_dict_to_variables({}, cnx.defn)
+    with pytest.raises(NotImplementedError, match="conv_stack family only"):
+        variables_to_state_dict({"params": {}}, cnx)

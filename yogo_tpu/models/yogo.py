@@ -342,9 +342,14 @@ class YOGO:
         if self.defn.family != "conv_stack" or self.input_channels != 1:
             return None
         b0 = self.defn.blocks[0]
+        # the kernel hardcodes pad-1 and folds ONLY BN into the taps: a
+        # biased or differently-padded block 0 would silently compute wrong
+        # activations if it slipped through this gate
         if not (
             b0.kernel == 3
             and b0.stride == 2
+            and b0.padding == 1
+            and not b0.bias
             and b0.bn
             and b0.act == "leaky_relu"
             and not b0.transpose

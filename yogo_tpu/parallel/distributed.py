@@ -35,7 +35,15 @@ def initialize_multihost(
     process_id = process_id if process_id is not None else _env_int("JAX_PROCESS_ID")
 
     if coordinator_address is None and num_processes is None:
-        return False  # single host; nothing to do
+        # TPU-pod autodetect: multi-worker TPU VMs export a comma-separated
+        # TPU_WORKER_HOSTNAMES; there jax.distributed.initialize() discovers
+        # the coordinator itself. A single-entry (or empty) value means one
+        # worker - skipping (not erroring) keeps CPU/dev environments
+        # working, where unconditional autodetect would raise or hang.
+        if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+            jax.distributed.initialize()
+            return True
+        return False
 
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

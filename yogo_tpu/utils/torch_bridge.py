@@ -39,13 +39,24 @@ def _torch_key_layout(defn: ModelDefn):
     Reference layout: every block is nn.Sequential(conv, [bn], act, [drop])
     except the final bare 1x1 head conv (reference: yogo/model_defns.py:31-77).
     """
-    n = len(defn.blocks)
     for i, s in enumerate(defn.blocks):
-        if i == n - 1:
+        if i == defn.head_index:
             yield i, s, f"model.{i}", None
         else:
             bn = f"model.{i}.1" if s.bn else None
             yield i, s, f"model.{i}.0", bn
+
+
+def _require_conv_stack(defn: ModelDefn) -> None:
+    """The weight-name mapping below is the Sequential-of-conv-blocks
+    layout; a convnext .pth would otherwise fail mid-mapping with an
+    opaque KeyError."""
+    if defn.family != "conv_stack":
+        raise NotImplementedError(
+            f".pth interop is implemented for the conv_stack family only; "
+            f"'{defn.name}' is family '{defn.family}' (the reference loads "
+            f"convnext weights through timm, which this environment lacks)"
+        )
 
 
 def state_dict_to_variables(
@@ -55,6 +66,7 @@ def state_dict_to_variables(
 
     Conv weights transpose OIHW -> HWIO.
     """
+    _require_conv_stack(defn)
     params: Dict[str, Any] = {}
     batch_stats: Dict[str, Any] = {}
 
@@ -89,6 +101,7 @@ def variables_to_state_dict(
     """flax variables -> torch state_dict (including config buffers)."""
     torch = _require_torch()
     defn = model.defn
+    _require_conv_stack(defn)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     sd: Dict[str, Any] = {}

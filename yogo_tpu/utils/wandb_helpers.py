@@ -43,14 +43,20 @@ def get_wandb_roc(
     classes: Sequence,
 ):
     """Long-form wandb Table of per-class ROC curves
-    (reference: yogo/utils/utils.py:50-88)."""
-    fpr = np.asarray(fpr)
-    tpr = np.asarray(tpr)
-    thresholds = np.asarray(thresholds)
-    if fpr.ndim == 1:
-        fpr = np.broadcast_to(fpr, (len(tpr), len(fpr)))
-    if thresholds.ndim == 1:
-        thresholds = np.broadcast_to(thresholds, (len(tpr), len(thresholds)))
+    (reference: yogo/utils/utils.py:50-88).
+
+    Accepts ragged per-class curves (different lengths per class, as
+    per-class-threshold ROC implementations produce): the iteration below
+    is pure-python zips, so only shared 1-D inputs are broadcast."""
+
+    def _is_flat(seq) -> bool:
+        arr = np.asarray(seq, dtype=object)
+        return arr.ndim == 1 and (arr.size == 0 or np.isscalar(arr.flat[0]))
+
+    if _is_flat(fpr):
+        fpr = [fpr] * len(tpr)
+    if _is_flat(thresholds):
+        thresholds = [thresholds] * len(tpr)
     assert len(fpr) == len(tpr), "Number of fprs and tprs must match"
     assert len(classes) == len(tpr), "Number of classes and tprs must match"
 
