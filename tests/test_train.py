@@ -401,3 +401,53 @@ def test_restore_opt_state_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # without the bytes, the template passes through untouched
     assert restore_opt_state({}, template) is template
+
+
+def test_trainer_resume_optimizer_wiring(tmp_path):
+    """--resume-optimizer: the Trainer restores saved AdamW moments into its
+    initial state (and ignores them without the flag)."""
+    model = tiny_model()
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
+    state = make_state(model, tx)
+    step = make_train_step(
+        model, tx,
+        dict(no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+             label_smoothing=0.01),
+    )
+    imgs, labels, mask = fake_batch(model)
+    state, _, _ = jax.jit(step)(
+        state, jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(mask),
+        jax.random.key(0),
+    )
+    p = tmp_path / "ck.ckpt"
+    save_checkpoint(p, model,
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    opt_state=state.opt_state, classes=CLASSES, step=1)
+
+    pairs = [make_pair_dirs(tmp_path, "x", n_images=3)]
+    defn = write_defn(tmp_path / "d.yml", dataset_pairs=pairs)
+    base = {
+        "learning_rate": 1e-3, "decay_factor": 10.0, "weight_decay": 5e-2,
+        "label_smoothing": 0.01, "iou_weight": 5.0, "no_obj_weight": 0.5,
+        "epochs": 1, "batch_size": 2, "anchor_w": 0.08, "anchor_h": 0.1,
+        "model": "quarter_filters", "half": False, "rgb": False,
+        "image_hw": (48, 64), "normalize_images": False,
+        "dataset_split_override": None,
+        "dataset_descriptor_file": str(defn), "use_wandb": False,
+        "pretrained_path": str(p),
+    }
+    t = Trainer(dict(base, resume_optimizer=True,
+                     model_save_dir=str(tmp_path / "r1")))
+    t.init()
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(t.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    t2 = Trainer(dict(base, model_save_dir=str(tmp_path / "r2")))
+    t2.init()
+    # default: fresh optimizer (reference behavior) - second moments zero
+    assert any(
+        np.asarray(l).sum() == 0.0 and np.asarray(a).sum() != 0.0
+        for l, a in zip(jax.tree.leaves(t2.state.opt_state),
+                        jax.tree.leaves(state.opt_state))
+    )
