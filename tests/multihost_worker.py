@@ -1,0 +1,83 @@
+"""Worker for tests/test_multihost.py: one of two cooperating processes
+running the REAL multi-host path (jax.distributed over a localhost
+coordinator, Gloo CPU collectives, make_array_from_process_local_data).
+
+Usage: python tests/multihost_worker.py <process_id> <coordinator_port>
+Prints one line: MH <pid> <loss0> <loss1>
+"""
+
+import sys
+
+import jax
+
+# the container's sitecustomize force-registers the axon TPU backend and
+# overrides jax_platforms; this worker must be CPU (2 virtual devices set
+# via XLA_FLAGS by the parent test)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+from yogo_tpu.models.yogo import YOGO
+from yogo_tpu.parallel.distributed import initialize_multihost, process_shard
+from yogo_tpu.parallel.mesh import (
+    data_sharded,
+    get_mesh,
+    replicated,
+    shard_batch,
+)
+from yogo_tpu.train import TrainState, make_optimizer, make_train_step
+
+
+def main() -> None:
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    # exercises the env-var path of initialize_multihost (the parent sets
+    # JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID)
+    assert initialize_multihost() is True
+    assert jax.process_count() == 2
+    assert process_shard() == (pid, 2), process_shard()
+
+    model = YOGO.create((48, 64), 0.08, 0.1, num_classes=3,
+                        model_version="quarter_filters")
+    variables = model.init(jax.random.key(0))
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    mesh = get_mesh()  # global: 2 processes x 2 local devices
+    assert mesh.size == 4
+    rep, dat, msk = replicated(mesh), data_sharded(mesh), data_sharded(mesh, 1)
+    step = make_train_step(
+        model, tx,
+        dict(no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+             label_smoothing=0.01),
+    )
+    jstep = jax.jit(step, in_shardings=(rep, dat, dat, msk, rep),
+                    out_shardings=(rep, rep, rep))
+
+    # each process contributes ITS half of the deterministic global batch
+    Sx, Sy = model.grid
+    rng = np.random.default_rng(7)
+    imgs_g = rng.integers(0, 255, (4, 1, 48, 64)).astype(np.uint8)
+    labels_g = np.zeros((4, 6, Sy, Sx), np.float32)
+    labels_g[:, :, 2, 3] = np.array([1, 0.4, 0.4, 0.6, 0.6, 1.0])
+    mask_g = np.ones(4, np.float32)
+    lo, hi = pid * 2, pid * 2 + 2
+    imgs_d, labels_d, mask_d = shard_batch(
+        mesh, imgs_g[lo:hi], labels_g[lo:hi], mask_g[lo:hi]
+    )
+
+    losses = []
+    for _ in range(2):
+        state, loss, _ = jstep(state, imgs_d, labels_d, mask_d, jax.random.key(1))
+        losses.append(float(loss))
+    print(f"MH {pid} {losses[0]:.6f} {losses[1]:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

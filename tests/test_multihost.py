@@ -1,0 +1,119 @@
+"""REAL multi-host execution: two OS processes, a localhost coordinator,
+Gloo CPU collectives, and the make_array_from_process_local_data global-batch
+path in parallel/mesh.shard_batch - previously the one parallelism branch no
+test could reach (the reference exercises its DDP analog only on SLURM,
+scripts/submit_cmd_multi_gpu.sh).
+
+Each worker holds 2 virtual CPU devices (global mesh = 4) and its half of a
+deterministic global batch; both run 2 jitted train steps. The losses must
+match across processes AND match a single-process run of the same global
+batch on a 4-device mesh (SPMD value semantics are placement-invariant).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_training_matches_single_process():
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
+                 str(pid), str(port)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost workers timed out")
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    rows = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MH "):
+                _, pid, l0, l1 = line.split()
+                rows[int(pid)] = (float(l0), float(l1))
+    assert set(rows) == {0, 1}, f"missing worker output: {outs}"
+    # both processes observe the same (replicated) global loss
+    np.testing.assert_allclose(rows[0], rows[1], rtol=1e-6)
+
+    # single-process run over the same GLOBAL batch on a 4-device mesh
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.parallel.mesh import (
+        data_sharded,
+        get_mesh,
+        replicated,
+        shard_batch,
+    )
+    from yogo_tpu.train import TrainState, make_optimizer, make_train_step
+
+    model = YOGO.create((48, 64), 0.08, 0.1, num_classes=3,
+                        model_version="quarter_filters")
+    variables = model.init(jax.random.key(0))
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    mesh = get_mesh(jax.devices()[:4])
+    rep, dat, msk = replicated(mesh), data_sharded(mesh), data_sharded(mesh, 1)
+    step = make_train_step(
+        model, tx,
+        dict(no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+             label_smoothing=0.01),
+    )
+    jstep = jax.jit(step, in_shardings=(rep, dat, dat, msk, rep),
+                    out_shardings=(rep, rep, rep))
+    Sx, Sy = model.grid
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 255, (4, 1, 48, 64)).astype(np.uint8)
+    labels = np.zeros((4, 6, Sy, Sx), np.float32)
+    labels[:, :, 2, 3] = np.array([1, 0.4, 0.4, 0.6, 0.6, 1.0])
+    mask = np.ones(4, np.float32)
+    imgs_d, labels_d, mask_d = shard_batch(mesh, imgs, labels, mask)
+    single = []
+    for _ in range(2):
+        state, loss, _ = jstep(state, imgs_d, labels_d, mask_d, jax.random.key(1))
+        single.append(float(loss))
+
+    np.testing.assert_allclose(rows[0], single, rtol=1e-4)

@@ -47,7 +47,8 @@ def shard_batch(mesh: Mesh, *arrays: Any):
     for a in arrays:
         a = np.asarray(a)
         sharding = data_sharded(mesh, a.ndim)
-        if jax.process_count() > 1:  # pragma: no cover - multi-host only
+        if jax.process_count() > 1:  # exercised by tests/test_multihost.py
+            # (two real processes over a localhost coordinator)
             global_shape = (a.shape[0] * jax.process_count(), *a.shape[1:])
             arr = jax.make_array_from_process_local_data(
                 sharding, a, global_shape
