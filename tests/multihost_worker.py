@@ -76,6 +76,21 @@ def main() -> None:
     for _ in range(2):
         state, loss, _ = jstep(state, imgs_d, labels_d, mask_d, jax.random.key(1))
         losses.append(float(loss))
+
+    # process-0-gated checkpointing of the replicated global state, exactly
+    # as Trainer.checkpoint does it (device_get on replicated arrays is
+    # fully addressable from every process)
+    if len(sys.argv) > 3 and jax.process_index() == 0:
+        from yogo_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            sys.argv[3], model,
+            {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+            },
+            classes=["a", "b", "c"], step=2, model_name="mh",
+        )
     print(f"MH {pid} {losses[0]:.6f} {losses[1]:.6f}", flush=True)
 
 

@@ -32,8 +32,9 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_training_matches_single_process():
+def test_two_process_training_matches_single_process(tmp_path):
     port = _free_port()
+    ckpt = tmp_path / "mh.ckpt"
     procs = []
     for pid in range(2):
         env = dict(
@@ -47,7 +48,7 @@ def test_two_process_training_matches_single_process():
         procs.append(
             subprocess.Popen(
                 [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
-                 str(pid), str(port)],
+                 str(pid), str(port), str(ckpt)],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE,
@@ -117,3 +118,22 @@ def test_two_process_training_matches_single_process():
         single.append(float(loss))
 
     np.testing.assert_allclose(rows[0], single, rtol=1e-4)
+
+    # the process-0-gated checkpoint from the 2-process run round-trips:
+    # same tree structure as the single-process state and a working forward.
+    # (Exact param equality across runs is NOT a stable property: AdamW on
+    # noise-level gradients amplifies reduction-order float differences to
+    # ~lr-sized update differences within a couple of steps.)
+    from yogo_tpu.utils.checkpoint import load_checkpoint
+
+    m2, v2, meta = load_checkpoint(ckpt)
+    assert meta["step"] == 2 and m2.model_version == "quarter_filters"
+    assert (
+        jax.tree.structure(jax.tree.map(np.shape, v2["params"]))
+        == jax.tree.structure(jax.tree.map(np.shape, state.params))
+    )
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(v2["params"])):
+        assert np.asarray(a).shape == np.asarray(b).shape
+    out = m2.apply(v2, jnp.asarray(imgs), inference=True)
+    assert np.isfinite(np.asarray(out)).all()
