@@ -158,3 +158,75 @@ def test_image_size(tmp_path):
     bad = tmp_path / "bad.png"
     bad.write_bytes(b"nope")
     assert native.image_size(bad) is None
+
+
+def test_parse_labels_rejects_fractional_class(tmp_path):
+    """The class column must be integer-formed: python does int(token) and
+    raises on '2.0'; the native path defers those files to python (None)
+    instead of silently accepting float classes."""
+    p = tmp_path / "frac.txt"
+    p.write_text("2.0 0.5 0.5 0.1 0.1\n")
+    assert native.parse_labels(p) is None
+    q = tmp_path / "halfcls.txt"
+    q.write_text("1.5 0.5 0.5 0.1 0.1\n")
+    assert native.parse_labels(q) is None
+
+
+def test_parse_labels_short_numeric_first_line_rejected(tmp_path):
+    """A truncated all-numeric FIRST row is a malformed data row, not a
+    header (real headers have non-numeric column names): defer to python,
+    which raises."""
+    p = tmp_path / "shortfirst.txt"
+    p.write_text("0 0.5 0.5 0.1\n1 0.5 0.5 0.1 0.1\n")
+    assert native.parse_labels(p) is None
+
+
+def test_no_native_env_value_semantics(monkeypatch):
+    """YOGO_TPU_NO_NATIVE=0 must keep the native path enabled (any other
+    non-empty value disables it)."""
+    monkeypatch.setenv("YOGO_TPU_NO_NATIVE", "1")
+    assert native.get_lib() is None
+    monkeypatch.setenv("YOGO_TPU_NO_NATIVE", "0")
+    assert native.get_lib() is not None
+    monkeypatch.delenv("YOGO_TPU_NO_NATIVE")
+    assert native.get_lib() is not None
+
+
+def test_decode_rejects_absurd_dimensions(tmp_path):
+    """A crafted header declaring huge dimensions must fail cleanly (ok
+    mask / None), not OOM-kill the process via a multi-GB allocation."""
+    import struct
+    import zlib
+
+    # minimal PNG with an IHDR declaring 50000x50000 (2.5e9 px > cap)
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 50000, 50000, 8, 0, 0, 0, 0)
+    blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    p = tmp_path / "huge.png"
+    p.write_bytes(blob)
+    assert native.decode_image(p, (16, 16)) is None
+
+
+def test_parse_labels_concurrent_threads(tmp_path):
+    """Concurrent parses from worker threads (the DataLoader's pattern) must
+    not interfere: strtok's process-wide static state would mix tokens
+    across threads; strtok_r keeps them independent."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    files = []
+    for i in range(8):
+        p = tmp_path / f"t{i}.txt"
+        rows = [f"{j % 4} 0.{i}{j}5 0.5 0.1 0.1" for j in range(200)]
+        p.write_text("\n".join(rows) + "\n")
+        files.append(p)
+    expected = [native.parse_labels(p) for p in files]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        for _ in range(20):
+            got = list(ex.map(native.parse_labels, files * 4))
+            for g, e in zip(got, expected * 4):
+                np.testing.assert_array_equal(g, e)

@@ -25,6 +25,11 @@ _tried = False
 
 
 def _build() -> bool:
+    # compile to a process-unique temp path then rename: concurrent first
+    # builds from multiple processes (e.g. multi-host training) must never
+    # leave a half-written .so that a sibling dlopens or that poisons the
+    # mtime cache (os.replace is atomic on the same filesystem)
+    tmp = _LIB_PATH.with_suffix(f".so.tmp{os.getpid()}")
     cmd = [
         "g++",
         "-O3",
@@ -33,7 +38,7 @@ def _build() -> bool:
         "-fPIC",
         str(_SRC),
         "-o",
-        str(_LIB_PATH),
+        str(tmp),
         "-lpng",
         "-ljpeg",
         "-lz",
@@ -41,8 +46,10 @@ def _build() -> bool:
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        tmp.unlink(missing_ok=True)
         return False
 
 
@@ -50,13 +57,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library, or None if unavailable.
     Opt out entirely with YOGO_TPU_NO_NATIVE=1."""
     global _lib, _tried
-    if os.environ.get("YOGO_TPU_NO_NATIVE"):
+    if os.environ.get("YOGO_TPU_NO_NATIVE", "0") not in ("", "0"):
         return None
     with _lock:
         if _tried:
             return _lib
         _tried = True
-        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+        # a shipped prebuilt .so without the source is fine; only rebuild
+        # when the source exists and is newer
+        stale = _SRC.exists() and (
+            not _LIB_PATH.exists()
+            or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime
+        )
+        if not _LIB_PATH.exists() and not _SRC.exists():
+            return None
+        if stale:
             if not _build():
                 return None
         try:
@@ -108,7 +123,7 @@ def image_size(path) -> Optional[Tuple[int, int]]:
         return None
     h = ctypes.c_int()
     w = ctypes.c_int()
-    if lib.yogo_image_size(str(path).encode(), ctypes.byref(h), ctypes.byref(w)):
+    if lib.yogo_image_size(os.fsencode(path), ctypes.byref(h), ctypes.byref(w)):
         return None
     return h.value, w.value
 
@@ -122,7 +137,7 @@ def decode_image(
         return None
     out = np.empty((channels, out_hw[0], out_hw[1]), np.uint8)
     rc = lib.yogo_decode_image(
-        str(path).encode(),
+        os.fsencode(path),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out_hw[0],
         out_hw[1],
@@ -142,7 +157,7 @@ def decode_batch(
     n = len(paths)
     out = np.zeros((n, channels, out_hw[0], out_hw[1]), np.uint8)
     ok = np.zeros(n, np.uint8)
-    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
     lib.yogo_decode_batch(
         arr,
         n,
@@ -169,7 +184,7 @@ def parse_labels(path, max_rows: int = 4096) -> Optional[np.ndarray]:
     while True:
         out = np.empty((max_rows, 5), np.float64)
         n = lib.yogo_parse_labels(
-            str(path).encode(),
+            os.fsencode(path),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             max_rows,
         )

@@ -37,6 +37,10 @@ struct Image {
   std::vector<uint8_t> data;  // HWC
 };
 
+// reject absurd declared dimensions before allocating (a crafted header
+// could otherwise drive a multi-GB resize -> bad_alloc)
+constexpr size_t kMaxPixels = size_t(1) << 27;  // 134M px (772x1032 is 0.8M)
+
 bool decode_png(FILE* f, int want_channels, Image* out) {
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
@@ -46,6 +50,9 @@ bool decode_png(FILE* f, int want_channels, Image* out) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return false;
   }
+  // constructed BEFORE setjmp so the longjmp never skips its constructor
+  // and its destructor runs on every return path (no leak, no UB)
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
@@ -74,8 +81,13 @@ bool decode_png(FILE* f, int want_channels, Image* out) {
   out->h = png_get_image_height(png, info);
   out->w = png_get_image_width(png, info);
   out->c = png_get_channels(png, info);
+  if (out->h <= 0 || out->w <= 0 ||
+      size_t(out->h) * out->w > kMaxPixels) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
   out->data.resize(size_t(out->h) * out->w * out->c);
-  std::vector<png_bytep> rows(out->h);
+  rows.resize(out->h);
   for (int y = 0; y < out->h; ++y)
     rows[y] = out->data.data() + size_t(y) * out->w * out->c;
   png_read_image(png, rows.data());
@@ -110,6 +122,11 @@ bool decode_jpeg(FILE* f, int want_channels, Image* out) {
   out->h = cinfo.output_height;
   out->w = cinfo.output_width;
   out->c = cinfo.output_components;
+  if (out->h <= 0 || out->w <= 0 ||
+      size_t(out->h) * out->w > kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   out->data.resize(size_t(out->h) * out->w * out->c);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row =
@@ -219,9 +236,10 @@ void resize_gray(const uint8_t* in, int in_h, int in_w, uint8_t* out,
 extern "C" {
 
 // Decode one image file to `channels`-channel uint8 CHW, resized to
-// (out_h, out_w). Returns 0 on success, negative on error.
+// (out_h, out_w). Returns 0 on success, negative on error. No exception may
+// cross the C ABI (ctypes would hit UB), hence the catch-all.
 int yogo_decode_image(const char* path, uint8_t* out, int out_h, int out_w,
-                      int channels) {
+                      int channels) try {
   Image img;
   if (!decode_file(path, channels, &img)) return -1;
   if (channels == 1) {
@@ -237,15 +255,53 @@ int yogo_decode_image(const char* path, uint8_t* out, int out_h, int out_w,
     }
   }
   return 0;
+} catch (...) {
+  return -1;
 }
 
-// Natural (h, w) of an image without a full decode->resize. Returns 0/-1.
-int yogo_image_size(const char* path, int* h, int* w) {
-  Image img;
-  if (!decode_file(path, 1, &img)) return -1;
-  *h = img.h;
-  *w = img.w;
-  return 0;
+// Natural (h, w) of an image from the HEADER only (no pixel decode).
+// Returns 0/-1.
+int yogo_image_size(const char* path, int* h, int* w) try {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  uint8_t magic[4] = {0};
+  if (fread(magic, 1, 4, f) != 4) {
+    fclose(f);
+    return -1;
+  }
+  rewind(f);
+  int rc = -1;
+  if (magic[0] == 0x89 && magic[1] == 'P') {
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                             nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (png && info && !setjmp(png_jmpbuf(png))) {
+      png_init_io(png, f);
+      png_read_info(png, info);
+      *h = int(png_get_image_height(png, info));
+      *w = int(png_get_image_width(png, info));
+      rc = 0;
+    }
+    if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+  } else if (magic[0] == 0xFF && magic[1] == 0xD8) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (!setjmp(jerr.jb)) {
+      jpeg_create_decompress(&cinfo);
+      jpeg_stdio_src(&cinfo, f);
+      jpeg_read_header(&cinfo, TRUE);
+      *h = int(cinfo.image_height);
+      *w = int(cinfo.image_width);
+      rc = 0;
+    }
+    jpeg_destroy_decompress(&cinfo);
+  }
+  fclose(f);
+  return rc;
+} catch (...) {
+  return -1;
 }
 
 // Thread-pooled batch decode into a preallocated (n, channels, out_h, out_w)
@@ -308,24 +364,48 @@ int yogo_parse_labels(const char* path, double* out, int max_rows) {
 
     double vals[5];
     int got = 0;
-    char* tok = strtok(s, " \n\r");
+    // strtok keeps process-wide static state and the threaded DataLoader
+    // parses labels concurrently (ctypes releases the GIL): strtok_r only
+    char* saveptr = nullptr;
+    char* tok = strtok_r(s, " \n\r", &saveptr);
     while (tok && got < 5) {
       char* end = nullptr;
-      double v = strtod(tok, &end);
-      if (end == tok || *end != '\0') {
-        if (got == 0) {
-          v = -1.0;  // class name token: caller resolves
+      double v;
+      if (got == 0) {
+        // the class column must be INTEGER-FORMED ("2", not "2.0"): the
+        // python path does int(token) and raises otherwise, so numeric
+        // non-integer forms defer to it (-2); non-numeric tokens are class
+        // names the caller resolves (-1 sentinel)
+        long cls = strtol(tok, &end, 10);
+        if (end != tok && *end == '\0') {
+          v = double(cls);
         } else {
+          double dv = strtod(tok, &end);
+          if (end != tok && *end == '\0') {
+            (void)dv;
+            got = -2;  // numeric but not an integer class
+            break;
+          }
+          v = -1.0;  // class name token
+        }
+      } else {
+        v = strtod(tok, &end);
+        if (end == tok || *end != '\0') {
           got = -1;  // non-numeric coordinate
           break;
         }
       }
       vals[got++] = v;
-      tok = strtok(nullptr, " \n\r");
+      tok = strtok_r(nullptr, " \n\r", &saveptr);
+    }
+    if (got == -2) {  // fractional class: python path raises
+      fclose(f);
+      return -2;
     }
     if (got == -1) {
-      // only the first content line may be non-row text (a header);
-      // malformed coordinates further down must error via the python path
+      // only the first content line may be non-row text (a header with
+      // non-numeric column names); malformed coordinates further down
+      // must error via the python path
       if (first_content_line) {
         first_content_line = false;
         continue;
@@ -333,11 +413,10 @@ int yogo_parse_labels(const char* path, double* out, int max_rows) {
       fclose(f);
       return -2;
     }
-    if (got != 5 || tok != nullptr) {  // wrong field count
-      if (first_content_line && got < 5) {
-        first_content_line = false;  // short header line
-        continue;
-      }
+    if (got != 5 || tok != nullptr) {
+      // wrong field count - even on the first line (a short but all-
+      // numeric first row is a truncated data row the python parser
+      // rejects, NOT a header; real headers hit the got==-1 case above)
       fclose(f);
       return -2;
     }
