@@ -97,3 +97,24 @@ def test_infer_flags_match_reference_surface():
         "--use-tqdm",
     ):
         assert flag in r.stdout, f"missing infer flag {flag}"
+
+
+def test_device_flag_actually_switches_backend():
+    """--device must change the executing JAX platform. Regression: the CLI
+    previously only set the JAX_PLATFORMS env var AFTER jax was already
+    imported (and sitecustomize-style setups override the env var anyway),
+    so --device cpu silently kept running on the accelerator."""
+    code = (
+        "from yogo_tpu.utils.argparsers import global_parser\n"  # imports jax
+        "from yogo_tpu.__main__ import apply_device_override\n"
+        "apply_device_override('cpu')\n"
+        "import jax\n"
+        "print('BACKEND=' + jax.default_backend())\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "BACKEND=cpu" in r.stdout

@@ -292,3 +292,20 @@ def test_predict_tolerates_corrupt_image(ckpt_and_images, tmp_path):
     assert any("continuing" in str(r.message) for r in rec)
     # the unaffected batches still produced predictions
     assert res is not None and np.abs(res[0]).sum() > 0
+
+
+def test_get_dataset_rgb_plumb(tmp_path):
+    """predict() forwards the model's RGB setting into the image source:
+    an RGB checkpoint needs (3, H, W) batches (previously get_dataset had
+    no rgb parameter and always produced grayscale)."""
+    from yogo_tpu.data.image_source import get_dataset
+
+    img = np.zeros((10, 12, 3), np.uint8)
+    img[..., 0] = 200  # red-ish so rgb vs gray differ
+    Image.fromarray(img).save(tmp_path / "a.png")
+    ds_rgb = get_dataset(path_to_images=tmp_path, rgb=True)
+    arr, _ = ds_rgb[0]
+    assert arr.shape == (3, 10, 12)
+    ds_gray = get_dataset(path_to_images=tmp_path)
+    arr, _ = ds_gray[0]
+    assert arr.shape == (1, 10, 12)

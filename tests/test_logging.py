@@ -48,3 +48,15 @@ def test_zarr_gated_error(tmp_path):
     if importlib.util.find_spec("zarr") is None:
         with pytest.raises(ImportError, match="path-to-images"):
             ZarrDataset(tmp_path / "x.zarr")
+
+
+def test_finish_flushes_trailing_uncommitted_row(tmp_path):
+    """A trailing commit=False row must survive finish() (it used to be
+    silently dropped when the file closed)."""
+    log = RunLogger(log_dir=tmp_path, use_wandb=False)
+    log.log({"loss": 1.0}, step=1, commit=False)
+    log.finish()
+    lines = [
+        json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any(l.get("loss") == 1.0 and l.get("step") == 1 for l in lines)

@@ -7,16 +7,27 @@ import sys
 from yogo_tpu.utils.argparsers import global_parser
 
 
+def apply_device_override(device) -> None:
+    """Honor --device as a JAX platform override. The env var alone is a
+    no-op here: importing argparsers already imported jax (via the package
+    init), and environments like the axon dev harness override
+    JAX_PLATFORMS from sitecustomize anyway - jax.config.update after
+    import is the mechanism that actually works (same as tests/conftest.py;
+    backends are not yet initialized at this point)."""
+    if not device:
+        return
+    import os
+
+    import jax
+
+    os.environ["JAX_PLATFORMS"] = device  # for any subprocesses
+    jax.config.update("jax_platforms", device)
+
+
 def main() -> None:
     p = global_parser()
     args = p.parse_args()
-
-    # honor --device as a JAX platform override before any jax import
-    device = getattr(args, "device", None)
-    if device:
-        import os
-
-        os.environ["JAX_PLATFORMS"] = device
+    apply_device_override(getattr(args, "device", None))
 
     if args.task == "train":
         from yogo_tpu.train import do_training

@@ -121,6 +121,7 @@ def get_dataset(
     path_to_zarr: Optional[Union[str, Path]] = None,
     crop_hw: Optional[Tuple[int, int]] = None,
     normalize_images: bool = False,
+    rgb: bool = False,
 ) -> Union[ImagePathDataset, ZarrDataset]:
     """Mutually-exclusive source selector
     (reference: yogo/data/image_path_dataset.py:136-159)."""
@@ -130,7 +131,10 @@ def get_dataset(
         )
     if path_to_images is not None:
         return ImagePathDataset(
-            path_to_images, crop_hw=crop_hw, normalize_images=normalize_images
+            path_to_images,
+            crop_hw=crop_hw,
+            normalize_images=normalize_images,
+            rgb=rgb,
         )
     if path_to_zarr is not None:
         return ZarrDataset(

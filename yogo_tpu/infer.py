@@ -145,12 +145,21 @@ def predict(
         )
     if class_names is None and isinstance(cfg, dict):
         class_names = cfg.get("class_names") or cfg.get("classes")
+        if class_names is not None and len(class_names) != num_classes:
+            # stale checkpoint metadata: zipping short names with per-class
+            # counts would silently drop classes from --count output
+            warnings.warn(
+                f"checkpoint lists {len(class_names)} class names but the "
+                f"model has {num_classes} classes; falling back to indices"
+            )
+            class_names = None
 
     dataset = get_dataset(
         path_to_images=path_to_images,
         path_to_zarr=path_to_zarr,
         crop_hw=crop_hw,
         normalize_images=bool(model.normalize_images),
+        rgb=bool(model.is_rgb),  # RGB checkpoints need 3-channel batches
     )
     n_images = len(dataset)
     num_workers = choose_dataloader_num_workers(

@@ -16,6 +16,10 @@ boolean_action = argparse.BooleanOptionalAction
 
 
 def uint(val):
+    # quirk kept deliberately: like the reference validator (reference:
+    # yogo/utils/argparsers.py:14-22) this ACCEPTS 0 despite the message
+    # saying "positive" - matching its accept/reject set exactly is part
+    # of the flag-compatibility contract (tests/test_cli.py)
     try:
         v = int(val)
     except ValueError:

@@ -121,6 +121,7 @@ class RunLogger:
             self._jsonl.flush()
 
     def finish(self) -> None:
+        self._flush_pending()  # a trailing commit=False row must not be lost
         if self.wandb is not None:
             self.wandb.finish()
         if self._jsonl is not None:

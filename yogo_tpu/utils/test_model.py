@@ -52,7 +52,10 @@ def test_model(args) -> None:
             "'test' split fraction"
         )
     test_loader = loaders["test"]
-    test_loader.seed = TEST_SEED
+    # NOTE: the reference seeds its test DataLoader's generator with 111111
+    # (yogo/utils/test_model.py:85), but with shuffle off the seed never
+    # influences iteration order there or here - our test loader iterates
+    # deterministically in dataset order, so no assignment is needed.
 
     metrics = Trainer.test(
         test_loader,
