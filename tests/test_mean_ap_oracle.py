@@ -227,3 +227,62 @@ def test_background_class_divergence_documented():
     oracle_nobg = coco_eval_pseudo_images(pis_nobg, nc)
     ref_map_matched_only = mean_valid(oracle_nobg[:, :nc])
     assert ref_map_matched_only >= ours["map"]
+
+
+def test_reference_background_conversion_is_broken_upstream():
+    """Evidence that the include_background divergence documented above is a
+    BUG FIX, not a parity gap: the reference's own convert_background_errors
+    builds synthetic missed-label prediction rows one column NARROWER than
+    the real rows (it one-hots with the un-expanded class count while
+    appending a background column to the matched preds), so its
+    include_background metrics path raises RuntimeError the moment any
+    label goes undetected. Imported standalone with torchvision stubbed
+    (reference: yogo/utils/prediction_formatting.py:206-251,
+    yogo/metrics.py:36,146-149 pass num_classes WITHOUT background)."""
+    import importlib.util
+    import sys
+    import types
+    from pathlib import Path
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    ref_path = Path("/root/reference/yogo/utils/prediction_formatting.py")
+    if not ref_path.exists():
+        pytest.skip("reference repo unavailable")
+
+    # stub torchvision.ops (absent in this env; only .nms is referenced)
+    tv = types.ModuleType("torchvision")
+    tv_ops = types.ModuleType("torchvision.ops")
+    tv_ops.nms = lambda boxes, scores, iou: torch.arange(len(boxes))
+    tv.ops = tv_ops
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.ops", tv_ops)
+    spec = importlib.util.spec_from_file_location("ref_pred_fmt", ref_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    nc = 3  # real classes, as the reference's Metrics passes
+    matched_pred = torch.tensor([[0.1, 0.1, 0.3, 0.3, 0.9, 0.7, 0.2, 0.1]])
+    matched_label = torch.tensor([[1.0, 0.1, 0.1, 0.3, 0.3, 0.0]])
+    missed = torch.tensor([[1.0, 0.5, 0.5, 0.7, 0.7, 1.0]])
+    pm = mod.PredictionLabelMatch(
+        preds=matched_pred,
+        labels=matched_label,
+        missed_labels=missed,
+        extra_predictions=None,
+    )
+    with pytest.raises(RuntimeError):
+        pm.convert_background_errors(nc)
+
+    # ours handles the same scenario (background gets its own expanded index)
+    from yogo_tpu.ops.postprocess import PredictionLabelMatch as OurPM
+
+    ours = OurPM(
+        preds=matched_pred.numpy(),
+        labels=matched_label.numpy(),
+        missed_labels=missed.numpy(),
+        extra_predictions=None,
+    )
+    conv = ours.convert_background_errors(nc + 1)
+    assert conv.preds.shape[0] == 2 and conv.labels.shape[0] == 2
