@@ -4,6 +4,6 @@
 # static gate is compileall + the stdlib-ast linter in tools/lint.py).
 set -euo pipefail
 cd "$(dirname "$0")"
-python -m compileall -q yogo_tpu tests tools
+python -m compileall -q yogo_tpu tests tools bench.py __graft_entry__.py
 python tools/lint.py
 python -m pytest tests/ -x -q

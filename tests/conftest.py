@@ -27,3 +27,14 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# the cache env vars above are read at jax IMPORT time, which the container's
+# sitecustomize already triggered before this file ran - so they were silent
+# no-ops and every pytest run recompiled from scratch. config.update after
+# import is the mechanism that works (found by review; same class of bug as
+# the CLI --device flag).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ["JAX_COMPILATION_CACHE_DIR"],
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -109,21 +109,37 @@ class Checker(ast.NodeVisitor):
         self.generic_visit(node)
 
     def finish(self, source: str) -> list[tuple[int, str]]:
-        # names used in __all__ strings or noqa'd lines are exempt
+        # names quoted on __all__/getattr lines or noqa'd lines are exempt
         lines = source.splitlines()
+
+        def quoted_reexport(name: str) -> bool:
+            # only count quoted occurrences on export-ish lines, not in
+            # arbitrary strings/docstrings (those hid real unused imports)
+            for line in lines:
+                if (f'"{name}"' in line or f"'{name}'" in line) and (
+                    "__all__" in line or "getattr" in line or "globals(" in line
+                ):
+                    return True
+            return False
+
+        def noqa(line: str) -> bool:
+            # require an actual `# noqa` comment, not the substring inside
+            # string content
+            return "# noqa" in line or "#noqa" in line
+
         for name, lineno in sorted(self.imports.items()):
             if name in self.used or name == "_":
                 continue
-            if f'"{name}"' in source or f"'{name}'" in source:
-                continue  # e.g. __all__ or doc usage
+            if quoted_reexport(name):
+                continue
             line = lines[lineno - 1] if lineno - 1 < len(lines) else ""
-            if "noqa" in line:
+            if noqa(line):
                 continue
             self.problems.append((lineno, f"F401 unused import '{name}'"))
         return [
             (ln, msg)
             for ln, msg in sorted(self.problems)
-            if "noqa" not in (lines[ln - 1] if ln - 1 < len(lines) else "")
+            if not noqa(lines[ln - 1] if ln - 1 < len(lines) else "")
         ]
 
 
@@ -145,9 +161,18 @@ def lint_file(path: Path) -> list[str]:
 
 
 def main(argv: list[str]) -> int:
-    roots = [Path(p) for p in (argv or ["yogo_tpu", "tests", "tools"])]
+    roots = [
+        Path(p)
+        for p in (
+            argv
+            or ["yogo_tpu", "tests", "tools", "bench.py", "__graft_entry__.py"]
+        )
+    ]
     problems: list[str] = []
     for root in roots:
+        if not root.exists():
+            print(f"{root}: path does not exist", file=sys.stderr)
+            return 2
         files = [root] if root.is_file() else sorted(root.rglob("*.py"))
         for f in files:
             problems.extend(lint_file(f))
