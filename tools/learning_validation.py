@@ -48,8 +48,10 @@ from yogo_tpu.train import Trainer
 config = {
     "learning_rate": 2e-3, "decay_factor": 10.0, "weight_decay": 5e-2,
     "label_smoothing": 0.01, "iou_weight": 5.0, "no_obj_weight": 0.5,
-    "classify_weight": 1.0, "epochs": 150, "batch_size": 32,
-    "anchor_w": 0.1, "anchor_h": 0.12, "model": "half_filters",
+    "classify_weight": 1.0, "epochs": int(os.environ.get("LV_EPOCHS", "150")),
+    "batch_size": 32,
+    "anchor_w": 0.1, "anchor_h": 0.12,
+    "model": os.environ.get("LV_MODEL", "half_filters"),
     "half": False, "rgb": False, "image_hw": (96, 128),
     "pretrained_path": None, "normalize_images": False,
     "dataset_split_override": None, "dataset_descriptor_file": str(root/"d.yml"),
