@@ -52,7 +52,8 @@ config = {
     "batch_size": 32,
     "anchor_w": 0.1, "anchor_h": 0.12,
     "model": os.environ.get("LV_MODEL", "half_filters"),
-    "half": False, "rgb": False, "image_hw": (96, 128),
+    "half": os.environ.get("LV_HALF", "0") not in ("", "0"),
+    "rgb": False, "image_hw": (96, 128),
     "pretrained_path": None, "normalize_images": False,
     "dataset_split_override": None, "dataset_descriptor_file": str(root/"d.yml"),
     "use_wandb": False, "name": "learn", "model_save_dir": str(root/"run"),
