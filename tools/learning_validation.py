@@ -59,8 +59,32 @@ config = {
     "use_wandb": False, "name": "learn", "model_save_dir": str(root/"run"),
     "seed": 0,
 }
+if os.environ.get("LV_FINETUNE", "0") not in ("", "0"):
+    # two-stage proof for the --from-pretrained path: half the epochs from
+    # scratch, then fine-tune the checkpoint (BN frozen, reference
+    # tuning=True semantics) for the remainder - the final metrics below
+    # then measure what the FINE-TUNE stage converges to
+    half_epochs = max(1, config["epochs"] // 2)
+    stage1 = dict(config, epochs=half_epochs,
+                  model_save_dir=str(root / "stage1"), name="learn_s1")
+    t1 = Trainer(stage1)
+    t1.init()
+    t1.train()
+    config = dict(
+        config,
+        epochs=config["epochs"] - half_epochs,
+        pretrained_path=str(root / "stage1" / "best.ckpt"),
+        model_save_dir=str(root / "run"),
+        name="learn_ft",
+        resume_optimizer=True,
+    )
+
 t = Trainer(config)
+if os.environ.get("LV_FINETUNE", "0") not in ("", "0"):
+    pass  # tuning (BN freeze) is set automatically from pretrained_path
 t.init()
+if config.get("pretrained_path"):
+    assert t.tuning is True  # BN-freeze fine-tune semantics engaged
 result = t.train()
 mean_loss, mAP, confusion, acc, roc, prec, rec, ece, missed, extra, total, names = result
 print(json.dumps({
