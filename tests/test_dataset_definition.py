@@ -69,16 +69,20 @@ def test_cycle_mutual_detected(tmp_path, pairs):
 
 
 def test_duplicate_paths_rejected(tmp_path, pairs):
-    d = write_defn(tmp_path / "dup.yml", dataset_pairs=[pairs[0], pairs[0]])
-    # same (image, label) pair under two keys collapses in yaml dict... use two files
+    # same (image, label) pair under two DIFFERENT keys in one file
+    # (write_defn keys pairs as pair0/pair1, so yaml does not collapse them)
+    d1 = write_defn(tmp_path / "dup.yml", dataset_pairs=[pairs[0], pairs[0]])
+    with pytest.raises(InvalidDatasetDefinitionFile, match="duplicate"):
+        DatasetDefinition.from_yaml(d1)
+    # and the same pair reached through two child definition files
     write_defn(tmp_path / "c1.yml", dataset_pairs=pairs[:1])
     write_defn(tmp_path / "c2.yml", dataset_pairs=pairs[:1])
-    d = write_defn(
+    d2 = write_defn(
         tmp_path / "dup2.yml",
         defn_paths=[tmp_path / "c1.yml", tmp_path / "c2.yml"],
     )
     with pytest.raises(InvalidDatasetDefinitionFile, match="duplicate"):
-        DatasetDefinition.from_yaml(d)
+        DatasetDefinition.from_yaml(d2)
 
 
 def test_missing_dirs_raise_filenotfound(tmp_path):

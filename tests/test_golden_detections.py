@@ -66,6 +66,12 @@ def test_golden_detections():
 
 
 if __name__ == "__main__":
+    # regeneration must use the SAME CPU numerics the pytest comparison
+    # runs under; without this, sitecustomize-style setups would bake the
+    # golden with accelerator bf16-noisy convs
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     GOLDEN_PATH.parent.mkdir(exist_ok=True)
     preds, dets = compute_outputs()
     np.savez_compressed(

@@ -1,9 +1,6 @@
-"""End-to-end inference + export tests through the CLI surface."""
+"""End-to-end inference + export tests (library surface: predict, writers)."""
 
 import json
-import subprocess
-import sys
-from pathlib import Path
 
 import jax
 import numpy as np
@@ -34,20 +31,6 @@ def ckpt_and_images(tmp_path_factory):
         arr += rng.integers(0, 10, HW).astype(np.uint8)
         Image.fromarray(arr).save(img_dir / f"im{i}.png")
     return ckpt, img_dir, model, variables
-
-
-def run_cli(*args):
-    return subprocess.run(
-        [sys.executable, "-m", "yogo_tpu", *map(str, args)],
-        capture_output=True,
-        text=True,
-        env={
-            **__import__("os").environ,
-            "JAX_PLATFORMS": "cpu",
-            "YOGO_TPU_FORCE_CPU": "1",
-        },
-        cwd=str(Path(__file__).parent.parent),
-    )
 
 
 def test_predict_counts_and_npy(ckpt_and_images, tmp_path):

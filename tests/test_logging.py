@@ -45,9 +45,10 @@ def test_zarr_gated_error(tmp_path):
     from yogo_tpu.data.image_source import ZarrDataset
 
     (tmp_path / "x.zarr").mkdir()
-    if importlib.util.find_spec("zarr") is None:
-        with pytest.raises(ImportError, match="path-to-images"):
-            ZarrDataset(tmp_path / "x.zarr")
+    if importlib.util.find_spec("zarr") is not None:
+        pytest.skip("zarr installed; the gated ImportError path is moot")
+    with pytest.raises(ImportError, match="path-to-images"):
+        ZarrDataset(tmp_path / "x.zarr")
 
 
 def test_finish_flushes_trailing_uncommitted_row(tmp_path):

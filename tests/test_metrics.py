@@ -71,6 +71,7 @@ def test_missed_and_extra_counters():
     # 0 extra but a wrong-class confusion entry - same behavior as the
     # reference, which also matches all preds when M == N.
     assert total[0] == 2
+    assert missed.sum() == 0 and extra.sum() == 0  # all paired, M == N
     assert confusion[0, 0] == 1
     assert confusion[1, 2] == 1  # label b predicted as c
 

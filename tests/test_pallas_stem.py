@@ -101,12 +101,11 @@ def test_fused_stem_against_model_block0():
 
 def test_model_integration_interpret_parity(monkeypatch):
     """YOGO.apply with the fused Pallas stem (interpret mode on CPU) matches
-    the XLA path at bf16 tolerance, and detections agree exactly."""
+    the XLA path at bf16 tolerance (grid-level, w/h compared in log space)."""
     import jax
     import jax.numpy as jnp
 
     from yogo_tpu.models.yogo import YOGO
-    from yogo_tpu.ops.postprocess import format_preds
 
     model = YOGO.create((64, 96), 0.08, 0.1, 3,
                         compute_dtype=jnp.bfloat16)
@@ -128,10 +127,14 @@ def test_model_integration_interpret_parity(monkeypatch):
         np.log(got[:, 2:4]), np.log(ref[:, 2:4]), rtol=0.05, atol=0.1
     )
     np.testing.assert_allclose(got[:, 4:], ref[:, 4:], rtol=0.05, atol=0.02)
-    for i in range(2):
-        d_ref = format_preds(ref[i], obj_thresh=0.45)
-        d_got = format_preds(got[i], obj_thresh=0.45)
-        assert d_ref.shape == d_got.shape
+    # NOTE: no detection-SET comparison here, deliberately. An untrained
+    # net's objectness clusters in [0.45, 0.50] (sigmoid of near-zero
+    # logits), so set membership at any threshold in that band is decided
+    # by bf16 rounding noise, not by stem correctness - the earlier
+    # shape-only check was masking exactly that. The grid-level
+    # comparisons above (incl. log-space w/h) are the rigorous parity
+    # check; trained-model detection agreement is covered by
+    # tests/test_golden_detections.py and the reference-parity tests.
 
 
 def test_model_integration_eligibility(monkeypatch):

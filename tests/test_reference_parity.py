@@ -69,12 +69,17 @@ def test_forward_parity(torch, model_version, tmp_path):
     # within float tolerance")
     from yogo_tpu.ops.postprocess import format_preds
 
+    n_dets = 0
     for i in range(our_out.shape[0]):
         ours_det = format_preds(our_out[i], obj_thresh=0.45)
         ref_det = format_preds(ref_out[i], obj_thresh=0.45)
         assert ours_det.shape == ref_det.shape
+        n_dets += len(ours_det)
         if len(ours_det):
             np.testing.assert_allclose(ours_det, ref_det, rtol=1e-3, atol=1e-4)
+    # guard against the whole check going vacuous (e.g. a decode change
+    # pushing every objectness under the threshold)
+    assert n_dets > 0, "no detections produced; parity check never ran"
 
 
 def test_forward_parity_training_mode_logits(torch):

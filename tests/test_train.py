@@ -80,14 +80,33 @@ def test_cosine_schedule_matches_torch_semantics():
 
 
 def test_grad_clip_elementwise():
-    tx, _ = make_optimizer(1.0, 0.0, 10.0, 100, clip_value=1.0)
-    params = {"w": jnp.zeros(3)}
-    grads = {"w": jnp.array([0.5, 100.0, -100.0])}
-    opt_state = tx.init(params)
-    updates, _ = tx.update(grads, opt_state, params)
-    # after clipping, the two huge grads are identical in magnitude
-    u = np.asarray(updates["w"])
-    assert abs(abs(u[1]) - abs(u[2])) < 1e-6
+    """The +-clip_value elementwise clamp must actually shape what AdamW
+    sees. Single-step symmetric checks are vacuous (Adam's first update is
+    ~lr*sign(g) for ANY magnitude), so feed a magnitude that varies across
+    steps: with the clamp, grads [100, then 1] reach Adam as [1, 1] - the
+    second-step update must match a clean AdamW fed [1, 1], and differ
+    from an unclipped chain fed the raw [100, 1]."""
+    import optax
+
+    def two_steps(tx, g1, g2):
+        params = {"w": jnp.zeros(2)}
+        st = tx.init(params)
+        u1, st = tx.update({"w": jnp.asarray(g1)}, st, params)
+        params = optax.apply_updates(params, u1)
+        u2, _ = tx.update({"w": jnp.asarray(g2)}, st, params)
+        return np.asarray(u2["w"])
+
+    tx_clip, _ = make_optimizer(1e-2, 0.0, 10.0, 100, clip_value=1.0)
+    # same cosine schedule as make_optimizer, just without the clip stage
+    sched = optax.cosine_decay_schedule(1e-2, 100, alpha=0.1)
+    tx_plain = optax.adamw(learning_rate=sched, weight_decay=0.0)
+
+    ours = two_steps(tx_clip, [100.0, -100.0], [1.0, -1.0])
+    clipped_equiv = two_steps(tx_plain, [1.0, -1.0], [1.0, -1.0])
+    unclipped = two_steps(tx_plain, [100.0, -100.0], [1.0, -1.0])
+
+    np.testing.assert_allclose(ours, clipped_equiv, rtol=1e-5)
+    assert not np.allclose(ours, unclipped, rtol=1e-3)
 
 
 def test_train_step_runs_and_descends_on_mesh():
@@ -140,6 +159,8 @@ def test_train_step_image_mask_excludes_padding():
                             jnp.asarray(imgs[:4]), jnp.asarray(labels[:4]),
                             jnp.asarray(mask[:4]))
     np.testing.assert_allclose(float(half_loss), float(ref_loss), rtol=1e-4)
+    # negative case: the mask genuinely changes the result
+    assert not np.isclose(float(half_loss), float(full_loss))
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -293,17 +314,29 @@ def test_tuning_train_step_freezes_bn():
     # two modes must produce different losses (same dropout rng both times)
     assert not np.isclose(float(tune_loss), float(norm_loss))
 
-    # eval-BN forward parity: the tuning forward equals an explicit
-    # eval-BN application (identical dropout key isolates the BN behavior)
+    # eval-BN forward parity at the BN layer itself: bn0's output (block 0
+    # precedes every dropout layer, so it is rng-independent) must be
+    # IDENTICAL between the tuning-mode train forward and an eval forward,
+    # and differ from the batch-stats train forward - comparing two
+    # identical calls would only prove determinism.
     v = {"params": state.params, "batch_stats": state.batch_stats}
-    k = jax.random.key(7)
-    x = jnp.asarray(imgs)
-    out_tuning = model.apply(v, x, train=True, tuning=True,
-                             rngs={"dropout": k})
-    out_tuning2 = model.apply(v, x, train=True, tuning=True,
-                              rngs={"dropout": k})
-    np.testing.assert_array_equal(np.asarray(out_tuning),
-                                  np.asarray(out_tuning2))
+    module = model.module()
+    x_nhwc = jnp.transpose(jnp.asarray(imgs).astype(jnp.float32), (0, 2, 3, 1))
+
+    def bn0_out(**kw):
+        _, aux = module.apply(
+            v, x_nhwc, capture_intermediates=True,
+            mutable=["intermediates", "batch_stats"], **kw,
+        )
+        return np.asarray(aux["intermediates"]["bn0"]["__call__"][0])
+
+    tuning_bn = bn0_out(train=True, bn_frozen=True,
+                        rngs={"dropout": jax.random.key(7)})
+    eval_bn = bn0_out(train=False)
+    batch_bn = bn0_out(train=True, bn_frozen=False,
+                       rngs={"dropout": jax.random.key(7)})
+    np.testing.assert_array_equal(tuning_bn, eval_bn)
+    assert not np.allclose(tuning_bn, batch_bn)
 
 
 def test_trainer_sets_tuning_from_pretrained(tmp_path):
