@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 from PIL import Image
 
+from yogo_tpu.models.defns import MODELS
 from yogo_tpu.models.yogo import YOGO
 from yogo_tpu.utils.checkpoint import save_checkpoint
 
@@ -292,3 +293,17 @@ def test_get_dataset_rgb_plumb(tmp_path):
     ds_gray = get_dataset(path_to_images=tmp_path)
     arr, _ = ds_gray[0]
     assert arr.shape == (1, 10, 12)
+
+
+@pytest.mark.parametrize("version", sorted(MODELS))
+def test_onnx_parity_every_architecture(version):
+    """Writer + interpreter reproduce the jax forward for EVERY registered
+    architecture (incl. the ConvTranspose-bearing convnext head) at the
+    reference tolerance."""
+    from yogo_tpu.utils.export_model import build_onnx, verify_onnx
+
+    hw = (64, 96) if version == "convnext_small" else (32, 48)
+    model = YOGO.create(hw, 0.1, 0.12, 3, model_version=version)
+    variables = model.init(jax.random.key(5))
+    blob = build_onnx(model, variables, batch_size=2)
+    verify_onnx(model, variables, blob, batch_size=2, seed=5)
