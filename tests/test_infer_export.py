@@ -307,3 +307,31 @@ def test_onnx_parity_every_architecture(version):
     variables = model.init(jax.random.key(5))
     blob = build_onnx(model, variables, batch_size=2)
     verify_onnx(model, variables, blob, batch_size=2, seed=5)
+
+
+@pytest.mark.parametrize(
+    "version", ["base_model", "depth_ver_2", "convnext_small"]
+)
+def test_stablehlo_roundtrip_architectures(version, tmp_path):
+    """Serialized StableHLO deserializes and reproduces the jax forward for
+    structurally distinct architectures (plain stack, deeper stack, the
+    ConvTranspose-bearing convnext)."""
+    from jax import export as jexport
+
+    from yogo_tpu.utils.export_model import export_stablehlo
+
+    hw = (64, 96) if version == "convnext_small" else (32, 48)
+    model = YOGO.create(hw, 0.1, 0.12, 3, model_version=version)
+    variables = model.init(jax.random.key(6))
+    target = tmp_path / "m.stablehlo"
+    export_stablehlo(model, variables, target, batch_size=2)
+
+    exported = jexport.deserialize(target.read_bytes())
+    x = np.random.default_rng(6).integers(
+        0, 256, (2, model.input_channels, *hw)
+    ).astype(np.uint8)
+    got = np.asarray(exported.call(x))
+    import jax.numpy as jnp
+
+    want = np.asarray(model.apply(variables, jnp.asarray(x), inference=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
