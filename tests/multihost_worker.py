@@ -33,11 +33,14 @@ from yogo_tpu.train import TrainState, make_optimizer, make_train_step
 def main() -> None:
     pid = int(sys.argv[1])
     port = sys.argv[2]
+    import os
+
+    nproc = int(os.environ["JAX_NUM_PROCESSES"])
     # exercises the env-var path of initialize_multihost (the parent sets
     # JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID)
     assert initialize_multihost() is True
-    assert jax.process_count() == 2
-    assert process_shard() == (pid, 2), process_shard()
+    assert jax.process_count() == nproc
+    assert process_shard() == (pid, nproc), process_shard()
 
     model = YOGO.create((48, 64), 0.08, 0.1, num_classes=3,
                         model_version="quarter_filters")
@@ -49,7 +52,7 @@ def main() -> None:
         opt_state=tx.init(variables["params"]),
         step=jnp.asarray(0, jnp.int32),
     )
-    mesh = get_mesh()  # global: 2 processes x 2 local devices
+    mesh = get_mesh()  # global mesh over all processes' devices
     assert mesh.size == 4
     rep, dat, msk = replicated(mesh), data_sharded(mesh), data_sharded(mesh, 1)
     step = make_train_step(
@@ -67,7 +70,8 @@ def main() -> None:
     labels_g = np.zeros((4, 6, Sy, Sx), np.float32)
     labels_g[:, :, 2, 3] = np.array([1, 0.4, 0.4, 0.6, 0.6, 1.0])
     mask_g = np.ones(4, np.float32)
-    lo, hi = pid * 2, pid * 2 + 2
+    per = 4 // nproc
+    lo, hi = pid * per, pid * per + per
     imgs_d, labels_d, mask_d = shard_batch(
         mesh, imgs_g[lo:hi], labels_g[lo:hi], mask_g[lo:hi]
     )

@@ -32,17 +32,25 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_training_matches_single_process(tmp_path):
+# nproc=4 is NOT run here: this container has ONE CPU core, and four
+# simultaneously-compiling python processes cannot all reach the Gloo
+# rendezvous within its 30s KV deadline (DEADLINE_EXCEEDED on
+# cpu:gloo/... observed). The worker itself is nproc-generic.
+@pytest.mark.parametrize("nproc", [2])
+def test_multi_process_training_matches_single_process(tmp_path, nproc):
     port = _free_port()
     ckpt = tmp_path / "mh.ckpt"
+    devs_per_proc = 4 // nproc
     procs = []
-    for pid in range(2):
+    for pid in range(nproc):
         env = dict(
             os.environ,
             PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}",
-            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            XLA_FLAGS=(
+                f"--xla_force_host_platform_device_count={devs_per_proc}"
+            ),
             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-            JAX_NUM_PROCESSES="2",
+            JAX_NUM_PROCESSES=str(nproc),
             JAX_PROCESS_ID=str(pid),
         )
         procs.append(
@@ -72,9 +80,10 @@ def test_two_process_training_matches_single_process(tmp_path):
             if line.startswith("MH "):
                 _, pid, l0, l1 = line.split()
                 rows[int(pid)] = (float(l0), float(l1))
-    assert set(rows) == {0, 1}, f"missing worker output: {outs}"
-    # both processes observe the same (replicated) global loss
-    np.testing.assert_allclose(rows[0], rows[1], rtol=1e-6)
+    assert set(rows) == set(range(nproc)), f"missing worker output: {outs}"
+    # every process observes the same (replicated) global loss
+    for pid in range(1, nproc):
+        np.testing.assert_allclose(rows[0], rows[pid], rtol=1e-6)
 
     # single-process run over the same GLOBAL batch on a 4-device mesh
     from yogo_tpu.models.yogo import YOGO
