@@ -10,7 +10,6 @@ Pure numpy on the host - this feeds the same device pipeline as real data.
 
 from __future__ import annotations
 
-import threading
 import warnings
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -46,10 +45,12 @@ class BlobDataset:
         self.area_threshold = 500
         # np.random.Generator is NOT thread-safe and the loader calls
         # __getitem__ from worker threads: hand each item its own child
-        # generator, spawned under a lock (reference uses one generator but
-        # runs in separate DataLoader worker *processes*)
-        self._seed_seq = np.random.SeedSequence(seed)
-        self._seed_lock = threading.Lock()
+        # generator derived deterministically from (entropy, idx). Lock-free
+        # AND reproducible: dataset[i] is identical on every access and
+        # across runs for a fixed seed, regardless of call/thread order
+        # (reference uses one generator but runs in separate DataLoader
+        # worker *processes*)
+        self._entropy = np.random.SeedSequence(seed).entropy
 
         dir_paths: Dict[int, List[Path]] = {
             self._convert_label(k, classes): [Path(p) for p in v]
@@ -175,9 +176,9 @@ class BlobDataset:
         if idx >= self.length:
             raise IndexError(f"index {idx} is out of bounds for length {self.length}")
 
-        with self._seed_lock:
-            child = self._seed_seq.spawn(1)[0]
-        rng = np.random.default_rng(child)
+        rng = np.random.default_rng(
+            np.random.SeedSequence(entropy=self._entropy, spawn_key=(idx,))
+        )
         choice = rng.integers(0, len(self.thumbnails), size=self.n)
         picked = [
             (int(self.thumb_classes[i]), self.thumbnails[i]) for i in choice

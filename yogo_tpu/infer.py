@@ -247,97 +247,101 @@ def predict(
     starts = list(range(0, n_images, batch_size))
     # double-buffered prefetch: decode batch i+1 while batch i computes
     prefetcher = ThreadPoolExecutor(max_workers=1)
-    pending = prefetcher.submit(load_batch, starts[0]) if starts else None
+    # pools must not leak worker threads if the forward or a
+    # postprocess step raises mid-run (long-lived caller processes)
+    try:
+        pending = prefetcher.submit(load_batch, starts[0]) if starts else None
 
-    for bi, start in enumerate(starts):
-        # tolerate malformed images: warn and skip the batch, like the
-        # reference's inference loop (reference: yogo/infer.py:299-309)
-        try:
-            imgs, names, real = pending.result()
-        except Exception as e:
-            warnings.warn(f"got error {e}; continuing")
+        for bi, start in enumerate(starts):
+            # tolerate malformed images: warn and skip the batch, like the
+            # reference's inference loop (reference: yogo/infer.py:299-309)
+            try:
+                imgs, names, real = pending.result()
+            except Exception as e:
+                warnings.warn(f"got error {e}; continuing")
+                pending = (
+                    prefetcher.submit(load_batch, starts[bi + 1])
+                    if bi + 1 < len(starts)
+                    else None
+                )
+                continue
             pending = (
                 prefetcher.submit(load_batch, starts[bi + 1])
                 if bi + 1 < len(starts)
                 else None
             )
-            continue
-        pending = (
-            prefetcher.submit(load_batch, starts[bi + 1])
-            if bi + 1 < len(starts)
-            else None
-        )
 
-        imgs_j = jnp.asarray(imgs)
-        if count_predictions and not needs_full:
-            # fully fused on device: forward + NMS + count, no big transfers;
-            # padded tail images are excluded by mask (a [:real] slice would
-            # change the shape and recompile per distinct tail size)
-            counts = count_class_predictions(
-                forward(imgs_j),
-                obj_thresh=obj_thresh,
-                iou_thresh=iou_thresh,
-                min_class_confidence_threshold=min_class_confidence_threshold,
-                image_mask=jnp.arange(batch_size) < real,
-            )
-            tot_counts += np.asarray(counts, np.int64)
-            if pbar:
-                pbar.update(real)
-            continue
-
-        res = np.asarray(forward(imgs_j))[:real]
-
-        if draw_boxes:
-            from yogo_tpu.utils.drawing import draw_yogo_prediction
-
-            for j in range(real):
-                bbox_img = draw_yogo_prediction(
-                    img=imgs[j],
-                    prediction=res[j],
+            imgs_j = jnp.asarray(imgs)
+            if count_predictions and not needs_full:
+                # fully fused on device: forward + NMS + count, no big transfers;
+                # padded tail images are excluded by mask (a [:real] slice would
+                # change the shape and recompile per distinct tail size)
+                counts = count_class_predictions(
+                    forward(imgs_j),
                     obj_thresh=obj_thresh,
                     iou_thresh=iou_thresh,
                     min_class_confidence_threshold=min_class_confidence_threshold,
-                    labels=class_names,
-                    images_are_normalized=bool(model.normalize_images),
+                    image_mask=jnp.arange(batch_size) < real,
                 )
-                if output_dir is not None:
-                    out = (
-                        Path(output_dir)
-                        / Path(names[j]).with_suffix(output_img_ftype).name
-                    )
-                    bbox_img.save(out)
-                else:
-                    bbox_img.show()
-        if save_preds:
-            out_fnames = [
-                Path(output_dir) / Path(n).with_suffix(".txt").name
-                for n in names
-            ]
-            save_predictions(
-                out_fnames, res, obj_thresh=obj_thresh, iou_thresh=iou_thresh
-            )
-        if save_npy:
-            for j in range(real):
-                np_results.append(
-                    format_to_numpy(
-                        start + j, res[j], int(img_h), int(img_w)
-                    )
-                )
-        if count_predictions:
-            tot_counts += get_prediction_class_counts(
-                res,
-                obj_thresh=obj_thresh,
-                iou_thresh=iou_thresh,
-                min_class_confidence_threshold=min_class_confidence_threshold,
-            )
-        if return_full_predictions:
-            results[start : start + real] = res
-        if pbar:
-            pbar.update(real)
+                tot_counts += np.asarray(counts, np.int64)
+                if pbar:
+                    pbar.update(real)
+                continue
 
-    prefetcher.shutdown(wait=False)
-    if decode_pool is not None:
-        decode_pool.shutdown(wait=False)
+            res = np.asarray(forward(imgs_j))[:real]
+
+            if draw_boxes:
+                from yogo_tpu.utils.drawing import draw_yogo_prediction
+
+                for j in range(real):
+                    bbox_img = draw_yogo_prediction(
+                        img=imgs[j],
+                        prediction=res[j],
+                        obj_thresh=obj_thresh,
+                        iou_thresh=iou_thresh,
+                        min_class_confidence_threshold=min_class_confidence_threshold,
+                        labels=class_names,
+                        images_are_normalized=bool(model.normalize_images),
+                    )
+                    if output_dir is not None:
+                        out = (
+                            Path(output_dir)
+                            / Path(names[j]).with_suffix(output_img_ftype).name
+                        )
+                        bbox_img.save(out)
+                    else:
+                        bbox_img.show()
+            if save_preds:
+                out_fnames = [
+                    Path(output_dir) / Path(n).with_suffix(".txt").name
+                    for n in names
+                ]
+                save_predictions(
+                    out_fnames, res, obj_thresh=obj_thresh, iou_thresh=iou_thresh
+                )
+            if save_npy:
+                for j in range(real):
+                    np_results.append(
+                        format_to_numpy(
+                            start + j, res[j], int(img_h), int(img_w)
+                        )
+                    )
+            if count_predictions:
+                tot_counts += get_prediction_class_counts(
+                    res,
+                    obj_thresh=obj_thresh,
+                    iou_thresh=iou_thresh,
+                    min_class_confidence_threshold=min_class_confidence_threshold,
+                )
+            if return_full_predictions:
+                results[start : start + real] = res
+            if pbar:
+                pbar.update(real)
+
+    finally:
+        prefetcher.shutdown(wait=False)
+        if decode_pool is not None:
+            decode_pool.shutdown(wait=False)
     if pbar:
         pbar.close()
 

@@ -275,12 +275,16 @@ int yogo_image_size(const char* path, int* h, int* w) try {
     png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                              nullptr, nullptr);
     png_infop info = png ? png_create_info_struct(png) : nullptr;
-    if (png && info && !setjmp(png_jmpbuf(png))) {
-      png_init_io(png, f);
-      png_read_info(png, info);
-      *h = int(png_get_image_height(png, info));
-      *w = int(png_get_image_width(png, info));
-      rc = 0;
+    // setjmp must be the ENTIRE controlling expression (C 7.13.1.1): using
+    // it as an operand of && is formally undefined behavior
+    if (png && info) {
+      if (!setjmp(png_jmpbuf(png))) {
+        png_init_io(png, f);
+        png_read_info(png, info);
+        *h = int(png_get_image_height(png, info));
+        *w = int(png_get_image_width(png, info));
+        rc = 0;
+      }
     }
     if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
   } else if (magic[0] == 0xFF && magic[1] == 0xD8) {
