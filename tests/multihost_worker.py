@@ -32,7 +32,6 @@ from yogo_tpu.train import TrainState, make_optimizer, make_train_step
 
 def main() -> None:
     pid = int(sys.argv[1])
-    port = sys.argv[2]
     import os
 
     nproc = int(os.environ["JAX_NUM_PROCESSES"])

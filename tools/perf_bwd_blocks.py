@@ -43,7 +43,7 @@ def timeit(jfn, *args, reps=3):
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        v = float(jfn(*args))
+        _ = float(jfn(*args))  # scalar fetch = honest fence
         dt = time.perf_counter() - t0
         best = min(best, dt)
     return best / K * 1000.0

@@ -24,7 +24,7 @@ def timeit(fn, *args, reps=3):
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        v = float(jnp.sum(jfn(*args)))  # scalar fetch = honest fence
+        _ = float(jnp.sum(jfn(*args)))  # scalar fetch = honest fence
         dt = time.perf_counter() - t0
         best = min(best, dt)
     return best / K * 1000.0  # ms per batch

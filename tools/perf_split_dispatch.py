@@ -46,7 +46,7 @@ def main():
     for rep in range(3):
         t0 = time.perf_counter()
         acc = [fwd_sum(b) for b in batches]
-        total = float(sum(acc))
+        _ = float(sum(acc))  # scalar fetch = honest fence
         dt = (time.perf_counter() - t0) / K
         print(f"xla async-dispatch: {dt * 1000:.2f} ms/batch = {BS / dt:.0f} img/s")
 
@@ -78,7 +78,7 @@ def main():
         for rep in range(3):
             t0 = time.perf_counter()
             acc = [rest(stem_only(b)) for b in batches]
-            total = float(sum(acc))
+            _ = float(sum(acc))  # scalar fetch = honest fence
             dt = (time.perf_counter() - t0) / K
             print(
                 f"pallas split-jit:  {dt * 1000:.2f} ms/batch = {BS / dt:.0f} img/s"

@@ -24,7 +24,6 @@ K = 8
 
 
 def main():
-    rng = np.random.default_rng(0)
     model = YOGO.create(
         (772, 1032), df.ANCHOR_W, df.ANCHOR_H, num_classes=7,
         compute_dtype=jnp.bfloat16,

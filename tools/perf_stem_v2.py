@@ -59,7 +59,6 @@ def main():
     scale = jnp.asarray(rng.normal(1, 0.1, 16), jnp.bfloat16)
     bias16 = jnp.asarray(rng.normal(0, 0.1, 16), jnp.bfloat16)
     w1_hwio = jnp.asarray(rng.normal(0, 0.1, (3, 3, 16, 32)), jnp.bfloat16)
-    w1_oihw = jnp.transpose(w1_hwio, (3, 2, 0, 1))
 
     results = {}
 
