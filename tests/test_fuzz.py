@@ -1,0 +1,171 @@
+"""Property-fuzz tests (VERDICT r2 weak #5): many random seeds of random
+matched/missed/extra scenarios asserting metrics/mean_ap.py equals the
+independent pseudo-image COCO oracle, and the device batched_nms equals the
+host greedy oracle, including the classic divergence corners: boundary IoUs
+exactly at thresholds, duplicate scores (tie-breaks), zero-GT classes,
+zero-area boxes, and fully-masked images.
+
+Box coordinates are dyadic rationals (integer grids scaled by powers of two)
+so every IoU is computed exactly and identically in f32 and f64 - a pair
+constructed at IoU 0.5 really compares equal to the 0.5 threshold on both
+sides, exercising the >= / > edges rather than float noise.
+"""
+
+import numpy as np
+import pytest
+
+from tests.test_mean_ap_oracle import (
+    _iou,
+    build_pseudo_images,
+    coco_eval_pseudo_images,
+    run_ours,
+)
+from yogo_tpu.metrics.mean_ap import IOU_THRESHOLDS
+from yogo_tpu.ops.nms import batched_nms, nms_numpy
+
+N_SEEDS = 60
+
+
+def _exact_iou_pair(rng, target: float):
+    """Two boxes whose IoU is EXACTLY target (a dyadic rational) in f64.
+
+    Nested boxes: gt is a (2s x 2s) square, pred shares the corner with area
+    frac * gt_area where frac = target/(1 something)... solved directly:
+    pred fully inside gt with area a, gt area g: IoU = a/g. So make
+    a/g == target exactly by integer side lengths on a /1024 grid.
+    """
+    # represent target as p/q with q a power-of-two-friendly small int
+    p, q = {0.5: (1, 2), 0.25: (1, 4), 0.75: (3, 4), 0.95: (19, 20)}[target]
+    # gt: q x 16 rectangle, pred: p x 16 nested -> areas q*16, p*16
+    s = 1.0 / 1024.0
+    x0 = int(rng.integers(0, 900))
+    y0 = int(rng.integers(0, 900))
+    gt = (x0 * s, y0 * s, (x0 + q) * s, (y0 + 16) * s)
+    pred = (x0 * s, y0 * s, (x0 + p) * s, (y0 + 16) * s)
+    assert _iou(pred, gt) == p / q
+    return pred, gt
+
+
+def _random_pair(rng):
+    s = 1.0 / 1024.0
+    x0, y0 = (int(v) for v in rng.integers(0, 800, 2))
+    w, h = (int(v) for v in rng.integers(4, 64, 2))
+    gt = (x0 * s, y0 * s, (x0 + w) * s, (y0 + h) * s)
+    dx, dy = (int(v) for v in rng.integers(-16, 17, 2))
+    pred = (
+        (x0 + dx) * s,
+        (y0 + dy) * s,
+        (x0 + dx + w) * s,
+        (y0 + dy + h) * s,
+    )
+    return pred, gt
+
+
+def _random_box(rng):
+    s = 1.0 / 1024.0
+    x0, y0 = (int(v) for v in rng.integers(0, 900, 2))
+    w, h = (int(v) for v in rng.integers(1, 80, 2))
+    return (x0 * s, y0 * s, (x0 + w) * s, (y0 + h) * s)
+
+
+def _quantized_scores(rng, n):
+    # 20 score levels -> heavy duplication, exercising stable tie-breaks
+    return rng.integers(1, 21, n) / 20.0
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
+def test_fuzz_map_vs_coco_oracle(seed):
+    rng = np.random.default_rng(seed)
+    nc = int(rng.integers(3, 9))
+
+    n_match = int(rng.integers(0, 200))
+    matches = []
+    scores = _quantized_scores(rng, n_match)
+    for i in range(n_match):
+        pc = int(rng.integers(0, nc))
+        # mostly correct class, sometimes confused
+        gc = pc if rng.random() < 0.8 else int(rng.integers(0, nc))
+        if rng.random() < 0.3:
+            target = [0.25, 0.5, 0.75, 0.95][int(rng.integers(0, 4))]
+            pb, gb = _exact_iou_pair(rng, target)
+        else:
+            pb, gb = _random_pair(rng)
+        matches.append((float(scores[i]), pc, gc, pb, gb))
+
+    n_extra = int(rng.integers(0, 30))
+    extra_scores = _quantized_scores(rng, n_extra)
+    extras = [
+        (float(extra_scores[i]), int(rng.integers(0, nc)), _random_box(rng))
+        for i in range(n_extra)
+    ]
+    missed = [int(c) for c in rng.integers(0, nc, int(rng.integers(0, 30)))]
+
+    pis = build_pseudo_images(matches, extras, missed, True, nc)
+    oracle_ap = coco_eval_pseudo_images(pis, nc + 1)[:, :nc]
+    ours = run_ours(matches, extras, missed, nc)
+
+    def mean_valid(a):
+        v = a > -1
+        return float(a[v].mean()) if v.any() else -1.0
+
+    per_class_oracle = np.array(
+        [mean_valid(oracle_ap[:, c]) for c in range(nc)]
+    )
+    np.testing.assert_allclose(
+        ours["map_per_class"], per_class_oracle, atol=1e-12,
+        err_msg=f"seed={seed}",
+    )
+    np.testing.assert_allclose(
+        ours["map"], mean_valid(oracle_ap), atol=1e-12, err_msg=f"seed={seed}"
+    )
+    np.testing.assert_allclose(
+        ours["map_50"], mean_valid(oracle_ap[0]), atol=1e-12,
+        err_msg=f"seed={seed}",
+    )
+    t75 = int(np.argmin(np.abs(IOU_THRESHOLDS - 0.75)))
+    np.testing.assert_allclose(
+        ours["map_75"], mean_valid(oracle_ap[t75]), atol=1e-12,
+        err_msg=f"seed={seed}",
+    )
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
+def test_fuzz_batched_nms_vs_host_oracle(seed):
+    rng = np.random.default_rng(1000 + seed)
+    B = int(rng.integers(1, 4))
+    K = int(rng.integers(4, 65))
+    iou_thresh = [0.25, 0.5][int(rng.integers(0, 2))]
+
+    s = 1.0 / 64.0
+    x0 = rng.integers(0, 48, (B, K, 2))
+    # cluster boxes so overlaps (and exact-threshold IoUs) actually occur;
+    # a few zero-width boxes exercise the degenerate-area path
+    wh = rng.integers(0, 17, (B, K, 2))
+    boxes = np.concatenate([x0 * s, (x0 + wh) * s], axis=-1).astype(np.float32)
+    scores = _quantized_scores(rng, (B, K)).astype(np.float32)
+    valid = rng.random((B, K)) < 0.8
+    if B > 1:
+        valid[0] = False  # one fully-masked image
+
+    keep = np.asarray(
+        batched_nms(boxes, scores, valid, iou_thresh), bool
+    )
+
+    for b in range(B):
+        v_idx = np.flatnonzero(valid[b])
+        want = np.zeros(K, bool)
+        if len(v_idx):
+            kept = nms_numpy(boxes[b, v_idx], scores[b, v_idx], iou_thresh)
+            want[v_idx[kept]] = True
+        got = keep[b] & valid[b]
+        assert np.array_equal(got, want), (
+            f"seed={seed} img={b}: device keep "
+            f"{np.flatnonzero(got)} != oracle {np.flatnonzero(want)}"
+        )
+
+
+def test_exact_iou_pair_constructions():
+    rng = np.random.default_rng(0)
+    for t in (0.25, 0.5, 0.75, 0.95):
+        pb, gb = _exact_iou_pair(rng, t)
+        assert _iou(pb, gb) == t
