@@ -152,11 +152,16 @@ def test_pth_roundtrip(torch, tmp_path):
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-3, atol=1e-5)
 
 
-def test_pth_interop_rejects_convnext_clearly():
-    """The .pth weight-name mapping covers the conv_stack family only; a
-    convnext model must fail with a clear NotImplementedError instead of an
-    opaque KeyError mid-mapping."""
-    import pytest
+def test_pth_interop_convnext_roundtrip():
+    """convnext_small .pth interop (VERDICT r2 missing #2): the timm-naming
+    state dict written by variables_to_state_dict round-trips through
+    state_dict_to_variables to the identical flax tree and identical forward
+    output. timm itself is absent here, so the state dict is built from our
+    own tree; key names and tensor shapes are asserted against the timm>=0.6
+    naming contract the reference's Sequential wrap produces
+    (reference: yogo/model_defns.py:533-558)."""
+    import jax
+    import jax.numpy as jnp
 
     from yogo_tpu.models.yogo import YOGO
     from yogo_tpu.utils.torch_bridge import (
@@ -165,10 +170,46 @@ def test_pth_interop_rejects_convnext_clearly():
     )
 
     cnx = YOGO.create((64, 96), 0.08, 0.1, 3, model_version="convnext_small")
-    with pytest.raises(NotImplementedError, match="conv_stack family only"):
-        state_dict_to_variables({}, cnx.defn)
-    with pytest.raises(NotImplementedError, match="conv_stack family only"):
-        variables_to_state_dict({"params": {}}, cnx)
+    v = cnx.init(jax.random.key(0))
+    sd = variables_to_state_dict(v, cnx)
+
+    # timm naming contract + torch tensor layouts (spot checks)
+    assert tuple(sd["model.0.0.weight"].shape) == (96, 1, 4, 4)  # stem OIHW
+    assert tuple(sd["model.1.1.downsample.1.weight"].shape) == (192, 96, 2, 2)
+    assert tuple(sd["model.1.2.blocks.26.conv_dw.weight"].shape) == (384, 1, 7, 7)
+    assert tuple(sd["model.1.0.blocks.0.mlp.fc1.weight"].shape) == (384, 96)
+    assert tuple(sd["model.1.0.blocks.0.gamma"].shape) == (96,)
+    assert tuple(sd["model.format time!.0.weight"].shape) == (8, 768, 1, 1)
+    # torch ConvTranspose2d weight is (in, out, kh, kw)
+    assert tuple(sd["model.format time!.1.weight"].shape) == (8, 8, 4, 4)
+
+    v2 = state_dict_to_variables(sd, cnx.defn)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v["params"],
+        v2["params"],
+    )
+
+    x = np.random.default_rng(0).integers(0, 255, (1, 1, 64, 96), np.uint8)
+    o1 = np.asarray(cnx.apply(v, jnp.asarray(x), inference=True))
+    o2 = np.asarray(cnx.apply(v2, jnp.asarray(x), inference=True))
+    np.testing.assert_array_equal(o1, o2)
+
+    # full file-level cycle: save_pth writes a reference-loadable checkpoint
+    # (model_version=convnext_small + timm-named weights + config buffers)
+    import tempfile
+
+    from yogo_tpu.utils.torch_bridge import load_pth, save_pth
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/cnx.pth"
+        save_pth(p, cnx, v, classes=["a", "b", "c"], step=7)
+        m3, v3, meta = load_pth(p)
+    assert m3.model_version == "convnext_small"
+    assert m3.grid == cnx.grid
+    assert meta["class_names"] == ["a", "b", "c"] and meta["step"] == 7
+    o3 = np.asarray(m3.apply(v3, jnp.asarray(x), inference=True))
+    np.testing.assert_array_equal(o1, o3)
 
 
 def test_reference_fake_data_is_placeholder_only():

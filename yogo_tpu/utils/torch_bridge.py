@@ -47,16 +47,121 @@ def _torch_key_layout(defn: ModelDefn):
             yield i, s, f"model.{i}.0", bn
 
 
-def _require_conv_stack(defn: ModelDefn) -> None:
-    """The weight-name mapping below is the Sequential-of-conv-blocks
-    layout; a convnext .pth would otherwise fail mid-mapping with an
-    opaque KeyError."""
-    if defn.family != "conv_stack":
+def _require_known_family(defn: ModelDefn) -> None:
+    if defn.family not in ("conv_stack", "convnext"):
         raise NotImplementedError(
-            f".pth interop is implemented for the conv_stack family only; "
-            f"'{defn.name}' is family '{defn.family}' (the reference loads "
-            f"convnext weights through timm, which this environment lacks)"
+            f".pth interop is implemented for the conv_stack and convnext "
+            f"families; '{defn.name}' is family '{defn.family}'"
         )
+
+
+# --------------------------------------------------------------- convnext
+#
+# The reference builds convnext_small as
+#   nn.Sequential(stem, stages) + add_module("format time!", head)
+# from timm's ConvNeXt (reference: yogo/model_defns.py:533-558), so its
+# state-dict keys follow timm's (>=0.6) module naming wrapped in the
+# positional Sequential prefix:
+#   model.0.0 / model.0.1                       stem conv + LayerNorm2d
+#   model.1.{s}.downsample.{0,1}   (s=1..3)     LayerNorm2d + 2x2 conv
+#   model.1.{s}.blocks.{b}.conv_dw|norm|mlp.fc1|mlp.fc2|gamma
+#   model.format time!.0 / model.format time!.1  1x1 conv + ConvTranspose2d
+#
+# Tensor-layout transforms (each verified numerically against torch on CPU):
+#   conv / depthwise conv  (O,I|1,kh,kw) <-> (kh,kw,I|1,O)   transpose 2310
+#   linear                 (O,I)         <-> (I,O)           .T
+#   conv-transpose         (I,O,kh,kw)   <-> (kh,kw,I,O) with SPATIAL FLIP
+#     (torch ConvTranspose2d is the conv adjoint = correlation with the
+#      flipped kernel; flax nn.ConvTranspose does not flip)
+
+CONVNEXT_DEPTHS = (3, 3, 27, 3)
+
+
+def _convnext_key_pairs():
+    """Yield (flax_param_name, torch_key_prefix, kind) for ConvNeXt-Small.
+
+    kind in {conv, dwconv, linear, norm, gamma, convT}; norm maps
+    weight->scale; gamma is a bare parameter (no .weight suffix).
+    """
+    yield "stem_conv", "model.0.0", "conv"
+    yield "stem_norm", "model.0.1", "norm"
+    for s, depth in enumerate(CONVNEXT_DEPTHS):
+        if s > 0:
+            yield f"down{s}_norm", f"model.1.{s}.downsample.0", "norm"
+            yield f"down{s}_conv", f"model.1.{s}.downsample.1", "conv"
+        for b in range(depth):
+            pfx = f"model.1.{s}.blocks.{b}"
+            yield f"stage{s}_block{b}.dwconv", f"{pfx}.conv_dw", "dwconv"
+            yield f"stage{s}_block{b}.norm", f"{pfx}.norm", "norm"
+            yield f"stage{s}_block{b}.pwconv1", f"{pfx}.mlp.fc1", "linear"
+            yield f"stage{s}_block{b}.pwconv2", f"{pfx}.mlp.fc2", "linear"
+            yield f"stage{s}_block{b}.gamma", pfx, "gamma"
+    yield "format_conv", "model.format time!.0", "conv"
+    yield "format_up", "model.format time!.1", "convT"
+
+
+def _tree_set(tree: Dict[str, Any], dotted: str, value: Any) -> None:
+    parts = dotted.split(".")
+    for p in parts[:-1]:
+        tree = tree.setdefault(p, {})
+    tree[parts[-1]] = value
+
+
+def _tree_get(tree: Dict[str, Any], dotted: str) -> Any:
+    for p in dotted.split("."):
+        tree = tree[p]
+    return tree
+
+
+def _convnext_state_dict_to_params(
+    state_dict: Dict[str, Any], np_of
+) -> Dict[str, Any]:
+    params: Dict[str, Any] = {}
+    for flax_name, tkey, kind in _convnext_key_pairs():
+        if kind == "gamma":
+            _tree_set(params, flax_name, np_of(state_dict[f"{tkey}.gamma"]))
+            continue
+        w = np_of(state_dict[f"{tkey}.weight"])
+        b = np_of(state_dict[f"{tkey}.bias"])
+        if kind in ("conv", "dwconv"):
+            _tree_set(params, f"{flax_name}.kernel", np.transpose(w, (2, 3, 1, 0)))
+            _tree_set(params, f"{flax_name}.bias", b)
+        elif kind == "linear":
+            _tree_set(params, f"{flax_name}.kernel", np.transpose(w))
+            _tree_set(params, f"{flax_name}.bias", b)
+        elif kind == "norm":
+            _tree_set(params, f"{flax_name}.scale", w)
+            _tree_set(params, f"{flax_name}.bias", b)
+        elif kind == "convT":
+            _tree_set(
+                params,
+                f"{flax_name}.kernel",
+                np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy(),
+            )
+            _tree_set(params, f"{flax_name}.bias", b)
+    return params
+
+
+def _convnext_params_to_state_dict(params: Dict[str, Any], t) -> Dict[str, Any]:
+    sd: Dict[str, Any] = {}
+    for flax_name, tkey, kind in _convnext_key_pairs():
+        if kind == "gamma":
+            sd[f"{tkey}.gamma"] = t(_tree_get(params, flax_name))
+            continue
+        if kind == "norm":
+            sd[f"{tkey}.weight"] = t(_tree_get(params, f"{flax_name}.scale"))
+        else:
+            k = np.asarray(_tree_get(params, f"{flax_name}.kernel"))
+            if kind in ("conv", "dwconv"):
+                sd[f"{tkey}.weight"] = t(np.transpose(k, (3, 2, 0, 1)))
+            elif kind == "linear":
+                sd[f"{tkey}.weight"] = t(np.transpose(k))
+            elif kind == "convT":
+                sd[f"{tkey}.weight"] = t(
+                    np.transpose(k, (2, 3, 0, 1))[:, :, ::-1, ::-1].copy()
+                )
+        sd[f"{tkey}.bias"] = t(_tree_get(params, f"{flax_name}.bias"))
+    return sd
 
 
 def state_dict_to_variables(
@@ -66,12 +171,15 @@ def state_dict_to_variables(
 
     Conv weights transpose OIHW -> HWIO.
     """
-    _require_conv_stack(defn)
+    _require_known_family(defn)
     params: Dict[str, Any] = {}
     batch_stats: Dict[str, Any] = {}
 
     def np_of(t):
         return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+    if defn.family == "convnext":
+        return {"params": _convnext_state_dict_to_params(state_dict, np_of)}
 
     for i, s, conv_key, bn_key in _torch_key_layout(defn):
         w = np_of(state_dict[f"{conv_key}.weight"])
@@ -101,13 +209,18 @@ def variables_to_state_dict(
     """flax variables -> torch state_dict (including config buffers)."""
     torch = _require_torch()
     defn = model.defn
-    _require_conv_stack(defn)
+    _require_known_family(defn)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     sd: Dict[str, Any] = {}
 
     def t(x):
         return torch.from_numpy(np.array(x, copy=True))
+
+    if defn.family == "convnext":
+        sd = _convnext_params_to_state_dict(params, t)
+        _append_config_buffers(sd, model, t, torch)
+        return sd
 
     for i, s, conv_key, bn_key in _torch_key_layout(defn):
         p = params[f"conv{i}"]
@@ -123,6 +236,11 @@ def variables_to_state_dict(
             sd[f"{bn_key}.running_var"] = t(bns["var"])
             sd[f"{bn_key}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
 
+    _append_config_buffers(sd, model, t, torch)
+    return sd
+
+
+def _append_config_buffers(sd: Dict[str, Any], model: YOGO, t, torch) -> None:
     # config buffers (reference: yogo/model.py:35-65)
     from yogo_tpu.ops.grid import cell_offsets
 
@@ -139,7 +257,6 @@ def variables_to_state_dict(
     sd["_Cys"] = t(cys)
     sd["height_multiplier"] = torch.tensor(model.height_multiplier)
     sd["width_multiplier"] = torch.tensor(model.width_multiplier)
-    return sd
 
 
 def load_pth(
