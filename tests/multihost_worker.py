@@ -41,6 +41,25 @@ def main() -> None:
     assert jax.process_count() == nproc
     assert process_shard() == (pid, nproc), process_shard()
 
+    # Establish the Gloo collective context NOW, while all processes are
+    # still time-aligned from the coordinator connect: XLA's gloo kv
+    # exchange has a hardcoded 30s GetKeyValue deadline, and on a 1-core
+    # host four processes compiling the real train step drift far more than
+    # 30s apart. A trivial all-reduce compiles in ~1s, so every process
+    # reaches it well inside the window; the per-clique gloo pairs it
+    # creates are then reused by the heavy collectives later.
+    from yogo_tpu.parallel.mesh import get_mesh as _gm  # noqa: F811
+
+    _mesh0 = _gm()
+    _x = jax.device_put(
+        np.zeros(len(jax.devices()), np.float32),
+        jax.sharding.NamedSharding(
+            _mesh0, jax.sharding.PartitionSpec("data")
+        ),
+    )
+    _handshake = float(jax.jit(jnp.sum, out_shardings=None)(_x))
+    assert _handshake == 0.0
+
     model = YOGO.create((48, 64), 0.08, 0.1, num_classes=3,
                         model_version="quarter_filters")
     variables = model.init(jax.random.key(0))

@@ -32,12 +32,19 @@ def _free_port() -> int:
     return port
 
 
-# nproc=4 is NOT run here: this container has ONE CPU core, and four
-# simultaneously-compiling python processes cannot all reach the Gloo
-# rendezvous within its 30s KV deadline (DEADLINE_EXCEEDED on
-# cpu:gloo/... observed). The worker itself is nproc-generic.
-@pytest.mark.parametrize("nproc", [2])
+# nproc=4 (one device per process) needs two accommodations for this
+# container's ONE CPU core, both in multihost_worker.py / below:
+#  * a trivial "handshake" all-reduce right after jax.distributed init -
+#    XLA's gloo context setup has a hardcoded 30s GetKeyValue deadline,
+#    and four processes compiling the real train step drift >30s apart
+#    (observed: DEADLINE_EXCEEDED on cpu:gloo/0,2048,4096,6144/1); the
+#    handshake builds the gloo pairs while processes are still aligned.
+#  * 1s-staggered worker starts to ease import contention.
+# With the persistent compile cache warm, the 4-process run takes ~80s.
+@pytest.mark.parametrize("nproc", [2, 4])
 def test_multi_process_training_matches_single_process(tmp_path, nproc):
+    import time
+
     port = _free_port()
     ckpt = tmp_path / "mh.ckpt"
     devs_per_proc = 4 // nproc
@@ -63,6 +70,7 @@ def test_multi_process_training_matches_single_process(tmp_path, nproc):
                 text=True,
             )
         )
+        time.sleep(1)  # stagger starts: ease 1-core import contention
     outs = []
     for p in procs:
         try:
