@@ -14,7 +14,12 @@ from pathlib import Path
 from PIL import Image
 
 import tempfile
-root = Path(tempfile.mkdtemp(prefix="yogo_learn_"))
+# LV_OUT: keep the run dir at a fixed path (fixture generation - the
+# trained best.ckpt + test images become golden-detection fixtures)
+root = Path(os.environ["LV_OUT"]) if os.environ.get("LV_OUT") else Path(
+    tempfile.mkdtemp(prefix="yogo_learn_")
+)
+root.mkdir(parents=True, exist_ok=True)
 classes = ["cell", "parasite"]
 rng = np.random.default_rng(0)
 
