@@ -46,6 +46,32 @@ NUM_BATCHES = 16
 # 512*256*256*4B = 134 MB instead of K=1024's 2.1 GB.
 E2E_MAX_DETECTIONS = 256
 
+# The e2e metric must measure the postprocess at the PRODUCTION operating
+# point. A raw kaiming-initialized net on noise drives sigmoid(objectness)
+# to ~0.5 across the grid, so ~5,300 of 12,513 cells pass the 0.5 filter -
+# 25x the density any trained detector emits (trained models pass
+# ~1.5x the object count; realistic max ~170 objects/image, and the
+# learning-validated checkpoint measures max 6 survivors for 2-4 objects).
+# Scaling the objectness head's kernel and biasing it so that a mean of
+# ~170 (max ~200) cells/image pass reproduces the production detection
+# density (measured sweep in docs/perf-notes.md; the capacity-saturated
+# worst case is also recorded there: 4,586 img/s at K=256).
+E2E_OBJ_KERNEL_SCALE = 0.02
+E2E_OBJ_BIAS = -1.2
+
+
+def production_density_variables(variables):
+    import numpy as np
+
+    v = jax.tree_util.tree_map(lambda a: a, variables)
+    kernel = np.asarray(v["params"]["conv7"]["kernel"]).copy()
+    bias = np.asarray(v["params"]["conv7"]["bias"]).copy()
+    kernel[..., 4] *= E2E_OBJ_KERNEL_SCALE
+    bias[4] = E2E_OBJ_BIAS
+    v["params"]["conv7"]["kernel"] = jnp.asarray(kernel)
+    v["params"]["conv7"]["bias"] = jnp.asarray(bias)
+    return v
+
 
 def measure(model, variables, batch_size: int, with_count: bool = False) -> float:
     from yogo_tpu.ops.postprocess import count_class_predictions
@@ -106,10 +132,11 @@ def main() -> None:
 
     best = e2e = 0.0
     last_err = None
+    e2e_variables = production_density_variables(variables)
     for bs in (512, 256, 128):
         try:
             best = measure(model, variables, bs)
-            e2e = measure(model, variables, bs, with_count=True)
+            e2e = measure(model, e2e_variables, bs, with_count=True)
             break  # largest batch that fits wins; no need to go smaller
         except Exception as e:
             last_err = e

@@ -164,6 +164,48 @@ def test_fuzz_batched_nms_vs_host_oracle(seed):
         )
 
 
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_count_class_predictions_vs_host(seed):
+    """The fused device count path (lean formulation: grid-side reductions,
+    bf16 top-K keys, 6-value gather) must equal the host
+    format_preds + count pipeline whenever survivors fit the capacity."""
+    import jax.numpy as jnp
+
+    from yogo_tpu.ops.postprocess import (
+        count_cells_for_formatted_preds,
+        count_class_predictions,
+        format_preds,
+    )
+
+    rng = np.random.default_rng(3000 + seed)
+    b, c, sy, sx = 3, int(rng.integers(2, 6)), 8, 12
+    preds = np.zeros((b, 5 + c, sy, sx), np.float32)
+    preds[:, 0] = rng.uniform(0.05, 0.95, (b, sy, sx))
+    preds[:, 1] = rng.uniform(0.05, 0.95, (b, sy, sx))
+    preds[:, 2] = rng.uniform(0.01, 0.3, (b, sy, sx))
+    preds[:, 3] = rng.uniform(0.01, 0.3, (b, sy, sx))
+    preds[:, 4] = rng.uniform(0, 1, (b, sy, sx))
+    probs = rng.uniform(0, 1, (b, c, sy, sx))
+    preds[:, 5:] = probs / probs.sum(axis=1, keepdims=True)
+    min_conf = float(rng.choice([0.0, 0.3]))
+
+    dev = np.asarray(
+        count_class_predictions(
+            jnp.asarray(preds),
+            max_detections=sy * sx,  # full capacity: exact-match regime
+            min_class_confidence_threshold=min_conf,
+        )
+    )
+    host = np.zeros(c, np.int64)
+    for i in range(b):
+        f = format_preds(
+            preds[i], min_class_confidence_threshold=min_conf
+        )
+        if len(f):
+            host += count_cells_for_formatted_preds(f[:, 5:])
+    np.testing.assert_array_equal(dev, host, err_msg=f"seed={seed}")
+
+
 def test_exact_iou_pair_constructions():
     rng = np.random.default_rng(0)
     for t in (0.25, 0.5, 0.75, 0.95):

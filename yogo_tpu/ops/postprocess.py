@@ -36,6 +36,14 @@ VALID_BOX_FORMATS = ("xyxy", "cxcywh")
 DEFAULT_MAX_DETECTIONS = 1024
 
 
+# NOTE (round-3 negative result, docs/perf-notes.md): an exact group-max
+# pruned two-stage top-k (sort N/8 group maxes, gather the top groups'
+# members, top-k the candidates) is provably equivalent but measured
+# 2.3-12x SLOWER than lax.top_k on v5e - the scattered candidate gather
+# costs ~8 ns/element, dwarfing the sort it saves. TPU postprocess is
+# gather-bound, not sort-bound; don't re-attempt XLA-level top-k pruning.
+
+
 def _cxcywh_to_xyxy_np(b: np.ndarray) -> np.ndarray:
     out = np.empty_like(b)
     out[:, 0] = b[:, 0] - b[:, 2] / 2
@@ -188,7 +196,13 @@ def count_class_predictions(
     """Fused on-device class counting (replaces the reference's per-image host
     loop, reference: yogo/infer.py:60-124): filter -> NMS -> argmax ->
     per-class histogram. (B, 5+C, Sy, Sx) -> (C,) int32 counts.
-    `image_mask` excludes padding images without changing the batch shape."""
+    `image_mask` excludes padding images without changing the batch shape.
+
+    (A round-3 'lean' variant with per-channel gathers and bf16 sort keys
+    was measured 1.8x SLOWER than this formatter path at bs=512 on v5e -
+    TPU take_along_axis strongly prefers one big payload gather, and top_k
+    upcasts bf16 keys anyway; see docs/perf-notes.md.)
+    """
     f = format_preds_batched(
         preds,
         obj_thresh=obj_thresh,
