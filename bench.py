@@ -39,12 +39,10 @@ jax.config.update(
 BASELINE_IMG_PER_S = 5000.0
 IMG_HW = (772, 1032)
 NUM_BATCHES = 16
-# NMS capacity for the end-to-end (forward + on-device postprocess) metric:
-# top-K by objectness before the (B, K, K) NMS. 256 covers ~1.5x the
-# realistic max object count per 772x1032 brightfield image (~170; see
-# docs/perf-notes.md capacity note) while keeping the NMS matrices at
-# 512*256*256*4B = 134 MB instead of K=1024's 2.1 GB.
-E2E_MAX_DETECTIONS = 256
+# NMS capacity for the end-to-end metric = the SAME constant the shipped
+# `yogo infer --count` path uses (256: ~1.5x the realistic max object count
+# per 772x1032 image; capacity note in docs/perf-notes.md), so the metric
+# measures the actual product program, not a bench-only configuration.
 
 # The e2e metric must measure the postprocess at the PRODUCTION operating
 # point. A raw kaiming-initialized net on noise drives sigmoid(objectness)
@@ -74,7 +72,10 @@ def production_density_variables(variables):
 
 
 def measure(model, variables, batch_size: int, with_count: bool = False) -> float:
-    from yogo_tpu.ops.postprocess import count_class_predictions
+    from yogo_tpu.ops.postprocess import (
+        INFER_COUNT_MAX_DETECTIONS,
+        count_class_predictions,
+    )
 
     def fwd(imgs):
         return model.apply(variables, imgs, inference=True)
@@ -90,7 +91,7 @@ def measure(model, variables, batch_size: int, with_count: bool = False) -> floa
                     out,
                     obj_thresh=0.5,
                     iou_thresh=0.5,
-                    max_detections=E2E_MAX_DETECTIONS,
+                    max_detections=INFER_COUNT_MAX_DETECTIONS,
                 )
                 return carry + counts.sum().astype(jnp.float32), None
             return carry + out[:, 4].sum(), None

@@ -48,9 +48,7 @@ def main() -> None:
     # 30s apart. A trivial all-reduce compiles in ~1s, so every process
     # reaches it well inside the window; the per-clique gloo pairs it
     # creates are then reused by the heavy collectives later.
-    from yogo_tpu.parallel.mesh import get_mesh as _gm  # noqa: F811
-
-    _mesh0 = _gm()
+    _mesh0 = get_mesh()
     _x = jax.device_put(
         np.zeros(len(jax.devices()), np.float32),
         jax.sharding.NamedSharding(

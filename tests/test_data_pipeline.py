@@ -125,8 +125,8 @@ def test_concat_and_subset(tmp_path):
     d1 = make_pair_dirs(tmp_path, "c1", n_images=2)
     d2 = make_pair_dirs(tmp_path, "c2", n_images=3)
     ds = ConcatDataset(
-        ObjectDetectionDataset(i, l, 4, 4, CLASSES, image_hw=(40, 56))
-        for i, l in (d1, d2)
+        ObjectDetectionDataset(i, lab, 4, 4, CLASSES, image_hw=(40, 56))
+        for i, lab in (d1, d2)
     )
     assert len(ds) == 5
     assert ds[4] is not None

@@ -164,11 +164,36 @@ def test_fuzz_batched_nms_vs_host_oracle(seed):
         )
 
 
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_nms_nan_scores_match_oracle(seed):
+    """NaN scores (a diverged checkpoint's head) must rank last - like
+    argsort/the numpy oracle sort NaN to the end - not drop out of the
+    pairwise priority order entirely (where they would neither suppress
+    nor be suppressed)."""
+    rng = np.random.default_rng(5000 + seed)
+    K = 24
+    s = 1.0 / 64.0
+    x0 = rng.integers(0, 20, (K, 2))
+    wh = rng.integers(4, 20, (K, 2))
+    boxes = np.concatenate([x0 * s, (x0 + wh) * s], axis=-1).astype(np.float32)
+    scores = _quantized_scores(rng, K).astype(np.float32)
+    scores[rng.random(K) < 0.3] = np.nan
+    valid = np.ones(K, bool)
+
+    keep = np.asarray(
+        batched_nms(boxes[None], scores[None], valid[None], 0.5), bool
+    )[0]
+    want = np.zeros(K, bool)
+    want[nms_numpy(boxes, scores, 0.5)] = True
+    assert np.array_equal(keep, want), (
+        f"seed={seed}: {np.flatnonzero(keep)} != {np.flatnonzero(want)}"
+    )
+
+
 @pytest.mark.parametrize("seed", range(20))
 def test_fuzz_count_class_predictions_vs_host(seed):
-    """The fused device count path (lean formulation: grid-side reductions,
-    bf16 top-K keys, 6-value gather) must equal the host
-    format_preds + count pipeline whenever survivors fit the capacity."""
+    """The fused device count path must equal the host format_preds + count
+    pipeline whenever survivors fit the capacity."""
     import jax.numpy as jnp
 
     from yogo_tpu.ops.postprocess import (

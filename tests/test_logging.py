@@ -13,19 +13,19 @@ def test_jsonl_commit_buffering(tmp_path):
     log.finish()
 
     lines = [
-        json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()
+        json.loads(ln) for ln in (tmp_path / "metrics.jsonl").read_text().splitlines()
     ]
-    committed = [l for l in lines if "loss" in l]
+    committed = [ln for ln in lines if "loss" in ln]
     # wandb semantics: an uncommitted row flushes when the step advances,
     # so EVERY step survives (merging across steps would overwrite 99 of
     # every 100 per-step train records)
-    assert [(l["step"], l["loss"]) for l in committed] == [
+    assert [(ln["step"], ln["loss"]) for ln in committed] == [
         (1, 1.0),
         (2, 0.9),
         (3, 0.8),
         (4, 0.7),
     ]
-    assert any("_summary" in l for l in lines)
+    assert any("_summary" in ln for ln in lines)
     assert json.loads((tmp_path / "config.json").read_text()) == {"a": 1}
 
 
@@ -58,6 +58,6 @@ def test_finish_flushes_trailing_uncommitted_row(tmp_path):
     log.log({"loss": 1.0}, step=1, commit=False)
     log.finish()
     lines = [
-        json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()
+        json.loads(ln) for ln in (tmp_path / "metrics.jsonl").read_text().splitlines()
     ]
-    assert any(l.get("loss") == 1.0 and l.get("step") == 1 for l in lines)
+    assert any(ln.get("loss") == 1.0 and ln.get("step") == 1 for ln in lines)

@@ -133,7 +133,7 @@ def test_train_step_runs_and_descends_on_mesh():
         losses.append(float(loss))
     assert int(state.step) == 6
     assert losses[-1] < losses[0]  # overfitting a fixed batch must descend
-    assert all(np.isfinite(l) for l in losses)
+    assert all(np.isfinite(x) for x in losses)
 
 
 def test_train_step_image_mask_excludes_padding():
@@ -232,8 +232,8 @@ def test_trainer_end_to_end_tiny(tmp_path):
     run_dir = tmp_path / "run"
     assert (run_dir / "metrics.jsonl").exists()
     assert (run_dir / "best.ckpt").exists()
-    lines = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
-    assert any("val loss" in l for l in lines)
+    lines = [json.loads(ln) for ln in (run_dir / "metrics.jsonl").read_text().splitlines()]
+    assert any("val loss" in ln for ln in lines)
 
     assert result is not None
     mean_loss, mAP, confusion, *_ = result
@@ -385,12 +385,12 @@ def test_flush_train_logs_buffers_and_emits_per_step(tmp_path):
     assert pending == []  # buffer cleared
     t.logger.finish()
 
-    lines = [json.loads(l)
-             for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
-    committed = [l for l in lines if "train loss" in l]
+    lines = [json.loads(ln)
+             for ln in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    committed = [ln for ln in lines if "train loss" in ln]
     # every buffered step must survive as its own record (wandb flushes an
     # uncommitted row when the step advances; merging would drop 99 of 100)
-    assert [(l["step"], l["train loss"], l["iou_loss"]) for l in committed] == [
+    assert [(ln["step"], ln["train loss"], ln["iou_loss"]) for ln in committed] == [
         (1, 1.0, 10.0),
         (2, 2.0, 20.0),
         (3, 3.0, 30.0),

@@ -121,7 +121,8 @@ def provenance():
         except Exception as e:
             print(f"{name}: FAIL {type(e).__name__} {str(e)[:100]}")
 
-    s = lambda o: o.astype(jnp.float32).sum()
+    def s(o):
+        return o.astype(jnp.float32).sum()
     t("one call, direct input", lambda x: s(fused_stem_nchw(x, w, b)), single)
     t("one call, sliced input", lambda st: s(fused_stem_nchw(st[0], w, b)), stack)
     t("two calls, same input",

@@ -138,7 +138,7 @@ def main() -> None:
             [sys.executable, __file__, case],
             capture_output=True, text=True, timeout=2400, env=env,
         )
-        ok = [l for l in r.stdout.splitlines() if l.startswith("RESULT")]
+        ok = [ln for ln in r.stdout.splitlines() if ln.startswith("RESULT")]
         if ok:
             print(f"{ok[0]}  ({time.time() - t0:.0f}s)")
         else:

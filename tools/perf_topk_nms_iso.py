@@ -40,9 +40,23 @@ def bench(name, fn, *args):
         print(f"{name}: FAIL {type(e).__name__} {str(e)[:100]}", flush=True)
 
 
+def _topk_group_pruned(keys, k, block=8):
+    """The rejected exact group-max-pruned two-stage top-k, kept HERE (it
+    was removed from ops/postprocess.py after measuring 2.3-12x slower
+    than lax.top_k) so the recorded negative result stays reproducible."""
+    b, n = keys.shape
+    g = -(-n // block)
+    kp = jnp.pad(keys, ((0, 0), (0, g * block - n)), constant_values=-jnp.inf)
+    gmax = kp.reshape(b, g, block).max(axis=-1)
+    _, gidx = jax.lax.top_k(gmax, min(k, g))
+    cand_idx = (gidx[..., None] * block + jnp.arange(block)).reshape(b, -1)
+    cand = jnp.take_along_axis(kp, cand_idx, axis=1)
+    top_val, ci = jax.lax.top_k(cand, k)
+    return top_val, jnp.take_along_axis(cand_idx, ci, axis=1)
+
+
 def main():
     from yogo_tpu.ops.nms import batched_nms
-    from yogo_tpu.ops.postprocess import _topk_group_pruned
 
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 256

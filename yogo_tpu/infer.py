@@ -32,6 +32,7 @@ import numpy as np
 from yogo_tpu.data.image_source import get_dataset
 from yogo_tpu.data.loader import choose_dataloader_num_workers
 from yogo_tpu.ops.postprocess import (
+    INFER_COUNT_MAX_DETECTIONS,
     count_class_predictions,
     format_preds,
     format_to_numpy,
@@ -103,9 +104,13 @@ def predict(
     min_class_confidence_threshold: float = 0.0,
     half: bool = False,
     return_full_predictions: bool = False,
+    max_detections: int = INFER_COUNT_MAX_DETECTIONS,
 ) -> Optional[np.ndarray]:
     """See `yogo infer --help`. Mirrors the reference predict() surface
-    (reference: yogo/infer.py:140-192)."""
+    (reference: yogo/infer.py:140-192). `max_detections` (an extension -
+    the reference's host NMS has no capacity) bounds the fused on-device
+    count path's top-K; the default covers ~1.5x the realistic max object
+    density (capacity note: docs/perf-notes.md round 3)."""
     if save_preds and draw_boxes:
         raise ValueError(
             "cannot save predictions in YOGO format and draw_boxes at the "
@@ -281,6 +286,7 @@ def predict(
                     obj_thresh=obj_thresh,
                     iou_thresh=iou_thresh,
                     min_class_confidence_threshold=min_class_confidence_threshold,
+                    max_detections=max_detections,
                     image_mask=jnp.arange(batch_size) < real,
                 )
                 tot_counts += np.asarray(counts, np.int64)
@@ -342,8 +348,8 @@ def predict(
         prefetcher.shutdown(wait=False)
         if decode_pool is not None:
             decode_pool.shutdown(wait=False)
-    if pbar:
-        pbar.close()
+        if pbar:
+            pbar.close()
 
     if count_predictions:
         print(list(zip(class_names or range(num_classes), map(int, tot_counts))))

@@ -117,6 +117,10 @@ def nms_fixed(
     inter = wh[..., 0] * wh[..., 1]
     iou = inter / (area[:, None] + area[None, :] - inter)
 
+    # NaN scores (diverged checkpoints) must still participate in the total
+    # order or they would neither suppress nor be suppressed; rank them
+    # last, like argsort (and the numpy oracle) sorts NaN to the end
+    scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
     idx = jnp.arange(k)
     precedes = (scores[:, None] > scores[None, :]) | (
         (scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :])

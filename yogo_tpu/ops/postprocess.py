@@ -35,6 +35,15 @@ VALID_BOX_FORMATS = ("xyxy", "cxcywh")
 # count per 772x1032 brightfield image, far above obj>0.5 survivors in practice
 DEFAULT_MAX_DETECTIONS = 1024
 
+# capacity used by the fused `yogo infer --count` hot path (and bench.py's
+# e2e metric, which must measure the same program): ~1.5x the realistic max
+# object density (~170/image; a trained model passes ~1.5x its object count
+# at obj>0.5 - measured capacity note in docs/perf-notes.md round 3). K
+# drives both the top-K sort cost and the (B, K, K) NMS matrices, so the
+# eval path keeps the roomier DEFAULT_MAX_DETECTIONS while the
+# throughput-critical count path uses this
+INFER_COUNT_MAX_DETECTIONS = 256
+
 
 # NOTE (round-3 negative result, docs/perf-notes.md): an exact group-max
 # pruned two-stage top-k (sort N/8 group maxes, gather the top groups'

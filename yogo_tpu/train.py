@@ -464,7 +464,7 @@ class Trainer:
         the per-step log records. Returns the new window start time. The
         fetch of the newest loss also acts as the honest step-rate fence
         (see CLAUDE.md: async timing lies unless a scalar is pulled)."""
-        host_vals = jax.device_get([(l, c) for _, l, c in pending])
+        host_vals = jax.device_get([(ls, c) for _, ls, c in pending])
         now = time.perf_counter()
         rate = window_imgs / max(now - window_start, 1e-9)
         last_step = pending[-1][0]
