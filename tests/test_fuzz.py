@@ -190,6 +190,30 @@ def test_fuzz_nms_nan_scores_match_oracle(seed):
     )
 
 
+def test_nms_exp_huge_boxes_still_suppress():
+    """A diverged checkpoint can emit w ~ anchor*e^80 ~ 4e33; the f32 area
+    product then overflows to inf, the union goes inf-inf=NaN, and an
+    unguarded device NMS would keep every such duplicate (the f64 host
+    oracle suppresses). The extent clip must preserve suppression."""
+    big = 4e33
+    boxes = np.array(
+        [
+            [0.0, 0.0, big, big],
+            [0.1, 0.1, big, big],  # near-identical duplicate
+            [0.2, 0.2, 0.4, 0.4],  # normal box, no overlap in IoU terms
+        ],
+        np.float32,
+    )
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    valid = np.ones(3, bool)
+    keep = np.asarray(
+        batched_nms(boxes[None], scores[None], valid[None], 0.5), bool
+    )[0]
+    want = np.zeros(3, bool)
+    want[nms_numpy(boxes, scores, 0.5)] = True  # f64 oracle
+    assert np.array_equal(keep, want) and keep.tolist() == [True, False, True]
+
+
 @pytest.mark.parametrize("seed", range(20))
 def test_fuzz_count_class_predictions_vs_host(seed):
     """The fused device count path must equal the host format_preds + count

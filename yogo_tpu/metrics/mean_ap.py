@@ -22,7 +22,11 @@ from typing import Dict, List
 
 import numpy as np
 
-IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
+# linspace, NOT arange(0.5, 1.0, 0.05): arange accumulates float error so 8
+# of its 10 values sit strictly ABOVE the COCO thresholds (e.g.
+# 0.75000000000000022), flipping exact-boundary matches (IoU exactly 0.75)
+# from TP to FP vs torchmetrics' linspace(0.5, 0.95, 10)
+IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
 
 

@@ -124,9 +124,12 @@ class Metrics:
         flat = label_grid.reshape(6, -1).T
         gt = flat[flat[:, 0] == 1]  # (N, 6) [mask x1 y1 x2 y2 cls]
 
+        # no reshape here: the concatenate already yields (M, 5+C), and a
+        # reshape would silently scramble rows (instead of erroring later)
+        # if the model's class width ever disagreed with this Metrics config
         formatted_preds = np.concatenate(
             [det_boxes, det_obj[:, None], det_probs], axis=1
-        ).reshape(-1, 5 + self.num_classes)
+        )
         pm: PredictionLabelMatch = match_preds_and_labels(formatted_preds, gt)
 
         matched_gt = pm.labels[:, 5].astype(np.int64)

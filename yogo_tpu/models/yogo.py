@@ -15,6 +15,7 @@ channels [xc, yc, w, h, objectness, *classes], all in [0,1] image coords.
 
 from __future__ import annotations
 
+from functools import partial
 import dataclasses
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
@@ -55,7 +56,10 @@ def _activation(name: Optional[str]):
     if name == "silu":
         return jax.nn.silu
     if name == "gelu":
-        return jax.nn.gelu
+        # exact erf GELU: torch/timm nn.GELU defaults to exact, and the
+        # convnext .pth interop promises numeric parity with it
+        # (jax.nn.gelu defaults to the tanh approximation)
+        return partial(jax.nn.gelu, approximate=False)
     raise ValueError(f"unknown activation {name}")
 
 
@@ -136,7 +140,8 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         x = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.compute_dtype, name="pwconv1")(x)
-        x = jax.nn.gelu(x)
+        # exact erf GELU (torch/timm default) - parity with imported .pth
+        x = jax.nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.compute_dtype, name="pwconv2")(x)
         gamma = self.param(
             "gamma", nn.initializers.constant(1e-6), (self.dim,), jnp.float32
@@ -372,17 +377,21 @@ class YOGO:
     def _stem_kernel_params(
         self, variables: Dict[str, Any]
     ) -> Tuple[Array, Array]:
-        """BN-folded block-0 weights for the fused Pallas stem:
-        (3,3,C) taps scaled by gamma/sqrt(var+eps), bias beta - mu*scale."""
+        """BN-folded block-0 weights for the fused Pallas stem; delegates to
+        the single copy of the fold math (pallas_stem.fold_stem_params,
+        eps matching ConvStack's BatchNorm)."""
+        from yogo_tpu.ops.pallas_stem import fold_stem_params
+
         params = variables["params"]
         stats = variables.get("batch_stats", {})
-        k = params["conv0"]["kernel"].astype(jnp.float32)  # (3,3,1,C)
-        g = params["bn0"]["scale"].astype(jnp.float32)
-        beta = params["bn0"]["bias"].astype(jnp.float32)
-        mu = stats["bn0"]["mean"].astype(jnp.float32)
-        var = stats["bn0"]["var"].astype(jnp.float32)
-        s = g * jax.lax.rsqrt(var + 1e-5)
-        return k[:, :, 0, :] * s, beta - mu * s
+        return fold_stem_params(
+            params["conv0"]["kernel"],
+            params["conv0"].get("bias"),
+            bn_scale=params["bn0"]["scale"],
+            bn_bias=params["bn0"]["bias"],
+            bn_mean=stats["bn0"]["mean"],
+            bn_var=stats["bn0"]["var"],
+        )
 
     def _apply_pallas_stem(
         self, variables: Dict[str, Any], x_nhwc_u8: Array, interpret: bool

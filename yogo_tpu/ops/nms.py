@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yogo_tpu.ops.boxes import box_area
 
 Array = jax.Array
 
@@ -110,10 +109,20 @@ def nms_fixed(
     the permutation.
     """
     k = boxes.shape[0]
-    area = box_area(boxes)
+    # extents are clipped so area/inter products cannot overflow f32: the
+    # decode clamps t_wh at 80, so a diverged checkpoint can emit
+    # w ~ anchor*e^80 ~ 4e33 whose squared area is inf; inf-inf unions go
+    # NaN and silently DISABLE suppression (the f64 host oracle suppresses).
+    # Boxes with extents <= 1e19 are bit-identical to the unclipped math;
+    # beyond that (physically meaningless - normalized coords are ~1) the
+    # IoU is computed on the clipped geometry, which still suppresses
+    # near-duplicate huge boxes instead of keeping them all.
+    ext_lim = 1e19  # 1e19^2 = 1e38 < f32 max 3.4e38
+    ext = jnp.clip(boxes[:, 2:] - boxes[:, :2], 0, ext_lim)
+    area = ext[:, 0] * ext[:, 1]
     lt = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
     rb = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
-    wh = jnp.clip(rb - lt, 0)
+    wh = jnp.clip(rb - lt, 0, ext_lim)
     inter = wh[..., 0] * wh[..., 1]
     iou = inter / (area[:, None] + area[None, :] - inter)
 

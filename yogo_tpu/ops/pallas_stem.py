@@ -86,20 +86,24 @@ def fold_stem_params(
     eps: float = 1e-5,
 ):
     """(3,3,1,O) HWIO conv kernel (+ optional BN stats) -> folded
-    ((3,3,O) weights, (O,) bias) for the fused kernel."""
-    w = np.asarray(kernel_hwio, np.float32)[:, :, 0, :]  # (3,3,O)
+    ((3,3,O) weights, (O,) bias) for the fused kernel.
+
+    jnp-based and traceable: YOGO._stem_kernel_params calls this under jit
+    (pallas_stem_forward is meant to be jitted by callers), and it is the
+    single copy of the fold math - the model must not re-derive it."""
+    w = jnp.asarray(kernel_hwio, jnp.float32)[:, :, 0, :]  # (3,3,O)
     b = (
-        np.asarray(bias, np.float32)
+        jnp.asarray(bias, jnp.float32)
         if bias is not None
-        else np.zeros(w.shape[-1], np.float32)
+        else jnp.zeros(w.shape[-1], jnp.float32)
     )
     if bn_scale is not None:
-        k = np.asarray(bn_scale, np.float32) / np.sqrt(
-            np.asarray(bn_var, np.float32) + eps
+        k = jnp.asarray(bn_scale, jnp.float32) * jax.lax.rsqrt(
+            jnp.asarray(bn_var, jnp.float32) + eps
         )
         w = w * k
-        b = (b - np.asarray(bn_mean, np.float32)) * k + np.asarray(
-            bn_bias, np.float32
+        b = (b - jnp.asarray(bn_mean, jnp.float32)) * k + jnp.asarray(
+            bn_bias, jnp.float32
         )
     return w, b
 

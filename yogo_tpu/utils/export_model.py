@@ -151,28 +151,22 @@ def _emit_convnext(nodes, inits, cur, model: YOGO, params) -> str:
         return out
 
     def gelu(cur):
-        # tanh-approximate GELU, matching jax.nn.gelu's default
-        c0 = add_init("g0", np.float32(0.044715).reshape(()))
-        c1 = add_init("g1", np.float32(np.sqrt(2.0 / np.pi)).reshape(()))
+        # exact erf GELU: 0.5 * x * (1 + erf(x / sqrt(2))) - matching both
+        # the flax model (approximate=False) and torch.onnx's export of
+        # timm's nn.GELU
+        inv_sqrt2 = add_init("g1", np.float32(1.0 / np.sqrt(2.0)).reshape(()))
         half = add_init("gh", np.float32(0.5).reshape(()))
         one = add_init("g2", np.float32(1.0).reshape(()))
-        three = add_init("g3", np.float32(3.0).reshape(()))
-        x3 = name("x3")
-        nodes.append(op.node("Pow", [cur, three], [x3]))
         t1 = name("t1")
-        nodes.append(op.node("Mul", [x3, c0], [t1]))
+        nodes.append(op.node("Mul", [cur, inv_sqrt2], [t1]))
+        er = name("erf")
+        nodes.append(op.node("Erf", [t1], [er]))
         t2 = name("t2")
-        nodes.append(op.node("Add", [cur, t1], [t2]))
+        nodes.append(op.node("Add", [er, one], [t2]))
         t3 = name("t3")
-        nodes.append(op.node("Mul", [t2, c1], [t3]))
-        th = name("th")
-        nodes.append(op.node("Tanh", [t3], [th]))
-        t4 = name("t4")
-        nodes.append(op.node("Add", [th, one], [t4]))
-        t5 = name("t5")
-        nodes.append(op.node("Mul", [cur, t4], [t5]))
+        nodes.append(op.node("Mul", [cur, t2], [t3]))
         out = name("gelu")
-        nodes.append(op.node("Mul", [t5, half], [out]))
+        nodes.append(op.node("Mul", [t3, half], [out]))
         return out
 
     from yogo_tpu.models.yogo import ConvNeXtSmall

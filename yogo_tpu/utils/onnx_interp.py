@@ -145,6 +145,14 @@ def run_model(model_bytes: bytes, feeds: Dict[str, np.ndarray]):
             )
         elif op == "Tanh":
             out = np.tanh(ins[0].astype(np.float32))
+        elif op == "Erf":
+            try:
+                from scipy.special import erf  # vectorized C
+            except ImportError:  # pragma: no cover - scipy ships with repo
+                import math
+
+                erf = np.vectorize(math.erf, otypes=[np.float32])
+            out = erf(ins[0].astype(np.float32)).astype(np.float32)
         elif op == "Pow":
             out = ins[0].astype(np.float32) ** ins[1].astype(np.float32)
         elif op == "LayerNormalization":
