@@ -97,6 +97,19 @@ def main() -> None:
         state, loss, _ = jstep(state, imgs_d, labels_d, mask_d, jax.random.key(1))
         losses.append(float(loss))
 
+    # validate the local_rows layout assumption Trainer.test relies on:
+    # replicating the sharded global batch and slicing this process's rows
+    # must recover exactly the local data this process contributed
+    from yogo_tpu.parallel.mesh import local_rows
+
+    imgs_rep = jax.jit(
+        lambda x: x, in_shardings=dat, out_shardings=rep
+    )(imgs_d)
+    got = local_rows(np.asarray(imgs_rep), imgs_g[lo:hi].shape[0])
+    assert np.array_equal(got, imgs_g[lo:hi]), (
+        "local_rows does not recover this process's shard"
+    )
+
     # process-0-gated checkpointing of the replicated global state, exactly
     # as Trainer.checkpoint does it (device_get on replicated arrays is
     # fully addressable from every process)

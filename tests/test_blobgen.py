@@ -174,3 +174,33 @@ def test_thumbnail_augmentation_extends_train_split(tmp_path, thumb_dirs):
     blob_img, blob_grid = split["train"][len(split["train"]) - 1]
     assert blob_img.shape == (1, 48, 64)
     assert blob_grid.shape == (6, 6, 8)
+
+
+def test_blobdataset_epoch_resampling_reproducible(thumb_dirs):
+    """dataset[i] is stable within an epoch (lock-free thread-safe AND
+    reproducible across runs) but resamples when set_epoch advances -
+    preserving the reference's fresh-synthetic-augmentation-per-epoch
+    diversity (reference: yogo/data/blobgen.py draws per access)."""
+    bd = BlobDataset(
+        thumb_dirs, Sx=8, Sy=8, classes=CLASSES, n=3, length=4,
+        background_img_shape=(100, 130), seed=5,
+    )
+    a1, l1 = bd[2]
+    a2, l2 = bd[2]
+    assert np.array_equal(a1, a2) and np.array_equal(l1, l2)
+
+    bd.set_epoch(1)
+    b1, _ = bd[2]
+    assert not np.array_equal(a1, b1), "epoch change must resample"
+    bd.set_epoch(0)
+    c1, m1 = bd[2]
+    assert np.array_equal(a1, c1) and np.array_equal(l1, m1)
+
+    # the loader + ConcatDataset chain forwards set_epoch down to the blob
+    from yogo_tpu.data.dataset import ConcatDataset
+    from yogo_tpu.data.loader import DataLoader
+
+    cd = ConcatDataset([bd])
+    dl = DataLoader(cd, batch_size=2, shuffle=False, num_workers=0)
+    dl.set_epoch(3)
+    assert bd._epoch == 3

@@ -45,12 +45,15 @@ class BlobDataset:
         self.area_threshold = 500
         # np.random.Generator is NOT thread-safe and the loader calls
         # __getitem__ from worker threads: hand each item its own child
-        # generator derived deterministically from (entropy, idx). Lock-free
-        # AND reproducible: dataset[i] is identical on every access and
-        # across runs for a fixed seed, regardless of call/thread order
-        # (reference uses one generator but runs in separate DataLoader
-        # worker *processes*)
+        # generator derived deterministically from (entropy, epoch, idx).
+        # Lock-free AND reproducible - dataset[i] is identical on every
+        # access within an epoch and across runs for a fixed seed,
+        # regardless of call/thread order - while set_epoch (called by the
+        # DataLoader each epoch) keeps the reference's fresh-synthetic-
+        # sample-per-epoch augmentation diversity (the reference draws from
+        # one np.random per access in DataLoader worker *processes*)
         self._entropy = np.random.SeedSequence(seed).entropy
+        self._epoch = 0
 
         dir_paths: Dict[int, List[Path]] = {
             self._convert_label(k, classes): [Path(p) for p in v]
@@ -67,6 +70,9 @@ class BlobDataset:
         self.thumbnails = self._load_thumbnails(thumb_paths)
         if not self.thumbnails:
             raise FileNotFoundError("no readable thumbnails found")
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
 
     @staticmethod
     def _convert_label(label: Union[str, int], classes: List[str]) -> int:
@@ -177,7 +183,9 @@ class BlobDataset:
             raise IndexError(f"index {idx} is out of bounds for length {self.length}")
 
         rng = np.random.default_rng(
-            np.random.SeedSequence(entropy=self._entropy, spawn_key=(idx,))
+            np.random.SeedSequence(
+                entropy=self._entropy, spawn_key=(self._epoch, idx)
+            )
         )
         choice = rng.integers(0, len(self.thumbnails), size=self.n)
         picked = [

@@ -143,6 +143,13 @@ class ConcatDataset:
         prev = 0 if ds_idx == 0 else int(self.cumulative_sizes[ds_idx - 1])
         return self.datasets[ds_idx][idx - prev]
 
+    def set_epoch(self, epoch: int) -> None:
+        """Forward the epoch to children that resample per epoch
+        (BlobDataset)."""
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
+
 
 class Subset:
     """Index-selected view of a dataset (like torch's Subset)."""

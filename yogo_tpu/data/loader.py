@@ -93,7 +93,6 @@ class DataLoader:
         seed: int = SPLIT_SEED,
         num_workers: int = 0,
         shard: Optional[Tuple[int, int]] = None,
-        pad_final_batch: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -102,10 +101,11 @@ class DataLoader:
         self.num_workers = num_workers
         self.epoch = 0
         self.rank, self.world_size = shard or (0, 1)
-        self.pad_final_batch = pad_final_batch
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # BlobDataset resamples per epoch
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -123,10 +123,11 @@ class DataLoader:
         return order
 
     def __len__(self) -> int:
+        # batches are ALWAYS padded to the fixed batch shape (masks mark
+        # real rows); a drop-last mode never existed in working form and no
+        # caller asked for one
         n = len(self._epoch_indices())
-        if self.pad_final_batch:
-            return -(-n // self.batch_size)
-        return n // self.batch_size if n >= self.batch_size else (1 if n else 0)
+        return -(-n // self.batch_size)
 
     def __iter__(
         self,

@@ -172,7 +172,8 @@ def decode_batch(
 
 
 def parse_labels(path, max_rows: int = 4096) -> Optional[np.ndarray]:
-    """Parse a YOLO txt -> (N, 5) float32 [cls, xc, yc, w, h]; rows with
+    """Parse a YOLO txt -> (N, 5) float64 [cls, xc, yc, w, h] (f64 so the
+    values match the python fallback parser's float() exactly); rows with
     non-numeric class tokens carry cls = -1 for the caller to resolve.
     Returns None when the library is unavailable, the file can't be read,
     or the file is malformed - the caller's python parser then produces

@@ -59,6 +59,19 @@ def shard_batch(mesh: Mesh, *arrays: Any):
     return tuple(out)
 
 
+def local_rows(global_np: np.ndarray, local_batch: int) -> np.ndarray:
+    """This process's rows of a replicated global-batch array built by
+    shard_batch: make_array_from_process_local_data lays process p's local
+    data at global rows [p*local_batch, (p+1)*local_batch) on the 1-D data
+    mesh (devices ordered by process). Single-process: the array unchanged.
+    Validated against the round-tripped input in tests/multihost_worker.py.
+    """
+    if jax.process_count() == 1:
+        return global_np
+    start = jax.process_index() * local_batch
+    return global_np[start : start + local_batch]
+
+
 def prefetch_to_device(batch_iter, mesh: Mesh, prefetch: int = 2):
     """Wrap a host (imgs, labels, mask) iterator with device prefetch.
 

@@ -44,6 +44,7 @@ from yogo_tpu.models.yogo import YOGO
 from yogo_tpu.parallel.mesh import (
     data_sharded,
     get_mesh,
+    local_rows,
     pad_batch_to_multiple,
     prefetch_to_device,
     replicated,
@@ -185,6 +186,10 @@ class Trainer:
     """Single-controller trainer. `config` mirrors the reference's wandb
     config dict keys (reference: yogo/train.py:612-643)."""
 
+    # LR-log clock offset vs global_step (set by _init_training_tools;
+    # class-level default keeps partially-constructed Trainers working)
+    _lr_step_offset = 0
+
     def __init__(self, config: Dict[str, Any]):
         self.config = config
         self.mesh = get_mesh()
@@ -295,6 +300,15 @@ class Trainer:
         # nor schedule state, yogo/train.py:136-148 - off by default)
         if cfg.get("resume_optimizer") and self._pretrained_meta is not None:
             opt_state = restore_opt_state(self._pretrained_meta, opt_state)
+        # the optax schedule counts steps from THIS run's optimizer init
+        # (tx.init -> count 0) unless --resume-optimizer restored the saved
+        # count; the logged "LR" must tick on the same clock, or fine-tune
+        # runs log mid-decay values while actually at the cosine start
+        self._lr_step_offset = (
+            0
+            if cfg.get("resume_optimizer") and self._pretrained_meta is not None
+            else self.global_step
+        )
         self.state = TrainState(
             params=self.variables["params"],
             batch_stats=self.variables.get("batch_stats", {}),
@@ -381,6 +395,10 @@ class Trainer:
             raise RuntimeError("trainer not initialized")
 
         profile_steps = int(self.config.get("profile_steps", 0) or 0)
+        # --from-pretrained starts global_step at the checkpoint's step, so
+        # the profile gate must count steps of THIS run, not absolute steps
+        # (a `== 1` gate silently never fired on fine-tune runs)
+        profile_start = self.global_step + 1
         commit_interval = max(
             1, int(self.config.get("log_commit_interval", 100) or 100)
         )
@@ -400,11 +418,11 @@ class Trainer:
             ):
                 # optional jax.profiler trace of the first few hot-loop steps
                 # (aux tracing subsystem; the reference has only a Timer)
-                if profile_steps and self.global_step == 1:
+                if profile_steps and self.global_step == profile_start:
                     jax.profiler.start_trace(
                         str(self.model_save_dir / "profile")
                     )
-                if profile_steps and self.global_step == 1 + profile_steps:
+                if profile_steps and self.global_step == profile_start + profile_steps:
                     jax.profiler.stop_trace()
                     profile_steps = 0
 
@@ -473,7 +491,7 @@ class Trainer:
                 {
                     "train loss": float(loss),
                     "epoch": epoch,
-                    "LR": float(self.lr_schedule(step)),
+                    "LR": float(self.lr_schedule(step - self._lr_step_offset)),
                     "images/sec": rate,
                     **{k: float(v) for k, v in comps.items()},
                 },
@@ -593,7 +611,13 @@ class Trainer:
             # keep the compiled batch shape: the mask excludes padded tail
             # images inside the jitted formatter (a boolean slice here would
             # recompile it per distinct tail size)
-            metrics.update(np.asarray(preds), labels, image_mask=mask)
+            # preds is replicated with the GLOBAL batch dim while labels/
+            # mask are this process's LOCAL loader shard: score the local
+            # rows - the reference's post-train test on rank 0 likewise
+            # scores that rank's DistributedSampler shard (reference:
+            # yogo/train.py:356-361, yogo_dataloader.py:249-253)
+            preds_np = local_rows(np.asarray(preds), labels.shape[0])
+            metrics.update(preds_np, labels, image_mask=mask)
 
         (
             mAP,

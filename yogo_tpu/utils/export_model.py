@@ -457,6 +457,27 @@ def do_export(args) -> None:
 
     onnx_filename = out.with_suffix(".onnx")
     model_bytes = build_onnx(model, variables)
+    # --simplify: the reference runs onnx-simplifier here (reference:
+    # yogo/utils/export_model.py:111-117). Our writer already emits a
+    # constant-folded graph with BatchNorm folded into convs (the main
+    # transformations onnxsim would apply); run onnxsim on top when it is
+    # installed, and say so rather than silently ignoring the flag.
+    if getattr(args, "simplify", False):
+        try:
+            import onnxsim  # type: ignore
+
+            import onnx  # type: ignore
+
+            simplified, ok = onnxsim.simplify(
+                onnx.load_from_string(model_bytes)
+            )
+            if ok:
+                model_bytes = simplified.SerializeToString()
+        except ImportError:
+            print(
+                "--simplify: onnx-simplifier not installed; exporting the "
+                "writer's already-BN-folded graph unchanged"
+            )
     max_dev = verify_onnx(model, variables, model_bytes)
     onnx_filename.write_bytes(model_bytes)
     success_msg = (
