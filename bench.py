@@ -137,7 +137,6 @@ def main() -> None:
     for bs in (512, 256, 128):
         try:
             best = measure(model, variables, bs)
-            e2e = measure(model, e2e_variables, bs, with_count=True)
             break  # largest batch that fits wins; no need to go smaller
         except Exception as e:
             last_err = e
@@ -147,6 +146,14 @@ def main() -> None:
         # zero JSON would read as a fake catastrophic regression
         print(f"bench failed at every batch size: {last_err!r}", file=sys.stderr)
         sys.exit(1)
+    # e2e measured separately at the SAME batch size so an e2e-only failure
+    # can neither zero the e2e JSON (we skip the line and say why) nor
+    # silently downgrade the already-measured headline to a smaller batch
+    try:
+        e2e = measure(model, e2e_variables, bs, with_count=True)
+    except Exception as e:
+        print(f"e2e (count-fused) measurement failed at bs={bs}: {e!r}",
+              file=sys.stderr)
 
     # the FULL inference pipeline: forward + fused on-device
     # filter/top-K/NMS/count, i.e. what `yogo infer --count` actually
@@ -154,16 +161,17 @@ def main() -> None:
     # target: the residual gap is XLA's exact top_k primitive (>=2.5 ms even
     # at k=32 vs the 2.0 ms postprocess budget) - measured floor analysis in
     # docs/perf-notes.md "Round 3: end-to-end inference".
-    print(
-        json.dumps(
-            {
-                "metric": "infer_e2e_throughput_772x1032_base_model_bf16",
-                "value": round(e2e, 1),
-                "unit": "img/s/chip",
-                "vs_baseline": round(e2e / BASELINE_IMG_PER_S, 3),
-            }
+    if e2e > 0.0:
+        print(
+            json.dumps(
+                {
+                    "metric": "infer_e2e_throughput_772x1032_base_model_bf16",
+                    "value": round(e2e, 1),
+                    "unit": "img/s/chip",
+                    "vs_baseline": round(e2e / BASELINE_IMG_PER_S, 3),
+                }
+            )
         )
-    )
     # headline (last line, driver-parsed): device-resident forward+decode
     # throughput - the same metric tracked since round 1
     print(

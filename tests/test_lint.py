@@ -163,3 +163,11 @@ def test_repo_is_lint_clean():
         cwd=REPO,
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_f841_augassign_counts_as_use():
+    # pyflakes does not flag a write-only accumulator that is augmented
+    # (x += 1 reads x; the scope model tracks the read, not statement order)
+    src = "def f():\n    x = 0\n    x += 1\n"
+    assert "F841" not in _codes(src)
+    assert "F821" not in _codes(src)

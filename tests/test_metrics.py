@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from yogo_tpu.metrics import Metrics
 from yogo_tpu.metrics.matching import linear_sum_assignment
@@ -193,6 +194,25 @@ def test_linear_sum_assignment_rectangular():
     cost = np.array([[1.0, 0.1, 2.0]])
     r, c = linear_sum_assignment(cost)
     assert (r.tolist(), c.tolist()) == ([0], [1])
+
+
+def test_hungarian_fallback_matches_scipy_exactly():
+    """The pure-numpy JV fallback must equal scipy's linear_sum_assignment
+    EXACTLY (same arrays, same sort convention) on random rectangular
+    matrices - a transposed-case sort bug once returned optimal but
+    unsorted row indices, diverging between scipy-present and
+    scipy-absent environments."""
+    scipy_lsa = pytest.importorskip("scipy.optimize").linear_sum_assignment
+    from yogo_tpu.metrics.matching import _hungarian_numpy
+
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        n, m = rng.integers(1, 9, 2)
+        cost = rng.normal(0, 1, (n, m))
+        r1, c1 = _hungarian_numpy(cost)
+        r2, c2 = scipy_lsa(cost)
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(c1, c2)
 
 
 def test_dense_scene_within_detection_cap():

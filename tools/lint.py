@@ -290,6 +290,16 @@ class ScopeBuilder(ast.NodeVisitor):
             else:
                 self.visit(t)
 
+    def visit_AugAssign(self, node: ast.AugAssign) -> None:
+        # x += 1 both reads and writes x (pyflakes does not F841 a
+        # write-only accumulator that is augmented later)
+        self.visit(node.value)
+        if isinstance(node.target, ast.Name):
+            self.scope.loads.append((node.target.id, node.lineno))
+            self.scope.bind(node.target.id)
+        else:
+            self.visit(node.target)
+
     def visit_AnnAssign(self, node: ast.AnnAssign) -> None:
         self.visit(node.annotation)
         if node.value:

@@ -80,7 +80,10 @@ def _hungarian_numpy(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
             rows[k] = p[j]
             cols[k] = j
             k += 1
-    order = np.argsort(rows)
+    # sort by the axis that will be RETURNED as row indices (scipy sorts
+    # its first output ascending): after a transpose, the original row
+    # indices live in `cols`
+    order = np.argsort(cols if transposed else rows)
     rows, cols = rows[order], cols[order]
     if transposed:
         return cols, rows

@@ -202,7 +202,7 @@ def train_parser(parser=None):
         help="bfloat16 training (TPU-native mixed precision)",
     )
     parser.add_argument(
-        "--device", type=str, nargs="?",
+        "--device", type=str,
         help="JAX platform override (e.g. 'cpu', 'tpu') - defaults to jax's choice",
     )
     parser.add_argument("--note", type=str, default=None,
@@ -252,6 +252,10 @@ def test_parser(parser=None):
                         help="path to checkpoint (.ckpt or .pth)")
     parser.add_argument("dataset_defn_path", type=Path)
     parser.add_argument(
+        "--device", type=str,
+        help="JAX platform override (e.g. 'cpu', 'tpu')",
+    )
+    parser.add_argument(
         "--wandb", action=boolean_action, default=False,
         help=(
             "log to wandb - this will create a new run. If neither this nor "
@@ -296,6 +300,10 @@ def export_parser(parser=None):
         )
     parser.add_argument("input", type=str,
                         help="path to input checkpoint (.ckpt or .pth)")
+    parser.add_argument(
+        "--device", type=str,
+        help="JAX platform override (e.g. 'cpu', 'tpu')",
+    )
     parser.add_argument(
         "--crop-height", type=unitary_float,
         help=(
@@ -363,7 +371,7 @@ def infer_parser(parser=None):
         help="batch size for inference (default: 64)",
     )
     parser.add_argument(
-        "--device", type=str, nargs="?",
+        "--device", type=str,
         help="JAX platform override (e.g. 'cpu', 'tpu')",
     )
     parser.add_argument(
