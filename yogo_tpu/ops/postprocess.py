@@ -481,6 +481,11 @@ def format_preds_and_labels(
 
 
 def _pairwise_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    # f64: diverged checkpoints emit exp-huge extents whose f32 area
+    # products overflow to inf -> NaN IoUs -> NaN Hungarian costs (same
+    # rationale as nms_numpy and the device NMS extent clip)
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
     area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
     area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
     lt = np.maximum(a[:, None, :2], b[None, :, :2])
@@ -494,7 +499,10 @@ def _pairwise_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def elementwise_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Row-for-row IoU of already-matched box pairs: (K,4),(K,4) -> (K,).
-    O(K), unlike taking the diagonal of the full pairwise matrix."""
+    O(K), unlike taking the diagonal of the full pairwise matrix.
+    f64 for the same overflow reason as _pairwise_iou_xyxy."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
     lt = np.maximum(a[:, :2], b[:, :2])
     rb = np.minimum(a[:, 2:], b[:, 2:])
     wh = np.clip(rb - lt, 0, None)
