@@ -91,21 +91,22 @@ def test_load_labels_native_matches_python(tmp_path):
     p.write_text(
         f"0 0.5 0.5 0.1 0.1\n1 0.25 0.25 {tiny} {tiny}\n2 0.75 0.75 0.2 0.2\n"
     )
-    import os
-
     fast = load_labels(p, ["a", "b", "c"])
-    os.environ["YOGO_TPU_NO_NATIVE"] = "1"
-    try:
-        import yogo_tpu.native as nat  # noqa: F401 - import side effects under test
+    import pytest
 
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setenv("YOGO_TPU_NO_NATIVE", "1")  # restores any prior value
         slow = load_labels(p, ["a", "b", "c"])
     finally:
-        del os.environ["YOGO_TPU_NO_NATIVE"]
+        mp.undo()
     assert len(fast) == len(slow) == 2  # tiny box filtered by both
     np.testing.assert_allclose(fast, slow, atol=1e-6)
 
 
-def test_dataset_uses_native_and_matches_python(tmp_path):
+def test_dataset_uses_native_and_matches_python(tmp_path, monkeypatch):
+    """The integrated dataset path must produce IDENTICAL pixel data with
+    and without the native decoder (not just matching shapes)."""
     from tests.data_fixtures import CLASSES, make_pair_dirs
     from yogo_tpu.data.dataset import ObjectDetectionDataset
 
@@ -116,6 +117,13 @@ def test_dataset_uses_native_and_matches_python(tmp_path):
     img, grid = ds[0]
     assert img.shape == (1, 40, 56) and img.dtype == np.uint8
     assert grid.shape == (6, 6, 8)
+
+    monkeypatch.setenv("YOGO_TPU_NO_NATIVE", "1")
+    img_py, grid_py = ds[0]
+    # decode+antialias-resize parity is 1-LSB-tested at the unit level;
+    # through the integrated path the same tolerance must hold
+    assert np.abs(img.astype(np.int16) - img_py.astype(np.int16)).max() <= 1
+    np.testing.assert_array_equal(grid, grid_py)
 
 
 def test_parse_labels_no_silent_truncation(tmp_path):
@@ -230,3 +238,20 @@ def test_parse_labels_concurrent_threads(tmp_path):
             got = list(ex.map(native.parse_labels, files * 4))
             for g, e in zip(got, expected * 4):
                 np.testing.assert_array_equal(g, e)
+
+
+def test_parse_labels_defers_on_python_divergent_lines(tmp_path):
+    """Lines that the python/reference path treats differently must defer
+    (-2 -> None) rather than silently parse: whitespace- or separator-only
+    lines break the python csv.Sniffer, and C99 hex floats parse in strtod
+    but raise in python's float()."""
+    good = "0 0.5 0.5 0.1 0.1\n"
+    for bad in ["  \n", ",,,,\n", "0 0x1p-1 0.5 0.1 0.1\n"]:
+        p = tmp_path / "d.txt"
+        p.write_text(good + bad)
+        assert native.parse_labels(p) is None, repr(bad)
+    # pure newline blank lines are fine in both paths -> still fast-pathed
+    p = tmp_path / "ok.txt"
+    p.write_text(good + "\n" + good)
+    rows = native.parse_labels(p)
+    assert rows is not None and len(rows) == 2

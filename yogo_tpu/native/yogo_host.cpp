@@ -15,6 +15,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cctype>
+#include <locale.h>  // newlocale/strtod_l: locale-independent number parsing
 #include <cmath>
 #include <csetjmp>
 #include <cstdint>
@@ -86,8 +87,15 @@ bool decode_png(FILE* f, int want_channels, Image* out) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
   }
-  out->data.resize(size_t(out->h) * out->w * out->c);
-  rows.resize(out->h);
+  // the resizes can throw bad_alloc, which would skip the libpng destroy
+  // (leaking read/info structs on every near-OOM decode) - own try block
+  try {
+    out->data.resize(size_t(out->h) * out->w * out->c);
+    rows.resize(out->h);
+  } catch (...) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    throw;  // yogo_decode_image's catch-all maps it to -1
+  }
   for (int y = 0; y < out->h; ++y)
     rows[y] = out->data.data() + size_t(y) * out->w * out->c;
   png_read_image(png, rows.data());
@@ -127,7 +135,12 @@ bool decode_jpeg(FILE* f, int want_channels, Image* out) {
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
-  out->data.resize(size_t(out->h) * out->w * out->c);
+  try {
+    out->data.resize(size_t(out->h) * out->w * out->c);
+  } catch (...) {  // bad_alloc must not skip the jpeg pool destroy
+    jpeg_destroy_decompress(&cinfo);
+    throw;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row =
         out->data.data() + size_t(cinfo.output_scanline) * out->w * out->c;
@@ -240,6 +253,9 @@ extern "C" {
 // cross the C ABI (ctypes would hit UB), hence the catch-all.
 int yogo_decode_image(const char* path, uint8_t* out, int out_h, int out_w,
                       int channels) try {
+  // zero/negative target dims would make build_filter divide by zero and
+  // cast inf to int (UB); fail cleanly instead
+  if (out_h <= 0 || out_w <= 0 || channels <= 0) return -1;
   Image img;
   if (!decode_file(path, channels, &img)) return -1;
   if (channels == 1) {
@@ -329,8 +345,19 @@ int yogo_decode_batch(const char** paths, int n, uint8_t* out, int out_h,
   };
   std::vector<std::thread> threads;
   int nt = std::min(n_threads, n);
-  threads.reserve(nt);
-  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  // thread creation can throw (EAGAIN under resource exhaustion) and this
+  // is a C-ABI entry point: no exception may escape, and already-started
+  // threads must be joined first (a vector of joinable threads being
+  // destroyed is guaranteed std::terminate)
+  try {
+    threads.reserve(nt);
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  } catch (...) {
+    for (auto& t : threads) t.join();
+    // the started workers drained some (maybe all) of the queue; report
+    // what actually succeeded
+    return threads.empty() ? -1 : good.load();
+  }
   for (auto& t : threads) t.join();
   return good.load();
 }
@@ -346,6 +373,10 @@ int yogo_decode_batch(const char** paths, int n, uint8_t* out, int out_h,
 // parser, which raises the reference's error messages. Class tokens that
 // aren't numeric get value -1 in column 0 for the caller to resolve.
 int yogo_parse_labels(const char* path, double* out, int max_rows) {
+  // strtod/strtol honor LC_NUMERIC: an embedding app that setlocale()s to
+  // e.g. de_DE would make "0.5" stop parsing at the dot and silently kill
+  // the fast path for every file. Parse in a cached C locale instead.
+  static locale_t c_locale = newlocale(LC_ALL_MASK, "C", nullptr);
   FILE* f = fopen(path, "r");
   if (!f) return -1;
   char line[512];
@@ -364,7 +395,20 @@ int yogo_parse_labels(const char* path, double* out, int max_rows) {
       if (*p == ',' || *p == '\t') *p = ' ';
     char* s = line;
     while (*s && std::isspace(uint8_t(*s))) ++s;
-    if (!*s) continue;
+    if (!*s) {
+      // a pure newline (LF or CRLF) is skipped by python's csv.reader too,
+      // but a whitespace- or separator-only line ("  ", ",,,,") makes the
+      // python path's csv.Sniffer fail (-> the reference returns no
+      // labels): defer so both paths agree
+      bool newline_only = true;
+      for (size_t i = 0; i < len; ++i)
+        if (line[i] != '\n' && line[i] != '\r') newline_only = false;
+      if (!newline_only) {
+        fclose(f);
+        return -2;
+      }
+      continue;
+    }
 
     double vals[5];
     int got = 0;
@@ -380,11 +424,11 @@ int yogo_parse_labels(const char* path, double* out, int max_rows) {
         // python path does int(token) and raises otherwise, so numeric
         // non-integer forms defer to it (-2); non-numeric tokens are class
         // names the caller resolves (-1 sentinel)
-        long cls = strtol(tok, &end, 10);
+        long cls = strtol_l(tok, &end, 10, c_locale);
         if (end != tok && *end == '\0') {
           v = double(cls);
         } else {
-          double dv = strtod(tok, &end);
+          double dv = strtod_l(tok, &end, c_locale);
           if (end != tok && *end == '\0') {
             (void)dv;
             got = -2;  // numeric but not an integer class
@@ -393,10 +437,20 @@ int yogo_parse_labels(const char* path, double* out, int max_rows) {
           v = -1.0;  // class name token
         }
       } else {
-        v = strtod(tok, &end);
+        v = strtod_l(tok, &end, c_locale);
         if (end == tok || *end != '\0') {
           got = -1;  // non-numeric coordinate
           break;
+        }
+        // strtod accepts C99 hex floats ("0x1p-1") that python's float()
+        // rejects: a token that PARSED but contains x/X must defer so
+        // both paths raise identically (plain header words like "xc"
+        // fail strtod above and take the normal header path)
+        for (const char* q = tok; *q; ++q) {
+          if (*q == 'x' || *q == 'X') {
+            fclose(f);
+            return -2;
+          }
         }
       }
       vals[got++] = v;
