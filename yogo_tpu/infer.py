@@ -397,4 +397,9 @@ def do_infer(args) -> None:
         output_img_ftype=args.output_img_filetype,
         min_class_confidence_threshold=args.min_class_confidence_threshold,
         half=args.half,
+        **(
+            {"max_detections": args.max_detections}
+            if getattr(args, "max_detections", None) is not None
+            else {}
+        ),
     )

@@ -406,6 +406,15 @@ def infer_parser(parser=None):
         ),
     )
     parser.add_argument(
+        "--max-detections", type=uint, default=None,
+        help=(
+            "capacity of the fused on-device count path: top-K cells by "
+            "objectness kept before NMS (extension - the reference's host "
+            "NMS is uncapped; default 256 covers ~1.5x the realistic max "
+            "object density, raise it for extremely dense scenes)"
+        ),
+    )
+    parser.add_argument(
         "--heatmap-mask-path", type=Path, default=None,
         help="path to heatmap mask for the run (default: None)",
     )
