@@ -158,8 +158,8 @@ def main() -> None:
     # the FULL inference pipeline: forward + fused on-device
     # filter/top-K/NMS/count, i.e. what `yogo infer --count` actually
     # executes per batch, at the production detection density. 0.95x the 5k
-    # target: the residual gap is XLA's exact top_k primitive (>=2.5 ms even
-    # at k=32 vs the 2.0 ms postprocess budget) - measured floor analysis in
+    # target: the residual gap is XLA postprocess primitives (exact selection
+    # >=2.5 ms even at k=32 vs the 2.0 ms budget) - floor analysis in
     # docs/perf-notes.md "Round 3: end-to-end inference".
     if e2e > 0.0:
         print(

@@ -190,6 +190,34 @@ def test_fuzz_nms_nan_scores_match_oracle(seed):
     )
 
 
+def test_approx_topk_recall_one_is_exact():
+    """format_preds_batched selects with approx_max_k(recall_target=1.0)
+    for speed (1.9x lax.top_k on v5e). That is only sound because XLA's
+    bin-count formula does NO reduction at recall 1.0 - pin both the
+    formula (reduction output size == full input for practical shapes)
+    and set-equality with lax.top_k on random keys."""
+    import jax
+    import jax.numpy as jnp
+    from jax._src.lib import _jax as _jaxlib
+
+    for n, k in [(12513, 1024), (12513, 256), (192, 48), (48, 16)]:
+        size, _ = _jaxlib.approx_top_k_reduction_output_size(
+            n, 2, k, 1.0, False, -1
+        )
+        assert size == n, f"approx_top_k would approximate at n={n} k={k}"
+
+    for seed in range(10):
+        keys = jnp.asarray(
+            np.random.default_rng(seed).normal(0, 1, (3, 500)), jnp.float32
+        )
+        _, ti = jax.lax.top_k(keys, 32)
+        _, ai = jax.lax.approx_max_k(keys, 32, recall_target=1.0)
+        for b in range(3):
+            assert set(np.asarray(ti)[b].tolist()) == set(
+                np.asarray(ai)[b].tolist()
+            ), f"seed={seed} row={b}"
+
+
 def test_nms_exp_huge_boxes_still_suppress():
     """A diverged checkpoint can emit w ~ anchor*e^80 ~ 4e33; the f32 area
     product then overflows to inf, the union goes inf-inf=NaN, and an

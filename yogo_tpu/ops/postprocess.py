@@ -151,9 +151,16 @@ def format_preds_batched(
     passing = obj > obj_thresh
     if image_mask is not None:
         passing = passing & image_mask.astype(bool)[:, None]
-    # top-K by objectness, masked entries sink to the bottom
+    # top-K by objectness, masked entries sink to the bottom.
+    # approx_max_k(recall_target=1.0) is EXACT here - the XLA bin-count
+    # formula returns reduction_output_size == the full input at
+    # (N=12513, k<=1024, recall 1.0), i.e. the PartialReduce pass is an
+    # identity and aggregate_to_topk runs a true top-k - while its sorting
+    # machinery (arXiv:2206.14286) measures 1.9x faster than lax.top_k on
+    # v5e (3.11 vs 5.77 ms at (512, 12513) k=256; docs/perf-notes.md).
+    # Only tie ORDER among equal keys may differ from lax.top_k.
     sort_key = jnp.where(passing, obj, -1.0)
-    top_val, top_idx = jax.lax.top_k(sort_key, k)
+    top_val, top_idx = jax.lax.approx_max_k(sort_key, k, recall_target=1.0)
     valid = top_val > 0  # -1 markers are invalid; obj itself is > 0 by sigmoid
     valid = valid & (top_val > obj_thresh)
 
