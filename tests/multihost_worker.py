@@ -110,6 +110,37 @@ def main() -> None:
         "local_rows does not recover this process's shard"
     )
 
+    # the REAL multihost eval path Trainer.test runs: sharded eval step,
+    # replicated global preds sliced to the local shard, Metrics over it.
+    # Every process scores its own rows; the parent test sums the matched+
+    # missed object counts across processes and compares with a
+    # single-process run of the same global batch.
+    from yogo_tpu.metrics.metrics import Metrics
+    from yogo_tpu.train import make_eval_step
+
+    jeval = jax.jit(
+        make_eval_step(
+            model,
+            dict(no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+                 label_smoothing=0.01),
+        ),
+        in_shardings=(rep, rep, dat, dat, msk),
+        out_shardings=(rep, rep),
+    )
+    _, preds = jeval(
+        state.params, state.batch_stats, imgs_d, labels_d, mask_d
+    )
+    preds_local = local_rows(np.asarray(preds, np.float32), hi - lo)
+    metrics = Metrics(classes=["a", "b", "c"], obj_thresh=0.3,
+                      max_detections=16)
+    metrics.update(preds_local, labels_g[lo:hi], mask_g[lo:hi])
+    out = metrics.compute()
+    missed, total = out[7], out[9]
+    # one GT object per image: matched + missed accounts for all of them
+    n_objects = int(np.asarray(total).ravel()[0]) + int(missed.sum())
+    assert n_objects == hi - lo, (n_objects, hi - lo)
+    print(f"MHEVAL {pid} {n_objects}", flush=True)
+
     # process-0-gated checkpointing of the replicated global state, exactly
     # as Trainer.checkpoint does it (device_get on replicated arrays is
     # fully addressable from every process)
