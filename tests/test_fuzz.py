@@ -218,6 +218,52 @@ def test_approx_topk_recall_one_is_exact():
             ), f"seed={seed} row={b}"
 
 
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_saturated_objectness_ties_match_host(seed):
+    """A confident model saturates f32 sigmoid objectness to EXACTLY 1.0 in
+    many cells, and class probs can tie too - so NMS priority ties are
+    broken by order. The device path's selection (approx_max_k) returns
+    ties in implementation-defined order, so NMS must tie-break by
+    ORIGINAL CELL INDEX to keep the same detections as the host path's
+    stable cell-ordered sort."""
+    import jax.numpy as jnp
+
+    from yogo_tpu.ops.postprocess import format_preds, format_preds_batched
+
+    rng = np.random.default_rng(7000 + seed)
+    sy, sx, c = 8, 12, 3
+    preds = np.zeros((5 + c, sy, sx), np.float32)
+    # overlapping clusters of tied-score boxes: several cells share the
+    # SAME box center/size (so IoU 1.0 within a cluster) and obj = 1.0
+    n_clusters = 5
+    for _ in range(n_clusters):
+        cells = rng.choice(sy * sx, int(rng.integers(2, 5)), replace=False)
+        ys, xs = np.unravel_index(cells, (sy, sx))
+        cx, cy = rng.uniform(0.2, 0.8, 2)
+        preds[0, ys, xs] = cx
+        preds[1, ys, xs] = cy
+        preds[2, ys, xs] = 0.15
+        preds[3, ys, xs] = 0.15
+        preds[4, ys, xs] = 1.0  # saturated objectness
+        preds[5, ys, xs] = 0.75  # tied class prob -> tied NMS score
+    host = format_preds(preds, obj_thresh=0.5, iou_thresh=0.5)
+
+    dev = format_preds_batched(
+        jnp.asarray(preds)[None], obj_thresh=0.5, iou_thresh=0.5,
+        max_detections=sy * sx,
+    )
+    valid = np.asarray(dev["valid"])[0]
+    dev_boxes = np.asarray(dev["boxes_cxcywh"])[0][valid]
+
+    assert len(dev_boxes) == len(host), (
+        f"seed={seed}: device kept {len(dev_boxes)}, host {len(host)}"
+    )
+    # same detection SET (sort rows for comparison)
+    a = np.array(sorted(map(tuple, np.round(dev_boxes, 6))))
+    b = np.array(sorted(map(tuple, np.round(host[:, :4], 6))))
+    np.testing.assert_allclose(a, b, atol=1e-6, err_msg=f"seed={seed}")
+
+
 def test_nms_exp_huge_boxes_still_suppress():
     """A diverged checkpoint can emit w ~ anchor*e^80 ~ 4e33; the f32 area
     product then overflows to inf, the union goes inf-inf=NaN, and an

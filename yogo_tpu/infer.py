@@ -397,9 +397,5 @@ def do_infer(args) -> None:
         output_img_ftype=args.output_img_filetype,
         min_class_confidence_threshold=args.min_class_confidence_threshold,
         half=args.half,
-        **(
-            {"max_detections": args.max_detections}
-            if getattr(args, "max_detections", None) is not None
-            else {}
-        ),
+        max_detections=args.max_detections,
     )

@@ -377,6 +377,7 @@ int yogo_parse_labels(const char* path, double* out, int max_rows) {
   // e.g. de_DE would make "0.5" stop parsing at the dot and silently kill
   // the fast path for every file. Parse in a cached C locale instead.
   static locale_t c_locale = newlocale(LC_ALL_MASK, "C", nullptr);
+  if (!c_locale) return -2;  // strtod_l with a null locale_t is UB; defer
   FILE* f = fopen(path, "r");
   if (!f) return -1;
   char line[512];

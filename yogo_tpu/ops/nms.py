@@ -20,6 +20,7 @@ torch: stable sort, strictly-greater-than-threshold suppression.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -91,11 +92,20 @@ def _greedy_keep_from_suppression(suppress: Array) -> Array:
 
 @partial(jax.jit, static_argnames=("iou_threshold",))
 def nms_fixed(
-    boxes: Array, scores: Array, valid: Array, iou_threshold: float
+    boxes: Array,
+    scores: Array,
+    valid: Array,
+    iou_threshold: float,
+    tiebreak: Optional[Array] = None,
 ) -> Array:
     """Greedy NMS over padded, fixed-size inputs (single image).
 
     boxes: (K, 4) xyxy, scores: (K,), valid: (K,) bool padding mask.
+    tiebreak: optional (K,) int priority for EQUAL scores (lower wins);
+    defaults to the slot index. format_preds_batched passes the original
+    grid-cell indices so the result is independent of the (implementation-
+    defined) order its top-K selection returns ties in - matching the host
+    path, whose stable sort breaks score ties by cell order.
     Returns keep mask (K,) in the ORIGINAL box order.
 
     SORT-FREE formulation: instead of ranking boxes (argsort + rank-order
@@ -130,7 +140,7 @@ def nms_fixed(
     # order or they would neither suppress nor be suppressed; rank them
     # last, like argsort (and the numpy oracle) sorts NaN to the end
     scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
-    idx = jnp.arange(k)
+    idx = jnp.arange(k) if tiebreak is None else tiebreak
     precedes = (scores[:, None] > scores[None, :]) | (
         (scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :])
     )
@@ -141,9 +151,17 @@ def nms_fixed(
 
 
 def batched_nms(
-    boxes: Array, scores: Array, valid: Array, iou_threshold: float
+    boxes: Array,
+    scores: Array,
+    valid: Array,
+    iou_threshold: float,
+    tiebreak: Optional[Array] = None,
 ) -> Array:
     """vmapped fixed-capacity NMS: (B, K, 4), (B, K), (B, K) -> keep (B, K)."""
-    return jax.vmap(lambda b, s, v: nms_fixed(b, s, v, iou_threshold))(
-        boxes, scores, valid
-    )
+    if tiebreak is None:
+        return jax.vmap(lambda b, s, v: nms_fixed(b, s, v, iou_threshold))(
+            boxes, scores, valid
+        )
+    return jax.vmap(
+        lambda b, s, v, t: nms_fixed(b, s, v, iou_threshold, tiebreak=t)
+    )(boxes, scores, valid, tiebreak)

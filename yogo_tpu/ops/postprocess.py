@@ -144,7 +144,10 @@ def format_preds_batched(
     """
     b, pred_dim, sy, sx = preds.shape
     cells = sy * sx
-    k = min(max_detections, cells)
+    # max_detections=0 is accepted (uint flag contract) and means "keep
+    # nothing": compute at capacity 1 and mask everything out, since the
+    # selection op requires k >= 1
+    k = max(1, min(max_detections, cells))
     flat = preds.reshape(b, pred_dim, cells).transpose(0, 2, 1)  # (B, cells, D)
 
     obj = flat[..., 4]
@@ -163,6 +166,8 @@ def format_preds_batched(
     top_val, top_idx = jax.lax.approx_max_k(sort_key, k, recall_target=1.0)
     valid = top_val > 0  # -1 markers are invalid; obj itself is > 0 by sigmoid
     valid = valid & (top_val > obj_thresh)
+    if max_detections == 0:
+        valid = jnp.zeros_like(valid)
 
     sel = jnp.take_along_axis(flat, top_idx[..., None], axis=1)  # (B, K, D)
     boxes_cxcywh = sel[..., :4]
@@ -175,7 +180,12 @@ def format_preds_batched(
 
     if iou_thresh > 0:
         scores = class_probs.max(axis=-1) * objectness
-        keep = batched_nms(boxes_xyxy, scores, valid, iou_thresh)
+        # tie-break equal scores by ORIGINAL cell index, like the host
+        # path's stable sort over cell-ordered preds - this makes the
+        # result independent of the order approx_max_k returns ties in
+        keep = batched_nms(
+            boxes_xyxy, scores, valid, iou_thresh, tiebreak=top_idx
+        )
         valid = valid & keep
 
     if min_class_confidence_threshold > 0:

@@ -405,13 +405,16 @@ def infer_parser(parser=None):
             "confidence must be greater than this value (default: 0.0)"
         ),
     )
+    from yogo_tpu.ops.postprocess import INFER_COUNT_MAX_DETECTIONS
+
     parser.add_argument(
-        "--max-detections", type=uint, default=None,
+        "--max-detections", type=uint, default=INFER_COUNT_MAX_DETECTIONS,
         help=(
             "capacity of the fused on-device count path: top-K cells by "
             "objectness kept before NMS (extension - the reference's host "
-            "NMS is uncapped; default 256 covers ~1.5x the realistic max "
-            "object density, raise it for extremely dense scenes)"
+            "NMS is uncapped; the default covers ~1.5x the realistic max "
+            "object density, raise it for extremely dense scenes) "
+            f"(default: {INFER_COUNT_MAX_DETECTIONS})"
         ),
     )
     parser.add_argument(

@@ -472,12 +472,28 @@ def do_export(args) -> None:
                 onnx.load_from_string(model_bytes)
             )
             if ok:
-                model_bytes = simplified.SerializeToString()
+                # the simplified graph must still pass the parity gate (it
+                # may introduce ops the fallback interpreter lacks); fall
+                # back to the already-valid unsimplified graph if not
+                candidate = simplified.SerializeToString()
+                try:
+                    verify_onnx(model, variables, candidate)
+                    model_bytes = candidate
+                except Exception as e:
+                    print(f"--simplify: simplified graph failed the parity "
+                          f"gate ({e!r}); keeping the unsimplified graph")
         except ImportError:
             print(
                 "--simplify: onnx-simplifier not installed; exporting the "
                 "writer's already-BN-folded graph unchanged"
             )
+        except Exception as e:
+            # onnxsim routinely raises on graphs it has not seen; a
+            # simplify failure must not abort an export whose unsimplified
+            # graph is valid (the flag used to be inert - never fail where
+            # the reference succeeded)
+            print(f"--simplify: onnxsim failed ({e!r}); exporting the "
+                  "unsimplified graph")
     max_dev = verify_onnx(model, variables, model_bytes)
     onnx_filename.write_bytes(model_bytes)
     success_msg = (
