@@ -1,0 +1,203 @@
+"""Int8 post-training quantization (ops/quant.py).
+
+The reference has no quantization; this is a beyond-parity serving path.
+Tests pin (a) the BN-fold consistency with the ONNX exporter's fold, (b)
+XLA's integer conv semantics against an exact numpy oracle, (c) weight
+round-trips, (d) calibration behavior, and (e) the end gate: detections
+from the quantized forward on the TRAINED half_filters checkpoint match
+the float path's detections on the golden synthetic test set.
+"""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yogo_tpu.models.yogo import YOGO
+from yogo_tpu.ops import quant
+
+GOLDEN_DIR = Path(__file__).parent / "goldens"
+CKPT_PATH = GOLDEN_DIR / "trained_half_filters.ckpt"
+
+
+def tiny_model(name="quarter_filters"):
+    return YOGO.create((48, 64), 0.08, 0.1, 2, model_version=name)
+
+
+def calib_batches(n=2, b=4, hw=(48, 64), seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        rng.integers(0, 256, (b, 1, *hw)).astype(np.uint8) for _ in range(n)
+    ]
+
+
+def test_fold_matches_export_fold():
+    """fold_block_params (HWIO) == export's _folded_conv_params (OIHW)."""
+    from yogo_tpu.utils.export_model import _folded_conv_params
+
+    model = tiny_model()
+    v = model.init(jax.random.key(1))
+    params, stats = v["params"], v.get("batch_stats", {})
+    # give BN stats non-trivial values so the fold actually does something
+    rng = np.random.default_rng(3)
+    for k in list(stats):
+        stats[k] = {
+            "mean": jnp.asarray(rng.normal(0, 1, stats[k]["mean"].shape), jnp.float32),
+            "var": jnp.asarray(rng.uniform(0.5, 2, stats[k]["var"].shape), jnp.float32),
+        }
+    v = {"params": params, "batch_stats": stats}
+    for i, spec in enumerate(model.defn.blocks):
+        conv = params[f"conv{i}"]
+        bn_p, bn_s = params.get(f"bn{i}"), stats.get(f"bn{i}")
+        w_hwio, b_hwio = quant.fold_block_params(spec, conv, bn_p, bn_s)
+        w_oihw, b_oihw = _folded_conv_params(spec, conv, bn_p, bn_s)
+        np.testing.assert_allclose(
+            np.transpose(w_hwio, (3, 2, 0, 1)), w_oihw, rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_allclose(b_hwio, b_oihw, rtol=1e-6, atol=1e-7)
+
+
+def test_int8_conv_matches_integer_oracle():
+    """XLA s8 x s8 -> s32 conv == exact numpy integer convolution."""
+    from yogo_tpu.models.defns import ConvSpec
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(-127, 128, (2, 9, 11, 3)).astype(np.int8)
+    w = rng.integers(-127, 128, (3, 3, 3, 5)).astype(np.int8)
+    spec = ConvSpec(5, kernel=3, stride=2, padding=1)
+    got = np.asarray(
+        quant._conv(jnp.asarray(x), jnp.asarray(w), spec, jnp.int32)
+    )
+
+    xp = np.pad(x.astype(np.int64), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    oh, ow = got.shape[1], got.shape[2]
+    want = np.zeros_like(got, dtype=np.int64)
+    for b in range(2):
+        for i in range(oh):
+            for j in range(ow):
+                patch = xp[b, 2 * i : 2 * i + 3, 2 * j : 2 * j + 3, :]
+                want[b, i, j] = np.tensordot(patch, w.astype(np.int64), 3)
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, want)
+
+
+def test_quantize_weights_roundtrip_and_zero_channel():
+    rng = np.random.default_rng(1)
+    # exact multiples of a per-channel scale round-trip losslessly
+    sw_true = np.array([0.01, 0.5, 2.0], np.float32)
+    ints = rng.integers(-127, 128, (3, 3, 4, 3))
+    ints[..., :] = np.where(np.abs(ints) == 127, 127, ints)  # ensure absmax=127
+    ints[0, 0, 0, :] = 127
+    w = ints.astype(np.float32) * sw_true
+    q, sw = quant.quantize_weights(w)
+    np.testing.assert_allclose(sw, sw_true, rtol=1e-6)
+    np.testing.assert_array_equal(q, ints)
+    # an all-zero output channel gets scale 1.0 and zero ints, not NaN
+    w[..., 1] = 0.0
+    q, sw = quant.quantize_weights(w)
+    assert sw[1] == 1.0 and not np.any(q[..., 1])
+
+
+def test_calibration_scales_shape_and_errors():
+    model = tiny_model()
+    v = model.init(jax.random.key(0))
+    folded = quant.fold_conv_stack(model.defn, v)
+    batches = [
+        np.transpose(b, (0, 2, 3, 1)).astype(np.float32)
+        for b in calib_batches()
+    ]
+    scales = quant.calibrate_act_scales(folded, batches)
+    assert scales.shape == (len(model.defn.blocks) - 1,)
+    assert np.all(scales > 0)
+    with pytest.raises(ValueError, match="at least one"):
+        quant.calibrate_act_scales(folded, [])
+
+
+def test_convnext_rejected():
+    model = YOGO.create((64, 64), 0.08, 0.1, 2, model_version="convnext_small")
+    v = model.init(jax.random.key(0))
+    with pytest.raises(NotImplementedError, match="conv_stack"):
+        quant.fold_conv_stack(model.defn, v)
+
+
+def test_quantized_forward_shape_layout_determinism():
+    model = tiny_model()
+    v = model.init(jax.random.key(2))
+    batches = calib_batches()
+    qp = quant.quantize_conv_stack(model, v, batches)
+    x = jnp.asarray(batches[0])
+    out = quant.quantized_forward(model, qp, x)
+    ref = model.apply(v, x, inference=True)
+    assert out.shape == ref.shape  # (B, 5+C, Sy, Sx)
+    # jit-compatible and deterministic
+    jf = jax.jit(lambda xx: quant.quantized_forward(model, qp, xx))
+    np.testing.assert_array_equal(np.asarray(jf(x)), np.asarray(jf(x)))
+    # decoded geometry stays in [0,1] boxes / [0,1] scores like the float path
+    o = np.asarray(out)
+    assert np.all((o[:, 0] >= 0) & (o[:, 0] <= 1))
+    assert np.all((o[:, 4] >= 0) & (o[:, 4] <= 1))
+
+
+def test_trained_model_detection_parity():
+    """End gate: int8 detections == float detections on the trained
+    checkpoint at production thresholds (obj 0.5, iou 0.5) - same boxes
+    (IoU > 0.8), same classes, same per-class counts."""
+    from tests.test_golden_detections import gen_test_images
+    from yogo_tpu.ops.boxes import box_iou
+    from yogo_tpu.ops.postprocess import format_preds
+    from yogo_tpu.utils.checkpoint import load_any
+
+    model, variables, _ = load_any(CKPT_PATH)
+    imgs = gen_test_images(Path("/tmp/quant_goldens"), n=16, seed=2)
+    x = np.stack(imgs)[:, None]  # (B, 1, H, W) uint8
+
+    # calibrate on the FIRST HALF, evaluate on all (held-out generalization)
+    qp = quant.quantize_conv_stack(model, variables, [x[:8]])
+    out_q = np.asarray(
+        quant.quantized_forward(model, qp, jnp.asarray(x)), np.float32
+    )
+    out_f = np.asarray(
+        model.apply(variables, jnp.asarray(x), inference=True), np.float32
+    )
+
+    n_match, n_total = 0, 0
+    for qi, fi in zip(out_q, out_f):
+        dq = format_preds(qi, obj_thresh=0.5, iou_thresh=0.5, box_format="xyxy")
+        df = format_preds(fi, obj_thresh=0.5, iou_thresh=0.5, box_format="xyxy")
+        assert len(dq) == len(df), "detection count diverged under int8"
+        if not len(df):
+            continue
+        iou = np.asarray(
+            box_iou(jnp.asarray(dq)[:, :4], jnp.asarray(df)[:, :4])
+        )
+        # greedy one-to-one: every float det must have an int8 twin
+        for j in range(len(df)):
+            i = int(np.argmax(iou[:, j]))
+            assert iou[i, j] > 0.8
+            assert int(np.argmax(dq[i, 5:])) == int(np.argmax(df[j, 5:]))
+            assert abs(float(dq[i, 4]) - float(df[j, 4])) < 0.1
+            n_match += 1
+        n_total += len(df)
+    assert n_total >= 20  # the golden set produces real detections
+    assert n_match == n_total
+
+
+def test_skip_blocks_bf16_fallback():
+    """skip_blocks keeps chosen blocks in bf16; result tracks the float
+    path at least as closely as the all-int8 one, and block 0 is refused."""
+    model = tiny_model()
+    v = model.init(jax.random.key(2))
+    batches = calib_batches()
+    x = jnp.asarray(batches[0])
+    ref = np.asarray(model.apply(v, x, inference=True))
+    qp_all = quant.quantize_conv_stack(model, v, batches)
+    qp_skip = quant.quantize_conv_stack(model, v, batches, skip_blocks=[3])
+    assert "w8" not in qp_skip["blocks"][2] and "w" in qp_skip["blocks"][2]
+    e_all = np.abs(np.asarray(quant.quantized_forward(model, qp_all, x)) - ref)
+    e_skip = np.abs(np.asarray(quant.quantized_forward(model, qp_skip, x)) - ref)
+    # obj channel: skipping a block cannot make things dramatically worse
+    assert e_skip[:, 4].mean() < e_all[:, 4].mean() * 2 + 1e-3
+    with pytest.raises(ValueError, match="block 0"):
+        quant.quantize_conv_stack(model, v, batches, skip_blocks=[0])

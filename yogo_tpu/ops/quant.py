@@ -1,0 +1,252 @@
+"""Post-training int8 quantization for conv-stack models.
+
+No reference analogue (czbiohub-sf/yogo is f32/f16 only); this is a
+beyond-parity serving feature: the v5e MXU runs s8 x s8 -> s32 matmuls at
+2x its bf16 rate, so the MXU-bound middle blocks of the backbone (b3..b6
+of base_model carry ~60% of forward time, docs/perf-notes.md) can run in
+int8 with f32 dequant/requant glue that XLA fuses into the convs.
+
+Scheme (standard symmetric PTQ):
+  - BatchNorm folded into conv weight/bias first (same fold math as the
+    ONNX exporter, utils/export_model.py:_folded_conv_params).
+  - Weights: per-output-channel symmetric int8, scale_w[c] = absmax_c/127.
+  - Activations: per-tensor symmetric int8, scale from calibration
+    (absmax of the f32 folded-forward activation entering each block,
+    over user-supplied calibration batches).
+  - Block 0 stays in bf16: its C_in is 1 (grayscale), it is HBM/layout
+    bound, and the MXU gains nothing there. The decoded head output is
+    f32 as in the float path.
+  - Head conv (1x1, no activation) runs int8 with f32 dequant, no requant.
+
+The quantized forward mirrors YOGO.apply(inference=...) semantics for the
+conv_stack family: same decode (models/yogo.py:decode_predictions), same
+output layout (B, 5+C, Sy, Sx). Dropout is inference-off; silu/leaky act
+runs in f32 between dequant and requant (XLA fuses the chain).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yogo_tpu.models.defns import ConvSpec
+
+Array = jax.Array
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _act_fn(name):
+    if name is None:
+        return lambda x: x
+    if name == "leaky_relu":
+        return lambda x: jnp.where(x > 0, x, 0.01 * x)
+    if name == "silu":
+        return jax.nn.silu
+    raise NotImplementedError(f"quantized path: unsupported activation {name}")
+
+
+def fold_block_params(
+    spec: ConvSpec, conv: Dict[str, Any], bn_params, bn_stats, eps: float = 1e-5
+) -> Tuple[np.ndarray, np.ndarray]:
+    """HWIO kernel + optional BN -> HWIO weight and per-channel bias with BN
+    folded (the NHWC twin of export_model._folded_conv_params, which emits
+    OIHW for ONNX)."""
+    w = np.asarray(conv["kernel"], np.float32)
+    b = (
+        np.asarray(conv["bias"], np.float32)
+        if "bias" in conv
+        else np.zeros(w.shape[-1], np.float32)
+    )
+    if bn_params is not None:
+        scale = np.asarray(bn_params["scale"], np.float32)
+        beta = np.asarray(bn_params["bias"], np.float32)
+        mean = np.asarray(bn_stats["mean"], np.float32)
+        var = np.asarray(bn_stats["var"], np.float32)
+        k = scale / np.sqrt(var + eps)
+        w = w * k[None, None, None, :]
+        b = (b - mean) * k + beta
+    return w, b
+
+
+def fold_conv_stack(defn, variables) -> List[Tuple[ConvSpec, np.ndarray, np.ndarray]]:
+    """All blocks of a conv_stack model as (spec, folded HWIO w, bias)."""
+    if defn.family != "conv_stack":
+        raise NotImplementedError(
+            "int8 quantization supports the conv_stack family only "
+            f"(got {defn.family}); convnext runs the float path"
+        )
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out = []
+    for i, s in enumerate(defn.blocks):
+        if s.transpose:
+            raise NotImplementedError("transpose conv in conv_stack defn")
+        w, b = fold_block_params(
+            s, params[f"conv{i}"], params.get(f"bn{i}"), stats.get(f"bn{i}")
+        )
+        out.append((s, w, b))
+    return out
+
+
+def _conv(x, w, spec: ConvSpec, preferred):
+    p = [(spec.padding, spec.padding), (spec.padding, spec.padding)]
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        (spec.stride, spec.stride),
+        p,
+        dimension_numbers=_DN,
+        preferred_element_type=preferred,
+    )
+
+
+def folded_float_forward(folded, x_f32: Array, upto: int | None = None) -> Array:
+    """f32 forward through the folded stack (the dequantized reference the
+    calibration and the tests compare against). `upto` stops BEFORE block
+    `upto` and returns its input activation."""
+    h = x_f32
+    for i, (spec, w, b) in enumerate(folded):
+        if upto is not None and i == upto:
+            return h
+        h = _conv(h, jnp.asarray(w), spec, jnp.float32) + jnp.asarray(b)
+        h = _act_fn(spec.act)(h)
+    return h
+
+
+def calibrate_act_scales(
+    folded, calib_batches: Iterable[np.ndarray], first_quant_block: int = 1
+) -> np.ndarray:
+    """Per-block input absmax over the calibration set -> symmetric int8
+    scales. calib_batches yields NHWC float input batches (uint8 images cast
+    to f32, NOT normalized - matching YOGO.apply's input handling,
+    models/yogo.py:497-499). Returns scales[i] for blocks
+    first_quant_block..N-1 (scale of the activation ENTERING block i)."""
+    n = len(folded)
+    absmax = np.zeros(n, np.float64)
+
+    @jax.jit
+    def block_maxes(x):
+        h = x
+        maxes = []
+        for i, (spec, w, b) in enumerate(folded):
+            maxes.append(jnp.max(jnp.abs(h)))
+            h = _conv(h, jnp.asarray(w), spec, jnp.float32) + jnp.asarray(b)
+            h = _act_fn(spec.act)(h)
+        return jnp.stack(maxes)
+
+    seen = 0
+    for xb in calib_batches:
+        x = jnp.asarray(np.asarray(xb, np.float32))
+        absmax = np.maximum(absmax, np.asarray(block_maxes(x), np.float64))
+        seen += 1
+    if seen == 0:
+        raise ValueError("calibration requires at least one batch")
+    if not np.all(absmax[first_quant_block:] > 0):
+        raise ValueError("calibration produced a zero activation range")
+    return (absmax[first_quant_block:] / 127.0).astype(np.float32)
+
+
+def quantize_weights(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """HWIO f32 -> (int8 HWIO, per-out-channel scale). Symmetric, round-to-
+    nearest-even (matches jnp.round on device)."""
+    absmax = np.max(np.abs(w), axis=(0, 1, 2))
+    sw = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / sw[None, None, None, :]), -127, 127).astype(np.int8)
+    return q, sw
+
+
+def quantize_conv_stack(
+    model, variables, calib_batches: Iterable[Any], skip_blocks: Iterable[int] = ()
+) -> Dict[str, Any]:
+    """Build the int8 parameter pytree for `quantized_forward`.
+
+    model: a models.yogo.YOGO config; variables: its flax variables;
+    calib_batches: iterable of input batches (any layout YOGO.apply takes;
+    converted to NHWC f32 here). skip_blocks: defn block indices to keep in
+    bf16 (int8 only pays on the MXU-bound shapes - tools/perf_int8_conv.py
+    measured the 64->128 block SLOWER in int8 on v5e while the 128->128
+    blocks run ~1.25x faster, so callers can pick per-block).
+    Returns a plain-dict pytree (jit/device_put friendly).
+    """
+    skip = set(skip_blocks)
+    if 0 in skip:
+        raise ValueError("block 0 always runs bf16; skip_blocks indexes 1..N-1")
+    folded = fold_conv_stack(model.defn, variables)
+
+    def to_nhwc_f32(xb):
+        x = np.asarray(xb)
+        if x.ndim == 2:
+            x = x[None, None]
+        elif x.ndim == 3:
+            x = x[None]
+        return np.transpose(x, (0, 2, 3, 1)).astype(np.float32)
+
+    scales = calibrate_act_scales(
+        folded, (to_nhwc_f32(b) for b in calib_batches), first_quant_block=1
+    )
+
+    spec0, w0, b0 = folded[0]
+    qp: Dict[str, Any] = {
+        "stem_w": jnp.asarray(w0, jnp.bfloat16),
+        "stem_b": jnp.asarray(b0, jnp.float32),
+        "blocks": [],
+        # input scale of each quantized block, f32 scalar
+        "scales": jnp.asarray(scales, jnp.float32),
+    }
+    for i in range(1, len(folded)):
+        spec, w, b = folded[i]
+        if i in skip:
+            qp["blocks"].append(
+                {"w": jnp.asarray(w, jnp.bfloat16), "b": jnp.asarray(b, jnp.float32)}
+            )
+            continue
+        q, sw = quantize_weights(w)
+        qp["blocks"].append(
+            {
+                # dequant factor: s_in * s_w[c]; bias stays separate so the
+                # int32 accum dequantizes in one fused multiply-add
+                "w8": jnp.asarray(q),
+                "deq": jnp.asarray(scales[i - 1] * sw, jnp.float32),
+                "b": jnp.asarray(b, jnp.float32),
+            }
+        )
+    return qp
+
+
+def quantized_forward(model, qp: Dict[str, Any], x: Array, *, inference: bool = True):
+    """Int8 inference forward: raw input -> decoded (B, 5+C, Sy, Sx).
+
+    Matches YOGO.apply(train=False, inference=inference) for conv_stack
+    models, with blocks 1..N-1 in s8 x s8 -> s32. Jittable; `model` and the
+    block specs are static.
+    """
+    specs = model.defn.blocks
+    x = model._to_nhwc(x)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
+
+    # block 0 in bf16 (HBM-bound; C_in=1 gets no MXU benefit from int8)
+    h = _conv(
+        x.astype(jnp.bfloat16), qp["stem_w"], specs[0], jnp.float32
+    ) + qp["stem_b"]
+    h = _act_fn(specs[0].act)(h)
+
+    scales = qp["scales"]
+    for j, blk in enumerate(qp["blocks"]):
+        spec = specs[1 + j]
+        if "w8" not in blk:  # bf16 fallback block (skip_blocks)
+            h = _conv(
+                h.astype(jnp.bfloat16), blk["w"], spec, jnp.float32
+            ) + blk["b"]
+            h = _act_fn(spec.act)(h)
+            continue
+        q = jnp.clip(jnp.round(h / scales[j]), -127, 127).astype(jnp.int8)
+        acc = _conv(q, blk["w8"], spec, jnp.int32)
+        h = acc.astype(jnp.float32) * blk["deq"] + blk["b"]
+        h = _act_fn(spec.act)(h)
+
+    return model._decode_raw(h, inference)
