@@ -201,3 +201,73 @@ def test_skip_blocks_bf16_fallback():
     assert e_skip[:, 4].mean() < e_all[:, 4].mean() * 2 + 1e-3
     with pytest.raises(ValueError, match="block 0"):
         quant.quantize_conv_stack(model, v, batches, skip_blocks=[0])
+
+
+def test_default_skip_blocks_rule():
+    """cin >= 128 quantizes; everything below stays bf16 (measured rule,
+    tools/perf_quant_forward.py)."""
+    from yogo_tpu.models.defns import get_model_defn
+
+    base = get_model_defn("base_model")(7)
+    # base_model channels: 16,32,64,128,128,128,128,head -> cin of blocks
+    # 1..7 = 16,32,64,128,128,128,128 -> skip 1,2,3
+    assert quant.default_skip_blocks(base, 1) == (1, 2, 3)
+    half = get_model_defn("half_filters")(2)
+    # half_filters tops out at 64 channels: nothing quantizes
+    assert quant.default_skip_blocks(half, 1) == tuple(
+        range(1, len(half.blocks))
+    )
+    double = get_model_defn("double_filters")(7)
+    # double_filters: 32,64,128,256... -> cin>=128 from block 3 on
+    assert quant.default_skip_blocks(double, 1) == (1, 2)
+
+
+def test_predict_quantize_end_to_end(tmp_path):
+    """The product surface: infer.predict(quantize=True) calibrates on the
+    run's own images and returns predictions matching the float path's
+    detections (trained checkpoint, production thresholds)."""
+    from tests.test_golden_detections import gen_test_images
+    from yogo_tpu.infer import predict
+    from yogo_tpu.ops.postprocess import format_preds
+
+    img_dir = tmp_path / "imgs"
+    gen_test_images(img_dir, n=8, seed=2)
+    kw = dict(
+        path_to_images=img_dir,
+        return_full_predictions=True,
+        batch_size=4,
+        use_tqdm=False,
+    )
+    pq = np.asarray(predict(CKPT_PATH, quantize=True, **kw), np.float32)
+    pf = np.asarray(predict(CKPT_PATH, **kw), np.float32)
+    assert pq.shape == pf.shape
+    for qi, fi in zip(pq, pf):
+        dq = format_preds(qi, obj_thresh=0.5, iou_thresh=0.5)
+        df = format_preds(fi, obj_thresh=0.5, iou_thresh=0.5)
+        assert len(dq) == len(df)
+        if len(df):
+            assert np.argmax(dq[:, 5:], 1).tolist() == np.argmax(
+                df[:, 5:], 1
+            ).tolist()
+
+
+def test_predict_quantize_rejects_convnext(tmp_path):
+    from tests.test_golden_detections import gen_test_images
+    from yogo_tpu.infer import predict
+    from yogo_tpu.utils.checkpoint import save_checkpoint
+
+    model = YOGO.create((64, 64), 0.08, 0.1, 2, model_version="convnext_small")
+    v = model.init(jax.random.key(0))
+    ck = tmp_path / "cn.ckpt"
+    save_checkpoint(ck, model, v, {})
+    img_dir = tmp_path / "imgs"
+    gen_test_images(img_dir, n=2, seed=2)
+    with pytest.raises(ValueError, match="conv-stack"):
+        predict(
+            ck,
+            path_to_images=img_dir,
+            quantize=True,
+            return_full_predictions=True,
+            batch_size=2,
+            use_tqdm=False,
+        )

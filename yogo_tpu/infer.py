@@ -103,6 +103,7 @@ def predict(
     requested_num_workers: Optional[int] = None,
     min_class_confidence_threshold: float = 0.0,
     half: bool = False,
+    quantize: bool = False,
     return_full_predictions: bool = False,
     max_detections: int = INFER_COUNT_MAX_DETECTIONS,
 ) -> Optional[np.ndarray]:
@@ -110,7 +111,11 @@ def predict(
     (reference: yogo/infer.py:140-192). `max_detections` (an extension -
     the reference's host NMS has no capacity) bounds the fused on-device
     count path's top-K; the default covers ~1.5x the realistic max object
-    density (capacity note: docs/perf-notes.md round 3)."""
+    density (capacity note: docs/perf-notes.md round 3). `quantize` (an
+    extension - no reference analogue) runs the backbone's wide blocks in
+    int8 on the MXU after calibrating activation scales on the first
+    batch of this run's own images (ops/quant.py; ~1.25x forward
+    throughput on v5e at detection parity with the float path)."""
     if save_preds and draw_boxes:
         raise ValueError(
             "cannot save predictions in YOGO format and draw_boxes at the "
@@ -172,9 +177,41 @@ def predict(
     )
 
     # jitted forward (full batch shape only; last batch is padded)
-    @jax.jit
-    def forward_xla(imgs):
-        return model.apply(variables, imgs, inference=True)
+    if quantize:
+        from yogo_tpu.ops.quant import (
+            default_skip_blocks,
+            quantize_conv_stack,
+            quantized_forward,
+        )
+
+        if model.defn.family != "conv_stack":
+            raise ValueError(
+                "--quantize supports conv-stack models only "
+                f"(got {model.defn.family})"
+            )
+        if n_images == 0:
+            raise ValueError("--quantize needs at least one image to calibrate")
+        # calibrate on the run's own leading images (decoded once more by
+        # the normal loop afterwards - one batch of extra decode work)
+        calib = np.stack(
+            [dataset[i][0] for i in range(min(batch_size, n_images))]
+        )
+        qp = quantize_conv_stack(
+            model,
+            variables,
+            [calib],
+            skip_blocks=default_skip_blocks(model.defn, model.input_channels),
+        )
+
+        @jax.jit
+        def forward_xla(imgs):
+            return quantized_forward(model, qp, imgs)
+
+    else:
+
+        @jax.jit
+        def forward_xla(imgs):
+            return model.apply(variables, imgs, inference=True)
 
     # Opt-in fused Pallas stem (YOGO_PALLAS_STEM): dispatched as its OWN
     # executable, then a second jit for blocks 1..n + decode. A Mosaic
@@ -397,5 +434,6 @@ def do_infer(args) -> None:
         output_img_ftype=args.output_img_filetype,
         min_class_confidence_threshold=args.min_class_confidence_threshold,
         half=args.half,
+        quantize=args.quantize,
         max_detections=args.max_detections,
     )

@@ -159,6 +159,23 @@ def quantize_weights(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, sw
 
 
+def default_skip_blocks(defn, input_channels: int = 1) -> Tuple[int, ...]:
+    """Blocks kept in bf16 by default: int8 pays only where the conv is
+    MXU-bound with wide input channels. Measured on v5e (tools/
+    perf_quant_forward.py, base_model 772x1032 bs=512): quantizing every
+    block = 5,815 img/s but skipping the cin<128 blocks = 6,429 img/s
+    (vs 5,161 bf16) - the 64->128 block runs SLOWER in int8 standalone
+    and the early low-channel blocks are HBM-bound, so requant there is
+    pure overhead. Rule: skip block i (>0) iff its input channels < 128."""
+    skip = []
+    cin = input_channels
+    for i, s in enumerate(defn.blocks):
+        if i > 0 and cin < 128:
+            skip.append(i)
+        cin = s.out
+    return tuple(skip)
+
+
 def quantize_conv_stack(
     model, variables, calib_batches: Iterable[Any], skip_blocks: Iterable[int] = ()
 ) -> Dict[str, Any]:
