@@ -71,14 +71,24 @@ def production_density_variables(variables):
     return v
 
 
-def measure(model, variables, batch_size: int, with_count: bool = False) -> float:
+def measure(
+    model, variables, batch_size: int, with_count: bool = False, quant_params=None
+) -> float:
     from yogo_tpu.ops.postprocess import (
         INFER_COUNT_MAX_DETECTIONS,
         count_class_predictions,
     )
 
-    def fwd(imgs):
-        return model.apply(variables, imgs, inference=True)
+    if quant_params is not None:
+        from yogo_tpu.ops.quant import quantized_forward
+
+        def fwd(imgs):
+            return quantized_forward(model, quant_params, imgs)
+
+    else:
+
+        def fwd(imgs):
+            return model.apply(variables, imgs, inference=True)
 
     @jax.jit
     def run_all(stack):
@@ -155,6 +165,29 @@ def main() -> None:
         print(f"e2e (count-fused) measurement failed at bs={bs}: {e!r}",
               file=sys.stderr)
 
+    # int8 variants: the `yogo infer --quantize` product path (ops/quant.py;
+    # cin>=128 blocks as s8xs8->s32 on the MXU, detection parity pinned in
+    # tests/test_quant.py). Calibration content doesn't affect timing.
+    int8_fwd = int8_e2e = 0.0
+    try:
+        import numpy as np
+
+        from yogo_tpu.ops.quant import default_skip_blocks, quantize_conv_stack
+
+        skip = default_skip_blocks(model.defn, model.input_channels)
+        calib = [np.random.default_rng(0).integers(
+            0, 256, (8, 1, *IMG_HW)).astype("uint8")]
+        qp = quantize_conv_stack(model, variables, calib, skip_blocks=skip)
+        int8_fwd = measure(model, variables, bs, quant_params=qp)
+        qp_e2e = quantize_conv_stack(
+            model, e2e_variables, calib, skip_blocks=skip
+        )
+        int8_e2e = measure(
+            model, e2e_variables, bs, with_count=True, quant_params=qp_e2e
+        )
+    except Exception as e:
+        print(f"int8 measurement failed at bs={bs}: {e!r}", file=sys.stderr)
+
     # the FULL inference pipeline: forward + fused on-device
     # filter/top-K/NMS/count, i.e. what `yogo infer --count` actually
     # executes per batch, at the production detection density. 0.95x the 5k
@@ -172,6 +205,23 @@ def main() -> None:
                 }
             )
         )
+    # int8 (`yogo infer --quantize`): both the full pipeline and the bare
+    # forward clear the 5k target with room (round-4 measurements)
+    for name, val in (
+        ("infer_e2e_throughput_772x1032_base_model_int8", int8_e2e),
+        ("infer_throughput_772x1032_base_model_int8", int8_fwd),
+    ):
+        if val > 0.0:
+            print(
+                json.dumps(
+                    {
+                        "metric": name,
+                        "value": round(val, 1),
+                        "unit": "img/s/chip",
+                        "vs_baseline": round(val / BASELINE_IMG_PER_S, 3),
+                    }
+                )
+            )
     # headline (last line, driver-parsed): device-resident forward+decode
     # throughput - the same metric tracked since round 1
     print(

@@ -78,11 +78,17 @@ def main():
     ms = timeit(scan_over(lambda x: model.apply(v, x, inference=True)), imgs)
     print(f"bf16: {ms:.2f} ms/batch = {BS / ms * 1000:.0f} img/s", flush=True)
 
+    hdtype = (
+        jnp.bfloat16 if os.environ.get("QF_HDTYPE", "f32") == "bf16"
+        else jnp.float32
+    )
     for name, skip in configs.items():
         qp = quant.quantize_conv_stack(model, v, calib, skip_blocks=skip)
         ms = timeit(
             scan_over(
-                lambda x, qp=qp: quant.quantized_forward(model, qp, x)
+                lambda x, qp=qp: quant.quantized_forward(
+                    model, qp, x, intermediate_dtype=hdtype
+                )
             ),
             imgs,
         )

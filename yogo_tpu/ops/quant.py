@@ -234,12 +234,21 @@ def quantize_conv_stack(
     return qp
 
 
-def quantized_forward(model, qp: Dict[str, Any], x: Array, *, inference: bool = True):
+def quantized_forward(
+    model,
+    qp: Dict[str, Any],
+    x: Array,
+    *,
+    inference: bool = True,
+    intermediate_dtype: Any = jnp.float32,
+):
     """Int8 inference forward: raw input -> decoded (B, 5+C, Sy, Sx).
 
     Matches YOGO.apply(train=False, inference=inference) for conv_stack
     models, with blocks 1..N-1 in s8 x s8 -> s32. Jittable; `model` and the
-    block specs are static.
+    block specs are static. intermediate_dtype is the dequantized
+    activation dtype between blocks (bf16 halves the HBM traffic of the
+    requant chain; the int8 rounding noise dominates either way).
     """
     specs = model.defn.blocks
     x = model._to_nhwc(x)
@@ -259,11 +268,13 @@ def quantized_forward(model, qp: Dict[str, Any], x: Array, *, inference: bool = 
             h = _conv(
                 h.astype(jnp.bfloat16), blk["w"], spec, jnp.float32
             ) + blk["b"]
-            h = _act_fn(spec.act)(h)
+            h = _act_fn(spec.act)(h).astype(intermediate_dtype)
             continue
-        q = jnp.clip(jnp.round(h / scales[j]), -127, 127).astype(jnp.int8)
+        q = jnp.clip(
+            jnp.round(h.astype(jnp.float32) / scales[j]), -127, 127
+        ).astype(jnp.int8)
         acc = _conv(q, blk["w8"], spec, jnp.int32)
         h = acc.astype(jnp.float32) * blk["deq"] + blk["b"]
-        h = _act_fn(spec.act)(h)
+        h = _act_fn(spec.act)(h).astype(intermediate_dtype)
 
     return model._decode_raw(h, inference)
