@@ -71,9 +71,13 @@ def main():
     calib = [np.asarray(imgs[0, :8])]
 
     configs = {
-        c: tuple(int(t) for t in c.removeprefix("skip").split("_") if t)
+        c: (
+            quant.default_skip_blocks(model.defn, model.input_channels)
+            if c == "rule"
+            else tuple(int(t) for t in c.removeprefix("skip").split("_") if t)
+        )
         for c in os.environ.get("QF_CONFIGS", "skip,skip1_3").split(",")
-    }  # e.g. QF_CONFIGS="skip,skip3,skip1_3,skip1_2_3" (skip = all-int8)
+    }  # e.g. QF_CONFIGS="rule,skip,skip1_2_3" (skip = all-int8, rule = default)
 
     ms = timeit(scan_over(lambda x: model.apply(v, x, inference=True)), imgs)
     print(f"bf16: {ms:.2f} ms/batch = {BS / ms * 1000:.0f} img/s", flush=True)
