@@ -75,6 +75,18 @@ def test_train_flags_match_reference_surface():
         assert flag in r.stdout, f"missing train flag {flag}"
 
 
+def test_train_remat_flag_extension():
+    """--remat (TPU-native extension): present, validated choices."""
+    r = run_cli("train", "--help")
+    assert "--remat" in r.stdout
+    from yogo_tpu.utils.argparsers import train_parser
+
+    args = train_parser().parse_args(["d.yml", "--remat", "blocks"])
+    assert args.remat == "blocks"
+    with pytest.raises(SystemExit):
+        train_parser().parse_args(["d.yml", "--remat", "sometimes"])
+
+
 def test_infer_flags_match_reference_surface():
     r = run_cli("infer", "--help")
     for flag in (

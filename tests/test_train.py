@@ -136,6 +136,42 @@ def test_train_step_runs_and_descends_on_mesh():
     assert all(np.isfinite(x) for x in losses)
 
 
+@pytest.mark.parametrize("remat", ["blocks", "full"])
+def test_train_step_remat_matches_none(remat):
+    """remat only changes WHEN activations are (re)computed, never the math:
+    loss and the updated params must match the non-remat step exactly
+    (same dtype path; dropout rng is replayed deterministically)."""
+    model = tiny_model()
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
+    loss_kwargs = dict(no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+                       label_smoothing=0.01)
+    imgs, labels, mask = fake_batch(model)
+    args = (jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(mask),
+            jax.random.key(7))
+
+    base_step = jax.jit(make_train_step(model, tx, loss_kwargs))
+    re_step = jax.jit(make_train_step(model, tx, loss_kwargs, remat=remat))
+    s1, loss1, _ = base_step(make_state(model, tx), *args)
+    s2, loss2, _ = re_step(make_state(model, tx), *args)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        s1.params, s2.params,
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        s1.batch_stats, s2.batch_stats,
+    )
+
+
+def test_train_step_rejects_bad_remat():
+    model = tiny_model()
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
+    with pytest.raises(ValueError, match="remat"):
+        make_train_step(model, tx, {}, remat="everything")
+
+
 def test_train_step_image_mask_excludes_padding():
     model = tiny_model()
     tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)

@@ -5,7 +5,10 @@ with ONE float(loss) fetch at the end: the data dependency fences every
 step, so the wall clock is real, and no per-step host sync throttles
 dispatch (the round-1 loop fetched float(loss) every step).
 
-Usage: python tools/perf_train_step.py [bs] [steps] [scan_k]
+Usage: python tools/perf_train_step.py [bs] [steps] [scan_k] [remat]
+
+remat in {none, blocks, full} (default none) selects activation
+rematerialization (train.make_train_step remat=...).
 
 With scan_k > 1, additionally times a program that runs scan_k train steps
 inside one lax.scan dispatch (same batch each step) — isolating the per-
@@ -28,6 +31,7 @@ def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     scan_k = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    remat = sys.argv[4] if len(sys.argv) > 4 else "none"
 
     model = YOGO.create(
         (772, 1032), df.ANCHOR_W, df.ANCHOR_H, num_classes=7,
@@ -42,7 +46,7 @@ def main():
     step = jax.jit(
         make_train_step(model, tx, dict(no_obj_weight=0.5, iou_weight=5.0,
                                         classify_weight=1.0,
-                                        label_smoothing=0.01)),
+                                        label_smoothing=0.01), remat=remat),
         donate_argnums=(0,),
     )
 
@@ -65,8 +69,8 @@ def main():
     final = float(loss)  # fences the whole chain
     dt = (time.perf_counter() - t0) / n_steps
     print(
-        f"train step bs={bs}: {dt * 1000:.1f} ms/step = {bs / dt:.0f} img/s "
-        f"(final loss {final:.4f})"
+        f"train step bs={bs} remat={remat}: {dt * 1000:.1f} ms/step = "
+        f"{bs / dt:.0f} img/s (final loss {final:.4f})"
     )
 
     if scan_k > 1:

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from yogo_tpu.models.defns import ConvSpec, ModelDefn, get_model_defn
 from yogo_tpu.ops.grid import cell_offsets, grid_size
@@ -119,6 +120,10 @@ class ConvStack(nn.Module):
                     deterministic=not train,
                     name=f"drop{i}",
                 )(x)
+            # no-op marker letting a surrounding jax.checkpoint save only
+            # block-boundary activations (train.py remat="blocks"): bwd then
+            # recomputes conv/bn/act intermediates instead of storing them
+            x = checkpoint_name(x, "yogo_block")
         return x
 
 

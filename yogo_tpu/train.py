@@ -105,6 +105,7 @@ def make_train_step(
     loss_kwargs: Dict[str, float],
     augment: bool = True,
     tuning: bool = False,
+    remat: str = "none",
 ) -> Callable:
     """Build the pure train step: (state, imgs, labels, img_mask, rng) ->
     (state, loss, components). Augmentation (paired flips) runs on device
@@ -113,7 +114,17 @@ def make_train_step(
     tuning=True is the fine-tune BN-freeze path: BatchNorm normalizes with
     the loaded running stats and never updates them (the reference loads
     `--from-pretrained` checkpoints with tuning=True, which puts BN modules
-    in eval; reference: yogo/model.py:67-70,134, yogo/train.py:136-148)."""
+    in eval; reference: yogo/model.py:67-70,134, yogo/train.py:136-148).
+
+    remat selects activation rematerialization for the backward pass
+    (trades recompute FLOPs for activation HBM; useful at large batch):
+      "none"   - store all activations (default),
+      "blocks" - save only block-boundary activations (the checkpoint_name
+                 markers in models/yogo.py ConvStack); conv/bn/act
+                 intermediates are recomputed during bwd,
+      "full"   - save nothing; recompute the whole forward during bwd."""
+    if remat not in ("none", "blocks", "full"):
+        raise ValueError(f"remat must be none|blocks|full, got {remat!r}")
 
     def step(state: TrainState, imgs, labels, img_mask, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -146,6 +157,16 @@ def make_train_step(
                 out, labels, image_mask=img_mask, **loss_kwargs
             )
             return loss, (comps, new_model_state)
+
+        if remat == "blocks":
+            loss_fn = jax.checkpoint(
+                loss_fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "yogo_block"
+                ),
+            )
+        elif remat == "full":
+            loss_fn = jax.checkpoint(loss_fn)
 
         (loss, (comps, new_ms)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -320,7 +341,8 @@ class Trainer:
         dat = data_sharded(self.mesh)
         msk = data_sharded(self.mesh, ndim=1)
         step_fn = make_train_step(
-            self.model, self.tx, self.loss_kwargs, tuning=self.tuning
+            self.model, self.tx, self.loss_kwargs, tuning=self.tuning,
+            remat=self.config.get("remat", "none"),
         )
         self._train_step = jax.jit(
             step_fn,
@@ -739,6 +761,7 @@ def do_training(args) -> None:
         "use_wandb": getattr(args, "wandb", True),
         "profile_steps": getattr(args, "profile_steps", 0),
         "resume_optimizer": getattr(args, "resume_optimizer", False),
+        "remat": getattr(args, "remat", "none"),
     }
     trainer = Trainer(config)
     trainer.init()

@@ -240,6 +240,15 @@ def train_parser(parser=None):
             "into <run_dir>/profile (0 disables)"
         ),
     )
+    parser.add_argument(
+        "--remat", choices=("none", "blocks", "full"), default="none",
+        help=(
+            "activation rematerialization for the backward pass (extension; "
+            "trades recompute for activation HBM - lets wide models/large "
+            "batches fit: 'blocks' keeps only block-boundary activations, "
+            "'full' recomputes the whole forward)"
+        ),
+    )
     return parser
 
 
