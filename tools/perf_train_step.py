@@ -8,13 +8,15 @@ dispatch (the round-1 loop fetched float(loss) every step).
 Usage: python tools/perf_train_step.py [bs] [steps] [scan_k] [remat]
 
 remat in {none, blocks, full} (default none) selects activation
-rematerialization (train.make_train_step remat=...).
+rematerialization (train.make_train_step remat=...). YOGO_PERF_MODEL
+selects the architecture (default base_model).
 
 With scan_k > 1, additionally times a program that runs scan_k train steps
 inside one lax.scan dispatch (same batch each step) — isolating the per-
 dispatch overhead from real step compute.
 """
 
+import os
 import sys
 import time
 
@@ -33,9 +35,10 @@ def main():
     scan_k = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     remat = sys.argv[4] if len(sys.argv) > 4 else "none"
 
+    model_version = os.environ.get("YOGO_PERF_MODEL", "base_model")
     model = YOGO.create(
         (772, 1032), df.ANCHOR_W, df.ANCHOR_H, num_classes=7,
-        compute_dtype=jnp.bfloat16,
+        model_version=model_version, compute_dtype=jnp.bfloat16,
     )
     v = model.init(jax.random.key(0))
     tx, _ = make_optimizer(3e-4, 5e-2, 10.0, 1000)
@@ -69,8 +72,9 @@ def main():
     final = float(loss)  # fences the whole chain
     dt = (time.perf_counter() - t0) / n_steps
     print(
-        f"train step bs={bs} remat={remat}: {dt * 1000:.1f} ms/step = "
-        f"{bs / dt:.0f} img/s (final loss {final:.4f})"
+        f"train step {model_version} bs={bs} remat={remat}: "
+        f"{dt * 1000:.1f} ms/step = {bs / dt:.0f} img/s "
+        f"(final loss {final:.4f})"
     )
 
     if scan_k > 1:
