@@ -48,6 +48,87 @@ def test_test_model_end_to_end(tmp_path, capsys):
     assert "calibration error" in out
 
 
+def test_test_model_quantize_end_to_end(tmp_path):
+    """`yogo test --quantize` (extension): evaluates the int8 PTQ program
+    on the test split; metrics come out sane and close to the float run."""
+    from yogo_tpu.data.definition import DatasetDefinition
+    from yogo_tpu.data.loader import get_dataloader
+    from yogo_tpu.train import Trainer
+
+    model = YOGO.create(
+        (40, 56), 0.15, 0.2, len(CLASSES), model_version="quarter_filters"
+    )
+    variables = model.init(jax.random.key(0))
+    pairs = [make_pair_dirs(tmp_path, "tr", n_images=4)]
+    tpairs = [make_pair_dirs(tmp_path, "te", n_images=3, seed=5)]
+    defn_path = write_defn(
+        tmp_path / "d.yml",
+        dataset_pairs=pairs,
+        test_pairs=tpairs,
+        split={"train": 0.75, "val": 0.25},
+    )
+    data_defn = DatasetDefinition.from_yaml(defn_path)
+    Sx, Sy = model.grid
+    config = {
+        "class_names": data_defn.classes,
+        "no_classify": False,
+        "iou_weight": 1,
+        "no_obj_weight": 0.5,
+        "label_smoothing": 0.0001,
+        "half": False,
+        "model": "m",
+        "test_set": str(defn_path),
+    }
+
+    def loader():
+        return get_dataloader(
+            data_defn, 4, Sx=Sx, Sy=Sy, image_hw=(40, 56)
+        )["test"]
+
+    f_metrics = Trainer.test(loader(), config, model, variables,
+                             include_mAP=False)
+    q_metrics = Trainer.test(loader(), config, model, variables,
+                             include_mAP=False, quantize=True)
+    f_loss, q_loss = f_metrics[0], q_metrics[0]
+    assert jax.numpy.isfinite(q_loss)
+    # int8 noise on an untrained net stays a perturbation, not a rewrite
+    assert abs(q_loss - f_loss) / f_loss < 0.2, (f_loss, q_loss)
+    # confusion matrix still shaped (C+1, C+1) and counts preserved
+    assert q_metrics[2].shape == f_metrics[2].shape
+
+
+def test_test_model_quantize_rejects_convnext(tmp_path):
+    import pytest
+
+    from yogo_tpu.train import Trainer
+
+    model = YOGO.create((64, 96), 0.15, 0.2, 2, model_version="convnext_small")
+    variables = model.init(jax.random.key(0))
+
+    class FakeLoader:
+        def __len__(self):
+            return 1
+
+    with pytest.raises(ValueError, match="conv-stack"):
+        Trainer.test(
+            FakeLoader(),
+            {
+                "class_names": ["a", "b"],
+                "no_classify": False,
+                "iou_weight": 1,
+                "no_obj_weight": 0.5,
+                "label_smoothing": 0.0001,
+                "half": False,
+                "model": "m",
+                "test_set": "d",
+            },
+            model,
+            variables,
+            include_mAP=False,
+            quantize=True,
+        )
+
+
 def test_test_model_requires_test_split(tmp_path):
     import pytest
 

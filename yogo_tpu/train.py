@@ -186,14 +186,29 @@ def make_train_step(
     return step
 
 
-def make_eval_step(model: YOGO, loss_kwargs: Dict[str, float]) -> Callable:
-    """(variables, imgs, labels, img_mask) -> (loss, decoded inference preds)."""
+def make_eval_step(
+    model: YOGO, loss_kwargs: Dict[str, float], quant_params=None
+) -> Callable:
+    """(variables, imgs, labels, img_mask) -> (loss, decoded inference preds).
+
+    quant_params (from ops.quant.quantize_conv_stack) evaluates the int8
+    inference path instead of the float forward - `yogo test --quantize`
+    measures PTQ accuracy on a real test split with the exact program
+    `yogo infer --quantize` serves (params/batch_stats args are then unused;
+    the folded int8 weights live inside quant_params)."""
 
     def step(params, batch_stats, imgs, labels, img_mask):
-        variables = {"params": params, "batch_stats": batch_stats}
-        out_train = model.apply(
-            variables, imgs.astype(model.compute_dtype), train=False
-        )
+        if quant_params is not None:
+            from yogo_tpu.ops.quant import quantized_forward
+
+            out_train = quantized_forward(
+                model, quant_params, imgs, inference=False
+            )
+        else:
+            variables = {"params": params, "batch_stats": batch_stats}
+            out_train = model.apply(
+                variables, imgs.astype(model.compute_dtype), train=False
+            )
         loss, _ = yogo_loss(out_train, labels, image_mask=img_mask, **loss_kwargs)
         # inference-mode preds (softmaxed classes) for metrics
         probs = jax.nn.softmax(out_train[:, 5:], axis=1)
@@ -585,9 +600,14 @@ class Trainer:
         variables: Dict[str, Any],
         include_mAP: bool = True,
         include_background: bool = False,
+        quantize: bool = False,
     ) -> Optional[Tuple]:
         """Full test pass: loss + Metrics over the test loader. Returns the
-        reference's metric tuple (reference: yogo/train.py:446-528)."""
+        reference's metric tuple (reference: yogo/train.py:446-528).
+
+        quantize=True (extension) evaluates the int8 PTQ inference path
+        (the `yogo infer --quantize` program), calibrated on the first test
+        batch - so PTQ accuracy can be measured on a real dataset."""
         Trainer._check_keys(config)
         if test_dataloader is None or len(test_dataloader) == 0:
             return None
@@ -604,7 +624,28 @@ class Trainer:
             classify_weight=config.get("classify_weight", df.CLASSIFY_WEIGHT),
             label_smoothing=config["label_smoothing"],
         )
-        eval_fn = make_eval_step(model, loss_kwargs)
+        quant_params = None
+        if quantize:
+            from yogo_tpu.ops.quant import (
+                default_skip_blocks,
+                quantize_conv_stack,
+            )
+
+            if model.defn.family != "conv_stack":
+                raise ValueError(
+                    "--quantize supports conv-stack models only "
+                    f"(got {model.defn.family})"
+                )
+            calib = next(iter(test_dataloader))[0]  # len checked above
+            quant_params = quantize_conv_stack(
+                model,
+                variables,
+                [np.asarray(calib)],
+                skip_blocks=default_skip_blocks(
+                    model.defn, model.input_channels
+                ),
+            )
+        eval_fn = make_eval_step(model, loss_kwargs, quant_params=quant_params)
         rep = replicated(mesh)
         dat = data_sharded(mesh)
         msk = data_sharded(mesh, ndim=1)

@@ -295,6 +295,14 @@ def test_parser(parser=None):
         "--include-background", action=boolean_action, default=False,
         help="include 'background' in confusion matrix",
     )
+    parser.add_argument(
+        "--quantize", action=boolean_action, default=False,
+        help=(
+            "evaluate the int8 quantized inference path (extension; the "
+            "same program `yogo infer --quantize` serves, calibrated on "
+            "the first test batch) - measures PTQ accuracy on this split"
+        ),
+    )
     parser.add_argument("--note", type=str, default=None,
                         help="note for the run")
     parser.add_argument("--tags", type=str, nargs="*", default=None,

@@ -64,6 +64,7 @@ def test_model(args) -> None:
         variables,
         include_mAP=args.include_mAP,
         include_background=args.include_background,
+        quantize=getattr(args, "quantize", False),
     )
 
     log_to_wandb = args.wandb or (args.wandb_resume_id is not None)
