@@ -128,6 +128,57 @@ def measure(
     return best
 
 
+def measure_train(model, batch_size: int, n_steps: int) -> float:
+    """Steady-state train-step throughput: N chained donated steps, the
+    data dependency fences each step, one float(loss) fetch at the end
+    (the methodology of tools/perf_train_step.py)."""
+    import numpy as np
+
+    from yogo_tpu.train import TrainState, make_optimizer, make_train_step
+
+    variables = model.init(jax.random.key(3))
+    tx, _ = make_optimizer(3e-4, 5e-2, 10.0, 1000)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    step = jax.jit(
+        make_train_step(
+            model,
+            tx,
+            dict(
+                no_obj_weight=0.5,
+                iou_weight=5.0,
+                classify_weight=1.0,
+                label_smoothing=0.01,
+            ),
+        ),
+        donate_argnums=(0,),
+    )
+    Sx, Sy = model.grid
+    imgs = jax.jit(
+        lambda k: jax.random.randint(
+            k, (batch_size, 1, *IMG_HW), 0, 255, jnp.uint8
+        )
+    )(jax.random.key(4))
+    labels = np.zeros((batch_size, 6, Sy, Sx), np.float32)
+    labels[:, :, 20, 30] = [1, 0.4, 0.4, 0.5, 0.5, 2]
+    labels = jnp.asarray(labels)
+    mask = jnp.ones(batch_size, jnp.float32)
+    rng = jax.random.key(5)
+
+    state, loss, _ = step(state, imgs, labels, mask, rng)  # compile+warm
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss, _ = step(state, imgs, labels, mask, rng)
+    float(loss)  # fences the whole chain
+    dt = (time.perf_counter() - t0) / n_steps
+    return batch_size / dt
+
+
 def main() -> None:
     from yogo_tpu.models.yogo import YOGO
     from yogo_tpu.utils.default_hyperparams import DefaultHyperparams as df
@@ -222,6 +273,26 @@ def main() -> None:
                     }
                 )
             )
+    # train step (fwd+bwd+adamw+paired flips, bf16, bs=128 = the measured
+    # v5e-1 throughput peak): donated chained dispatches fenced by one
+    # scalar fetch (block_until_ready lies on this backend). No baseline
+    # target exists for training; vs_baseline reports against the 5k
+    # inference north star's train-side shadow only informationally.
+    try:
+        train_ips = measure_train(model, batch_size=128, n_steps=16)
+        print(
+            json.dumps(
+                {
+                    "metric": "train_step_throughput_772x1032_base_model_bf16",
+                    "value": round(train_ips, 1),
+                    "unit": "img/s/chip",
+                    "vs_baseline": round(train_ips / BASELINE_IMG_PER_S, 3),
+                }
+            )
+        )
+    except Exception as e:
+        print(f"train-step measurement failed: {e!r}", file=sys.stderr)
+
     # headline (last line, driver-parsed): device-resident forward+decode
     # throughput - the same metric tracked since round 1
     print(
