@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from yogo_tpu.models.defns import MODELS
 from yogo_tpu.models.yogo import YOGO
 from yogo_tpu.ops import quant
 
@@ -182,6 +183,40 @@ def test_trained_model_detection_parity():
         n_total += len(df)
     assert n_total >= 20  # the golden set produces real detections
     assert n_match == n_total
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in MODELS if n != "convnext_small"],
+)
+def test_quantize_all_conv_stack_archs(name):
+    """quantize_conv_stack + quantized_forward run on EVERY conv-stack
+    architecture (silu activation, depth variants, width variants) and
+    produce structurally sane decoded output. Accuracy is gated elsewhere
+    (trained-ckpt parity above); on random init the exp(w/h) decode
+    amplifies int8 noise unboundedly, so this asserts the bounded
+    channels only."""
+    model = tiny_model(name)
+    variables = model.init(jax.random.key(0))
+    qp = quant.quantize_conv_stack(
+        model,
+        variables,
+        calib_batches(),
+        skip_blocks=quant.default_skip_blocks(
+            model.defn, model.input_channels
+        ),
+    )
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.integers(0, 256, (2, 1, 48, 64)).astype(np.uint8))
+    f = np.asarray(model.apply(variables, x, inference=True), np.float32)
+    q = np.asarray(quant.quantized_forward(model, qp, x), np.float32)
+    assert q.shape == f.shape
+    assert np.isfinite(q).all()
+    # sigmoid/softmax channels stay in [0,1]
+    bounded = np.concatenate([q[:, :2], q[:, 4:]], axis=1)
+    assert (bounded >= 0).all() and (bounded <= 1).all()
+    # int8 noise perturbs objectness, it doesn't rewrite it
+    assert np.abs(f[:, 4] - q[:, 4]).mean() < 0.2, name
 
 
 def test_skip_blocks_bf16_fallback():
