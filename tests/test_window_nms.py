@@ -160,8 +160,6 @@ def test_long_suppression_chain_converges_to_greedy():
         pred[0, 5, 5, 5 + i] = (n - i) / n  # strictly descending scores
     res = windowed_count(pred, ry=RY, rx=RX)
     keep = np.asarray(res["keep"][0])[5, 5 : 5 + n]
-    flat = pred[0].reshape(5 + C, -1)
     want_rows = format_preds(pred[0], obj_thresh=0.5, iou_thresh=IOU_T)
     assert keep.sum() == len(want_rows)
     assert list(keep) == [True, False] * (n // 2)
-    del flat
