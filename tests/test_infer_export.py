@@ -92,6 +92,31 @@ def test_predict_full_predictions_shape(ckpt_and_images):
     np.testing.assert_allclose(res[4], one[0], rtol=1e-4, atol=1e-5)
 
 
+def test_predict_data_parallel_matches_single_device(ckpt_and_images, capsys):
+    """--data-parallel shards batches over all (8 virtual) devices via the
+    training mesh (parallel/mesh.py); results must match single-device,
+    including the fused count path with a rounded-up, masked batch."""
+    from yogo_tpu.infer import predict
+
+    ckpt, img_dir, *_ = ckpt_and_images
+    kwargs = dict(
+        path_to_images=img_dir, batch_size=3, obj_thresh=0.3, use_tqdm=False
+    )
+    single = predict(ckpt, return_full_predictions=True, **kwargs)
+    multi = predict(
+        ckpt, return_full_predictions=True, data_parallel=True, **kwargs
+    )
+    np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-6)
+
+    # fused on-device count: batch_size 3 rounds up to 8 (mesh size), the
+    # 3 padding images of the final batch are excluded by image_mask
+    predict(ckpt, count_predictions=True, data_parallel=True, **kwargs)
+    out_dp = capsys.readouterr().out
+    predict(ckpt, count_predictions=True, **kwargs)
+    out_sd = capsys.readouterr().out
+    assert out_dp == out_sd != ""
+
+
 def test_predict_draw_boxes(ckpt_and_images, tmp_path):
     from yogo_tpu.infer import predict
 

@@ -106,6 +106,7 @@ def predict(
     quantize: bool = False,
     return_full_predictions: bool = False,
     max_detections: int = INFER_COUNT_MAX_DETECTIONS,
+    data_parallel: bool = False,
 ) -> Optional[np.ndarray]:
     """See `yogo infer --help`. Mirrors the reference predict() surface
     (reference: yogo/infer.py:140-192). `max_detections` (an extension -
@@ -115,7 +116,13 @@ def predict(
     extension - no reference analogue) runs the backbone's wide blocks in
     int8 on the MXU after calibrating activation scales on the first
     batch of this run's own images (ops/quant.py; ~1.25x forward
-    throughput on v5e at detection parity with the float path)."""
+    throughput on v5e at detection parity with the float path).
+    `data_parallel` (an extension - the reference infers on a single GPU,
+    reference: yogo/infer.py:214-216) shards each batch over ALL local
+    devices via a 1-D jax Mesh (parallel/mesh.py), scaling serving
+    throughput across a pod slice with XLA inserting any collectives;
+    batch_size is rounded up to a multiple of the device count (ragged
+    tails are already padded + masked)."""
     if save_preds and draw_boxes:
         raise ValueError(
             "cannot save predictions in YOGO format and draw_boxes at the "
@@ -176,6 +183,25 @@ def predict(
         n_images, requested_num_workers=requested_num_workers
     )
 
+    mesh = None
+    if data_parallel:
+        from yogo_tpu.parallel.mesh import (
+            data_sharded,
+            get_mesh,
+            replicated,
+            shard_batch,
+        )
+
+        candidate = get_mesh()
+        n_dev = candidate.devices.size
+        if n_dev > 1:
+            mesh = candidate
+            if batch_size % n_dev:
+                # ragged tails are padded + image-masked anyway, so rounding
+                # the compiled batch shape up only adds masked padding work
+                batch_size = ((batch_size + n_dev - 1) // n_dev) * n_dev
+            variables = jax.device_put(variables, replicated(mesh))
+
     # jitted forward (full batch shape only; last batch is padded)
     if quantize:
         from yogo_tpu.ops.quant import (
@@ -203,15 +229,27 @@ def predict(
             skip_blocks=default_skip_blocks(model.defn, model.input_channels),
         )
 
-        @jax.jit
-        def forward_xla(imgs):
+        if mesh is not None:
+            qp = jax.device_put(qp, replicated(mesh))
+
+        def _fwd(imgs):
             return quantized_forward(model, qp, imgs)
 
     else:
 
-        @jax.jit
-        def forward_xla(imgs):
+        def _fwd(imgs):
             return model.apply(variables, imgs, inference=True)
+
+    if mesh is not None:
+        # batch axis sharded over the mesh, params replicated: XLA runs the
+        # forward (and the fused count's tiny reduction) SPMD over ICI
+        forward_xla = jax.jit(
+            _fwd,
+            in_shardings=data_sharded(mesh, 4),
+            out_shardings=data_sharded(mesh, 4),
+        )
+    else:
+        forward_xla = jax.jit(_fwd)
 
     # Opt-in fused Pallas stem (YOGO_PALLAS_STEM): dispatched as its OWN
     # executable, then a second jit for blocks 1..n + decode. A Mosaic
@@ -222,6 +260,11 @@ def predict(
         (batch_size, model.input_channels, *model.img_size), jnp.uint8
     )
     stem_mode = model._stem_pallas_mode(probe, train=False, mutable=False)
+    if stem_mode is not None and mesh is not None:
+        raise ValueError(
+            "YOGO_PALLAS_STEM is a single-device experimental path; unset "
+            "it to use data_parallel inference"
+        )
     if stem_mode is not None:
 
         @jax.jit
@@ -313,7 +356,10 @@ def predict(
                 else None
             )
 
-            imgs_j = jnp.asarray(imgs)
+            imgs_j = (
+                shard_batch(mesh, imgs)[0] if mesh is not None
+                else jnp.asarray(imgs)
+            )
             if count_predictions and not needs_full:
                 # fully fused on device: forward + NMS + count, no big transfers;
                 # padded tail images are excluded by mask (a [:real] slice would
@@ -436,4 +482,5 @@ def do_infer(args) -> None:
         half=args.half,
         quantize=args.quantize,
         max_detections=args.max_detections,
+        data_parallel=args.data_parallel,
     )

@@ -448,6 +448,14 @@ def infer_parser(parser=None):
         help="path to heatmap mask for the run (default: None)",
     )
     parser.add_argument(
+        "--data-parallel", action="store_true",
+        help=(
+            "shard each batch over all local devices (extension - the "
+            "reference infers on one GPU; scales serving throughput "
+            "across a TPU pod slice, no-op on a single chip)"
+        ),
+    )
+    parser.add_argument(
         "--use-tqdm", action=boolean_action, default=True,
         help="use tqdm progress bar",
     )
