@@ -73,6 +73,38 @@ def main():
 
         return tail
 
+    def stencil_tail(r):
+        """The iou+direction stencil pass alone - same plane math as
+        windowed_count's precompute, reduced to a checksum with NO
+        fixed-point iteration (attribution: stencil vs convergence cost)."""
+        from yogo_tpu.ops.window_nms import _half_offsets, _shift
+
+        def tail(out):
+            f = out.astype(jnp.float32)
+            cx, cy, w, h, obj = f[:, 0], f[:, 1], f[:, 2], f[:, 3], f[:, 4]
+            passing = obj > 0.5
+            x1, y1, x2, y2 = cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2
+            area = jnp.clip(x2 - x1, 0, 1e19) * jnp.clip(y2 - y1, 0, 1e19)
+            score = f[:, 5:].max(axis=1) * obj
+            acc = jnp.zeros((), jnp.int32)
+            for dy, dx in _half_offsets(r, r):
+                iw = jnp.clip(
+                    jnp.minimum(x2, _shift(x2, dy, dx, 0.0))
+                    - jnp.maximum(x1, _shift(x1, dy, dx, 0.0)), 0, 1e19,
+                )
+                ih = jnp.clip(
+                    jnp.minimum(y2, _shift(y2, dy, dx, 0.0))
+                    - jnp.maximum(y1, _shift(y1, dy, dx, 0.0)), 0, 1e19,
+                )
+                inter = iw * ih
+                iou = inter / (area + _shift(area, dy, dx, 0.0) - inter)
+                ov = (iou > 0.5) & passing & _shift(passing, dy, dx, False)
+                n_first = _shift(score, dy, dx, -jnp.inf) > score
+                acc = acc + (ov & n_first).sum() + (ov & ~n_first).sum()
+            return acc.astype(jnp.float32)
+
+        return tail
+
     cases = [
         ("fwd", make(lambda out: out[:, 4].sum().astype(jnp.float32))),
         (
@@ -84,7 +116,9 @@ def main():
                 ).sum().astype(jnp.float32)
             ),
         ),
-    ] + [(f"window_r{r}", make(win_tail(r))) for r in radii]
+    ] + [(f"window_r{r}", make(win_tail(r))) for r in radii] + [
+        (f"stencil_r{r}", make(stencil_tail(r))) for r in radii
+    ]
 
     for name, fn in cases:
         try:

@@ -118,11 +118,12 @@ def predict(
     batch of this run's own images (ops/quant.py; ~1.25x forward
     throughput on v5e at detection parity with the float path).
     `data_parallel` (an extension - the reference infers on a single GPU,
-    reference: yogo/infer.py:214-216) shards each batch over ALL local
-    devices via a 1-D jax Mesh (parallel/mesh.py), scaling serving
-    throughput across a pod slice with XLA inserting any collectives;
-    batch_size is rounded up to a multiple of the device count (ragged
-    tails are already padded + masked)."""
+    reference: yogo/infer.py:214-216) shards each batch over ALL devices
+    of this process via a 1-D jax Mesh (parallel/mesh.py), e.g. the 8
+    chips of a v5e-8 host, with XLA inserting any collectives; batch_size
+    is rounded up to a multiple of the device count (ragged tails are
+    already padded + masked). Single-process only: multi-host serving
+    would need per-process dataset sharding (raises a clear error)."""
     if save_preds and draw_boxes:
         raise ValueError(
             "cannot save predictions in YOGO format and draw_boxes at the "
@@ -192,6 +193,16 @@ def predict(
             shard_batch,
         )
 
+        if jax.process_count() > 1:
+            # multi-host serving needs per-process dataset sharding and
+            # count aggregation this driver does not do (every process
+            # would decode and count the SAME images); the supported scale
+            # axis is all devices of one process (e.g. a v5e-8 host)
+            raise ValueError(
+                "data_parallel inference is single-process only: run one "
+                "process and let it use all local devices, or shard the "
+                "image list per process externally"
+            )
         candidate = get_mesh()
         n_dev = candidate.devices.size
         if n_dev > 1:

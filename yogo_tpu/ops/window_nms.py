@@ -4,7 +4,7 @@ STATUS: EXPERIMENTAL - exact and capacity-free, but measured SLOWER than
 the shipped top-K+NMS path on the v5e harness (19.5 vs 7.2 ms/batch-512 at
 radius 4; docs/perf-notes.md "Windowed NMS"), because XLA materializes each
 shifted-plane pad/slice instead of reusing VMEM tiles with halos: the cost
-is a flat ~0.37 ms per stencil offset-pair, matching the no-reuse HBM
+is a flat ~0.4 ms per stencil offset-pair, matching the no-reuse HBM
 roofline. The formulation is the right shape for a future Pallas kernel
 (one tile + halo load serves every offset, ~40x traffic reduction), which
 is currently blocked by the harness's Mosaic composition crashes
@@ -48,9 +48,11 @@ Exactness guarantee (the "premise"):
   Hmax = ry / ((1-t)*Sy).  At the defaults (rx=ry=4, t=0.5, 97x129 grid)
   that is 64x64 px on a 772x1032 image - ~1.5x the production anchor box.
   `windowed_count` returns an `exceeded` flag = any passing box beyond
-  (Wmax, Hmax); callers fall back to the exact global path for that batch
-  (yogo_tpu/infer.py), so end-to-end semantics stay exact for arbitrary
-  inputs while real data takes the fast path.
+  (Wmax, Hmax); a production caller would rerun flagged batches through
+  the exact global path (ops/postprocess.py) so end-to-end semantics stay
+  exact for arbitrary inputs. No caller is wired today - the module is
+  off the hot path (slower than top-K+NMS on this harness, see STATUS);
+  only tests/test_window_nms.py and tools/perf_window_nms.py use it.
 """
 
 from __future__ import annotations

@@ -450,9 +450,9 @@ def infer_parser(parser=None):
     parser.add_argument(
         "--data-parallel", action="store_true",
         help=(
-            "shard each batch over all local devices (extension - the "
-            "reference infers on one GPU; scales serving throughput "
-            "across a TPU pod slice, no-op on a single chip)"
+            "shard each batch over all devices of this process (extension "
+            "- the reference infers on one GPU; e.g. uses all 8 chips of "
+            "a v5e-8 host, no-op on a single chip, single-process only)"
         ),
     )
     parser.add_argument(
