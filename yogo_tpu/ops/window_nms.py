@@ -5,11 +5,12 @@ the shipped top-K+NMS path on the v5e harness (19.5 vs 7.2 ms/batch-512 at
 radius 4; docs/perf-notes.md "Windowed NMS"), because XLA materializes each
 shifted-plane pad/slice instead of reusing VMEM tiles with halos: the cost
 is a flat ~0.4 ms per stencil offset-pair, matching the no-reuse HBM
-roofline. The formulation is the right shape for a future Pallas kernel
-(one tile + halo load serves every offset, ~40x traffic reduction), which
-is currently blocked by the harness's Mosaic composition crashes
-(docs/perf-notes.md stability matrices). Kept with full tests like
-ops/pallas_stem.py: correct, honest about being off the hot path.
+roofline. A Pallas halo-reuse kernel would remove the traffic but the
+stencil is then VPU-compute-bound at ~1.3-3 ms/batch-512 - borderline
+against the 2.05 ms postprocess budget - so the kernel is not worth
+building (full floor analysis in docs/perf-notes.md). Kept with full
+tests like ops/pallas_stem.py: correct, honest about being off the hot
+path, and the capacity-free semantics remain useful as an oracle.
 
 The fused count path (`yogo infer --count`, reference: yogo/infer.py:60-124)
 needs only the per-class histogram of NMS survivors - not their boxes. The
