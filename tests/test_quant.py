@@ -286,6 +286,27 @@ def test_predict_quantize_end_to_end(tmp_path):
             ).tolist()
 
 
+def test_predict_quantize_data_parallel_matches_single_device(tmp_path):
+    """--quantize composes with --data-parallel: the int8 program runs
+    sharded over the 8-virtual-device mesh (quant params replicated) and
+    must reproduce the single-device int8 predictions exactly."""
+    from tests.test_golden_detections import gen_test_images
+    from yogo_tpu.infer import predict
+
+    img_dir = tmp_path / "imgs"
+    gen_test_images(img_dir, n=6, seed=3)
+    kw = dict(
+        path_to_images=img_dir,
+        return_full_predictions=True,
+        batch_size=3,  # rounds up to 8 on the mesh; tail is masked
+        use_tqdm=False,
+        quantize=True,
+    )
+    single = np.asarray(predict(CKPT_PATH, **kw), np.float32)
+    multi = np.asarray(predict(CKPT_PATH, data_parallel=True, **kw), np.float32)
+    np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-6)
+
+
 def test_predict_quantize_rejects_convnext(tmp_path):
     from tests.test_golden_detections import gen_test_images
     from yogo_tpu.infer import predict
