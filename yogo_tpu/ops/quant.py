@@ -26,6 +26,7 @@ runs in f32 between dequant and requant (XLA fuses the chain).
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Dict, Iterable, List, Tuple
 
 import jax
@@ -33,20 +34,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from yogo_tpu.models.defns import ConvSpec
+from yogo_tpu.models.yogo import _activation
 
 Array = jax.Array
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
+# conv_stack activations this path is validated for; anything else (e.g.
+# convnext's gelu) must fail loudly rather than silently diverge
+_SUPPORTED_ACTS = (None, "leaky_relu", "silu")
+
 
 def _act_fn(name):
-    if name is None:
-        return lambda x: x
-    if name == "leaky_relu":
-        return lambda x: jnp.where(x > 0, x, 0.01 * x)
-    if name == "silu":
-        return jax.nn.silu
-    raise NotImplementedError(f"quantized path: unsupported activation {name}")
+    if name not in _SUPPORTED_ACTS:
+        raise NotImplementedError(
+            f"quantized path: unsupported activation {name}"
+        )
+    # same callable the float path uses (models/yogo.py:_activation), so
+    # the two paths cannot drift
+    return _activation(name)
 
 
 def fold_block_params(
@@ -104,17 +110,27 @@ def _conv(x, w, spec: ConvSpec, preferred):
     )
 
 
+def _block_inputs_and_output(folded, weights, biases, x: Array):
+    """One f32 forward through the folded stack; returns (per-block input
+    activations, final output). The single fold-forward loop that both
+    folded_float_forward and calibrate_act_scales run (so the two cannot
+    drift); under jit XLA reduces the unused activations away."""
+    ins = []
+    h = x
+    for (spec, _, _), w, b in zip(folded, weights, biases):
+        ins.append(h)
+        h = _act_fn(spec.act)(_conv(h, w, spec, jnp.float32) + b)
+    return ins, h
+
+
 def folded_float_forward(folded, x_f32: Array, upto: int | None = None) -> Array:
     """f32 forward through the folded stack (the dequantized reference the
-    calibration and the tests compare against). `upto` stops BEFORE block
-    `upto` and returns its input activation."""
-    h = x_f32
-    for i, (spec, w, b) in enumerate(folded):
-        if upto is not None and i == upto:
-            return h
-        h = _conv(h, jnp.asarray(w), spec, jnp.float32) + jnp.asarray(b)
-        h = _act_fn(spec.act)(h)
-    return h
+    calibration scales describe). `upto` stops BEFORE block `upto` and
+    returns its input activation."""
+    ws = [jnp.asarray(w) for _, w, _ in folded]
+    bs = [jnp.asarray(b) for _, _, b in folded]
+    ins, out = _block_inputs_and_output(folded, ws, bs, x_f32)
+    return out if upto is None else ins[upto]
 
 
 def calibrate_act_scales(
@@ -127,21 +143,24 @@ def calibrate_act_scales(
     first_quant_block..N-1 (scale of the activation ENTERING block i)."""
     n = len(folded)
     absmax = np.zeros(n, np.float64)
+    specs_only = [(s, None, None) for s, _, _ in folded]
 
+    # weights/biases are jit ARGUMENTS, not closure constants: closing over
+    # them would bake tens of MB of literals into the executable (slow to
+    # ship through the remote-compile relay, never cache-hits across calls)
     @jax.jit
-    def block_maxes(x):
-        h = x
-        maxes = []
-        for i, (spec, w, b) in enumerate(folded):
-            maxes.append(jnp.max(jnp.abs(h)))
-            h = _conv(h, jnp.asarray(w), spec, jnp.float32) + jnp.asarray(b)
-            h = _act_fn(spec.act)(h)
-        return jnp.stack(maxes)
+    def block_maxes(x, ws, bs):
+        ins, _ = _block_inputs_and_output(specs_only, ws, bs, x)
+        return jnp.stack([jnp.max(jnp.abs(h)) for h in ins])
 
+    ws = [jnp.asarray(w) for _, w, _ in folded]
+    bs = [jnp.asarray(b) for _, _, b in folded]
     seen = 0
     for xb in calib_batches:
         x = jnp.asarray(np.asarray(xb, np.float32))
-        absmax = np.maximum(absmax, np.asarray(block_maxes(x), np.float64))
+        absmax = np.maximum(
+            absmax, np.asarray(block_maxes(x, ws, bs), np.float64)
+        )
         seen += 1
     if seen == 0:
         raise ValueError("calibration requires at least one batch")
@@ -193,6 +212,21 @@ def quantize_conv_stack(
     if 0 in skip:
         raise ValueError("block 0 always runs bf16; skip_blocks indexes 1..N-1")
     folded = fold_conv_stack(model.defn, variables)
+    valid = set(range(1, len(folded)))
+    if not skip <= valid:
+        raise ValueError(
+            f"skip_blocks {sorted(skip - valid)} out of range; this "
+            f"{len(folded)}-block model indexes 1..{len(folded) - 1}"
+        )
+    if skip == valid:
+        # e.g. half/quarter_filters under the default cin>=128 rule: the
+        # program is the BN-folded bf16 stack with NO int8 convs - valid,
+        # but the caller should know "--quantize" is not serving int8 here
+        warnings.warn(
+            "every block is skipped (all input channels below the int8 "
+            "payoff width): the quantized program contains no int8 convs "
+            "and serves the BN-folded bf16 stack"
+        )
 
     def to_nhwc_f32(xb):
         x = np.asarray(xb)
@@ -264,17 +298,24 @@ def quantized_forward(
     scales = qp["scales"]
     for j, blk in enumerate(qp["blocks"]):
         spec = specs[1 + j]
+        # the LAST block's output is the head logits the decode consumes:
+        # keep it f32 regardless of intermediate_dtype (the knob trades
+        # inter-block HBM traffic, which the final output has none of;
+        # bf16 head logits would cost ~2 decimal digits of box precision)
+        out_dtype = (
+            jnp.float32 if j == len(qp["blocks"]) - 1 else intermediate_dtype
+        )
         if "w8" not in blk:  # bf16 fallback block (skip_blocks)
             h = _conv(
                 h.astype(jnp.bfloat16), blk["w"], spec, jnp.float32
             ) + blk["b"]
-            h = _act_fn(spec.act)(h).astype(intermediate_dtype)
+            h = _act_fn(spec.act)(h).astype(out_dtype)
             continue
         q = jnp.clip(
             jnp.round(h.astype(jnp.float32) / scales[j]), -127, 127
         ).astype(jnp.int8)
         acc = _conv(q, blk["w8"], spec, jnp.int32)
         h = acc.astype(jnp.float32) * blk["deq"] + blk["b"]
-        h = _act_fn(spec.act)(h).astype(intermediate_dtype)
+        h = _act_fn(spec.act)(h).astype(out_dtype)
 
     return model._decode_raw(h, inference)

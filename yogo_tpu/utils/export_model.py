@@ -36,22 +36,12 @@ PARITY_ATOL = 1e-5
 def _folded_conv_params(
     spec: ConvSpec, conv: Dict[str, Any], bn_params, bn_stats, eps=1e-5
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """HWIO kernel + optional BN -> OIHW weight and bias with BN folded."""
-    w = np.transpose(np.asarray(conv["kernel"], np.float32), (3, 2, 0, 1))
-    b = (
-        np.asarray(conv["bias"], np.float32)
-        if "bias" in conv
-        else np.zeros(w.shape[0], np.float32)
-    )
-    if bn_params is not None:
-        scale = np.asarray(bn_params["scale"], np.float32)
-        beta = np.asarray(bn_params["bias"], np.float32)
-        mean = np.asarray(bn_stats["mean"], np.float32)
-        var = np.asarray(bn_stats["var"], np.float32)
-        k = scale / np.sqrt(var + eps)
-        w = w * k[:, None, None, None]
-        b = (b - mean) * k + beta
-    return w, b
+    """HWIO kernel + optional BN -> OIHW weight and bias with BN folded
+    (one shared fold implementation - ops/quant.py - transposed for ONNX)."""
+    from yogo_tpu.ops.quant import fold_block_params
+
+    w, b = fold_block_params(spec, conv, bn_params, bn_stats, eps=eps)
+    return np.transpose(w, (3, 2, 0, 1)), b
 
 
 def _emit_conv_stack(nodes, inits, cur, defn, params, stats) -> str:
