@@ -195,6 +195,177 @@ def test_spmd_multistep_training_matches_single_device(tmp_path):
     np.testing.assert_allclose(float(l_live), float(l_restored), rtol=1e-6)
 
 
+def test_mesh_2d_helpers():
+    """2-D (data, space) mesh construction + sharding-spec helpers."""
+    import pytest
+
+    from yogo_tpu.parallel.mesh import (
+        data_sharded,
+        get_mesh_2d,
+        n_space,
+        space_sharded,
+        validate_spatial_height,
+    )
+
+    mesh = get_mesh_2d(4)
+    assert dict(mesh.shape) == {"data": 2, "space": 4}
+    assert n_space(mesh) == 4
+    spec = space_sharded(mesh).spec
+    assert spec[0] == "data" and spec[2] == "space"
+    validate_spatial_height(mesh, 48)  # 48 % 4 == 0
+    with pytest.raises(ValueError, match="divide the device count"):
+        get_mesh_2d(3)
+    with pytest.raises(ValueError, match="not divisible"):
+        validate_spatial_height(mesh, 50)
+    # on a 1-D data mesh space_sharded degenerates to data_sharded
+    mesh1 = get_mesh()
+    assert space_sharded(mesh1) == data_sharded(mesh1)
+    assert n_space(mesh1) == 1
+
+
+def test_spatial_sharded_eval_loss_matches_single_device():
+    """GSPMD spatial partitioning: the eval loss with image ROWS split over
+    the mesh's space axis (XLA inserting conv halo exchanges) matches the
+    single-device loss - validates the halo math end-to-end through
+    conv/BN/decode/loss."""
+    import jax.numpy as jnp
+
+    from tests.data_fixtures import CLASSES
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.parallel.mesh import (
+        data_sharded,
+        get_mesh_2d,
+        replicated,
+        space_sharded,
+    )
+    from yogo_tpu.train import make_eval_step
+
+    model = YOGO.create((48, 64), 0.1, 0.12, len(CLASSES),
+                        model_version="quarter_filters")
+    v = model.init(jax.random.key(0))
+    eval_fn = make_eval_step(model, dict(no_obj_weight=0.5, iou_weight=5.0,
+                                         classify_weight=1.0,
+                                         label_smoothing=0.01))
+    rng = np.random.default_rng(0)
+    Sx, Sy = model.grid
+    imgs = rng.integers(0, 255, (8, 1, 48, 64)).astype(np.uint8)
+    labels = np.zeros((8, 6, Sy, Sx), np.float32)
+    labels[:, :, 2, 3] = [1, 0.4, 0.4, 0.6, 0.6, 1]
+    mask = np.ones(8, np.float32)
+
+    mesh1 = get_mesh(jax.devices()[:1])
+    step1 = jax.jit(eval_fn)
+    l1, _ = step1(v["params"], v.get("batch_stats", {}),
+                  *shard_batch(mesh1, imgs, labels, mask))
+
+    mesh = get_mesh_2d(4)  # (data=2, space=4)
+    rep = replicated(mesh)
+    step2 = jax.jit(
+        eval_fn,
+        in_shardings=(rep, rep, space_sharded(mesh), data_sharded(mesh),
+                      data_sharded(mesh, 1)),
+        out_shardings=(rep, data_sharded(mesh)),
+    )
+    di, dl, dm = shard_batch(mesh, imgs, labels, mask, spatial_first=True)
+    assert di.sharding.spec[2] == "space"
+    l2, _ = step2(v["params"], v.get("batch_stats", {}), di, dl, dm)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
+def test_spatial_train_steps_match_data_parallel():
+    """FULL train steps (fwd+bwd+adamw+BN) on the 2-D (data, space) mesh
+    track the 1-D data mesh step-for-step: gradients of the halo-exchanged
+    convs all-reduce to the same update."""
+    import jax.numpy as jnp
+
+    from tests.data_fixtures import CLASSES
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.parallel.mesh import (
+        data_sharded,
+        get_mesh_2d,
+        replicated,
+        space_sharded,
+    )
+    from yogo_tpu.train import TrainState, make_optimizer, make_train_step
+
+    model = YOGO.create((48, 64), 0.1, 0.12, len(CLASSES),
+                        model_version="quarter_filters")
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 20)
+    step_fn = make_train_step(
+        model, tx,
+        dict(no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+             label_smoothing=0.01),
+        augment=False,
+    )
+    rng = np.random.default_rng(1)
+    Sx, Sy = model.grid
+    imgs = rng.integers(0, 255, (8, 1, 48, 64)).astype(np.uint8)
+    labels = np.zeros((8, 6, Sy, Sx), np.float32)
+    labels[:, :, 2, 3] = [1, 0.4, 0.4, 0.6, 0.6, 1]
+    mask = np.ones(8, np.float32)
+    key = jax.random.key(7)
+
+    losses = {}
+    for sp in (1, 4):
+        mesh = get_mesh() if sp == 1 else get_mesh_2d(sp)
+        rep = replicated(mesh)
+        jstep = jax.jit(
+            step_fn,
+            in_shardings=(rep, space_sharded(mesh), data_sharded(mesh),
+                          data_sharded(mesh, 1), rep),
+            out_shardings=(rep, rep, rep),
+        )
+        v = model.init(jax.random.key(0))
+        state = TrainState(
+            params=v["params"], batch_stats=v.get("batch_stats", {}),
+            opt_state=tx.init(v["params"]),
+            step=jax.numpy.asarray(0, jax.numpy.int32),
+        )
+        run = []
+        for _ in range(4):
+            di, dl, dm = shard_batch(
+                mesh, imgs, labels, mask, spatial_first=sp > 1
+            )
+            state, loss, _ = jstep(state, di, dl, dm, key)
+            run.append(float(loss))
+        losses[sp] = run
+    assert losses[4][-1] < losses[4][0]
+    np.testing.assert_allclose(losses[1], losses[4], rtol=2e-4)
+
+
+def test_predict_spatial_parallel_matches_single_device(tmp_path):
+    """`yogo infer --spatial-parallel 4`: full decoded predictions with each
+    image's rows split over 4 devices (x2 data shards) reproduce the
+    single-device run on the trained golden checkpoint."""
+    from tests.test_golden_detections import gen_test_images
+    from tests.test_quant import CKPT_PATH
+    from yogo_tpu.infer import predict
+
+    img_dir = tmp_path / "imgs"
+    gen_test_images(img_dir, n=5, seed=4)
+    kw = dict(
+        path_to_images=img_dir,
+        return_full_predictions=True,
+        batch_size=3,
+        use_tqdm=False,
+    )
+    single = np.asarray(predict(CKPT_PATH, **kw), np.float32)
+    multi = np.asarray(predict(CKPT_PATH, spatial_parallel=4, **kw), np.float32)
+    np.testing.assert_allclose(multi, single, rtol=1e-3, atol=1e-5)
+
+
+def test_trainer_spatial_parallel_height_validation():
+    """Trainer with spatial_parallel rejects a non-divisible image height at
+    init (before any data loading)."""
+    import pytest
+
+    from yogo_tpu.parallel.mesh import get_mesh_2d, validate_spatial_height
+
+    mesh = get_mesh_2d(4)
+    with pytest.raises(ValueError, match="not divisible"):
+        validate_spatial_height(mesh, 772 // 4 * 4 + 2)
+
+
 def test_initialize_multihost_pod_autodetect(monkeypatch):
     """A multi-entry TPU_WORKER_HOSTNAMES triggers argless autodetect init;
     a single/empty value stays a no-op (previously the documented autodetect

@@ -305,6 +305,14 @@ def test_predict_quantize_data_parallel_matches_single_device(tmp_path):
     single = np.asarray(predict(CKPT_PATH, **kw), np.float32)
     multi = np.asarray(predict(CKPT_PATH, data_parallel=True, **kw), np.float32)
     np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-6)
+    # --quantize also composes with --spatial-parallel: the int8 convs run
+    # with image rows split over the space axis (GSPMD halo-exchanges int8
+    # operands); int8 accumulation is exact, so only the surrounding f32
+    # dequant/act reductions can wiggle
+    spatial = np.asarray(
+        predict(CKPT_PATH, spatial_parallel=4, **kw), np.float32
+    )
+    np.testing.assert_allclose(spatial, single, rtol=1e-4, atol=1e-5)
 
 
 def test_predict_quantize_rejects_convnext(tmp_path):

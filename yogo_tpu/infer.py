@@ -107,6 +107,7 @@ def predict(
     return_full_predictions: bool = False,
     max_detections: int = INFER_COUNT_MAX_DETECTIONS,
     data_parallel: bool = False,
+    spatial_parallel: int = 1,
 ) -> Optional[np.ndarray]:
     """See `yogo infer --help`. Mirrors the reference predict() surface
     (reference: yogo/infer.py:140-192). `max_detections` (an extension -
@@ -123,7 +124,14 @@ def predict(
     chips of a v5e-8 host, with XLA inserting any collectives; batch_size
     is rounded up to a multiple of the device count (ragged tails are
     already padded + masked). Single-process only: multi-host serving
-    would need per-process dataset sharding (raises a clear error)."""
+    would need per-process dataset sharding (raises a clear error).
+    `spatial_parallel` (an extension - no reference analogue) additionally
+    splits each image's ROWS over N devices on a 2-D (data, space) mesh:
+    XLA's SPMD partitioner inserts conv halo exchanges over ICI (GSPMD
+    spatial partitioning, the canonical TPU treatment of images too large
+    for one chip's HBM). Composes with data_parallel: 8 local devices with
+    spatial_parallel=4 serve each batch as 2 data shards x 4 row shards.
+    The image height must divide N (772 allows 2 or 4)."""
     if save_preds and draw_boxes:
         raise ValueError(
             "cannot save predictions in YOGO format and draw_boxes at the "
@@ -185,12 +193,15 @@ def predict(
     )
 
     mesh = None
-    if data_parallel:
+    if data_parallel or spatial_parallel > 1:
         from yogo_tpu.parallel.mesh import (
             data_sharded,
             get_mesh,
+            get_mesh_2d,
             replicated,
             shard_batch,
+            space_sharded,
+            validate_spatial_height,
         )
 
         if jax.process_count() > 1:
@@ -199,18 +210,23 @@ def predict(
             # would decode and count the SAME images); the supported scale
             # axis is all devices of one process (e.g. a v5e-8 host)
             raise ValueError(
-                "data_parallel inference is single-process only: run one "
-                "process and let it use all local devices, or shard the "
-                "image list per process externally"
+                "data_parallel/spatial_parallel inference is single-process "
+                "only: run one process and let it use all local devices, or "
+                "shard the image list per process externally"
             )
-        candidate = get_mesh()
+        candidate = (
+            get_mesh_2d(spatial_parallel) if spatial_parallel > 1 else get_mesh()
+        )
         n_dev = candidate.devices.size
         if n_dev > 1:
             mesh = candidate
-            if batch_size % n_dev:
+            if spatial_parallel > 1:
+                validate_spatial_height(mesh, img_h)
+            n_data = n_dev // max(spatial_parallel, 1)
+            if batch_size % n_data:
                 # ragged tails are padded + image-masked anyway, so rounding
                 # the compiled batch shape up only adds masked padding work
-                batch_size = ((batch_size + n_dev - 1) // n_dev) * n_dev
+                batch_size = ((batch_size + n_data - 1) // n_data) * n_data
             variables = jax.device_put(variables, replicated(mesh))
 
     # jitted forward (full batch shape only; last batch is padded)
@@ -252,11 +268,14 @@ def predict(
             return model.apply(variables, imgs, inference=True)
 
     if mesh is not None:
-        # batch axis sharded over the mesh, params replicated: XLA runs the
-        # forward (and the fused count's tiny reduction) SPMD over ICI
+        # batch axis sharded over the mesh's data axis (and, with
+        # spatial_parallel, image rows over its space axis - XLA's SPMD
+        # partitioner inserts the conv halo exchanges over ICI), params
+        # replicated. The decoded (B, 5+C, Sy, Sx) output comes back
+        # batch-sharded; Sy=97 is prime so spatial shards regroup there.
         forward_xla = jax.jit(
             _fwd,
-            in_shardings=data_sharded(mesh, 4),
+            in_shardings=space_sharded(mesh, 4),
             out_shardings=data_sharded(mesh, 4),
         )
     else:
@@ -368,7 +387,8 @@ def predict(
             )
 
             imgs_j = (
-                shard_batch(mesh, imgs)[0] if mesh is not None
+                shard_batch(mesh, imgs, spatial_first=spatial_parallel > 1)[0]
+                if mesh is not None
                 else jnp.asarray(imgs)
             )
             if count_predictions and not needs_full:
@@ -494,4 +514,5 @@ def do_infer(args) -> None:
         quantize=args.quantize,
         max_detections=args.max_detections,
         data_parallel=args.data_parallel,
+        spatial_parallel=args.spatial_parallel,
     )

@@ -21,11 +21,36 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
 def get_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def get_mesh_2d(
+    n_space: int, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """2-D (data, space) mesh: batch parallelism on the first axis, GSPMD
+    spatial partitioning of the image height on the second.
+
+    Spatial partitioning is the TPU-native scale-UP axis the reference has
+    no analogue for (its DDP replicates the whole model+image per GPU):
+    each image's rows are split over `n_space` devices and XLA's SPMD
+    partitioner inserts halo exchanges (collective-permutes of the few
+    boundary rows a conv window needs) over ICI automatically. Use it when
+    a single device's HBM can't hold the activations - very tall crops, or
+    train batches past the documented bs>=256 activation pressure - or to
+    cut single-batch latency. n_space=1 degenerates to get_mesh()."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_space < 1 or len(devices) % n_space:
+        raise ValueError(
+            f"spatial axis size {n_space} must divide the device count "
+            f"{len(devices)}"
+        )
+    grid = np.asarray(devices).reshape(len(devices) // n_space, n_space)
+    return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -37,16 +62,54 @@ def data_sharded(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
-def shard_batch(mesh: Mesh, *arrays: Any):
+def space_sharded(mesh: Mesh, ndim: int = 4, h_axis: int = 2) -> NamedSharding:
+    """Batch axis over "data" AND the image height axis over "space"
+    (NCHW input: h_axis=2). On a 1-D mesh this is just data_sharded."""
+    if SPACE_AXIS not in mesh.axis_names:
+        return data_sharded(mesh, ndim)
+    spec = [None] * ndim
+    spec[0] = DATA_AXIS
+    spec[h_axis] = SPACE_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def n_space(mesh: Mesh) -> int:
+    """Size of the spatial axis (1 on a 1-D data mesh)."""
+    return mesh.shape.get(SPACE_AXIS, 1)
+
+
+def validate_spatial_height(mesh: Mesh, img_h: int) -> None:
+    """device_put rejects unevenly-sharded host arrays, so the INPUT height
+    must divide the spatial axis (772 divides 2 and 4; intermediate layers
+    may be uneven - GSPMD pads those internally inside the jit)."""
+    ns = n_space(mesh)
+    if img_h % ns:
+        raise ValueError(
+            f"image height {img_h} is not divisible by the spatial axis "
+            f"size {ns}; pick a spatial factor that divides the height "
+            f"(772 allows 2 or 4) or crop to a divisible height"
+        )
+
+
+def shard_batch(mesh: Mesh, *arrays: Any, spatial_first: bool = False):
     """Place host arrays onto the mesh, batch axis sharded.
+
+    spatial_first=True additionally shards the FIRST array's height axis
+    (the NCHW image batch) over the mesh's "space" axis; labels/masks stay
+    batch-sharded only (the label grid height Sy=97 is prime - GSPMD
+    reshards it internally where the loss needs it).
 
     On a multi-host setup each process passes its local shard; single-host
     this is a plain device_put with a sharding.
     """
     out = []
-    for a in arrays:
+    for i, a in enumerate(arrays):
         a = np.asarray(a)
-        sharding = data_sharded(mesh, a.ndim)
+        if spatial_first and i == 0:
+            validate_spatial_height(mesh, a.shape[2])
+            sharding = space_sharded(mesh, a.ndim)
+        else:
+            sharding = data_sharded(mesh, a.ndim)
         if jax.process_count() > 1:  # exercised by tests/test_multihost.py
             # (two real processes over a localhost coordinator)
             global_shape = (a.shape[0] * jax.process_count(), *a.shape[1:])
@@ -72,21 +135,27 @@ def local_rows(global_np: np.ndarray, local_batch: int) -> np.ndarray:
     return global_np[start : start + local_batch]
 
 
-def prefetch_to_device(batch_iter, mesh: Mesh, prefetch: int = 2):
+def prefetch_to_device(
+    batch_iter, mesh: Mesh, prefetch: int = 2, spatial_first: bool = False
+):
     """Wrap a host (imgs, labels, mask) iterator with device prefetch.
 
-    Pads each batch to the mesh size, starts its (async) transfer, and keeps
-    `prefetch` batches in flight so H2D overlaps the previous step's compute -
-    the single-controller analog of the reference's pin_memory +
-    non_blocking copies (reference: yogo/train.py:310-311).
+    Pads each batch to the data-axis size, starts its (async) transfer, and
+    keeps `prefetch` batches in flight so H2D overlaps the previous step's
+    compute - the single-controller analog of the reference's pin_memory +
+    non_blocking copies (reference: yogo/train.py:310-311). spatial_first
+    shards image rows over the mesh's "space" axis (see shard_batch).
     """
     import collections
 
     queue = collections.deque()
+    n_data = mesh.shape.get(DATA_AXIS, mesh.size)
 
     def put(host_batch):
-        imgs, labels, mask = pad_batch_to_multiple(*host_batch, mesh.size)
-        queue.append(shard_batch(mesh, imgs, labels, mask))
+        imgs, labels, mask = pad_batch_to_multiple(*host_batch, n_data)
+        queue.append(
+            shard_batch(mesh, imgs, labels, mask, spatial_first=spatial_first)
+        )
 
     it = iter(batch_iter)
     try:

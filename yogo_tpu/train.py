@@ -44,6 +44,9 @@ from yogo_tpu.models.yogo import YOGO
 from yogo_tpu.parallel.mesh import (
     data_sharded,
     get_mesh,
+    get_mesh_2d,
+    space_sharded,
+    validate_spatial_height,
     local_rows,
     pad_batch_to_multiple,
     prefetch_to_device,
@@ -228,7 +231,19 @@ class Trainer:
 
     def __init__(self, config: Dict[str, Any]):
         self.config = config
-        self.mesh = get_mesh()
+        # --spatial-parallel N: 2-D (data, space) mesh - image rows split
+        # over N devices with XLA-inserted conv halo exchanges. The scale-UP
+        # axis for activation pressure (a per-device batch shard's
+        # activations shrink Nx), orthogonal to data parallelism.
+        self._spatial = int(config.get("spatial_parallel", 1) or 1)
+        if self._spatial > 1 and jax.process_count() > 1:
+            raise ValueError(
+                "spatial_parallel training is single-process only (the "
+                "multi-host batch globalization assumes a 1-D data mesh)"
+            )
+        self.mesh = (
+            get_mesh_2d(self._spatial) if self._spatial > 1 else get_mesh()
+        )
         self.epoch = 0
         self.global_step = 0
         self.tuning = False
@@ -355,20 +370,26 @@ class Trainer:
         rep = replicated(self.mesh)
         dat = data_sharded(self.mesh)
         msk = data_sharded(self.mesh, ndim=1)
+        # images: rows over the "space" axis too (= dat on a 1-D mesh);
+        # labels stay batch-sharded only - the grid height Sy is typically
+        # odd/prime and GSPMD reshards it where the loss consumes it
+        if self._spatial > 1:
+            validate_spatial_height(self.mesh, self.model.img_size[0])
+        img_shd = space_sharded(self.mesh)
         step_fn = make_train_step(
             self.model, self.tx, self.loss_kwargs, tuning=self.tuning,
             remat=self.config.get("remat", "none"),
         )
         self._train_step = jax.jit(
             step_fn,
-            in_shardings=(rep, dat, dat, msk, rep),
+            in_shardings=(rep, img_shd, dat, msk, rep),
             out_shardings=(rep, rep, rep),
             donate_argnums=(0,),
         )
         eval_fn = make_eval_step(self.model, self.loss_kwargs)
         self._eval_step = jax.jit(
             eval_fn,
-            in_shardings=(rep, rep, dat, dat, msk),
+            in_shardings=(rep, rep, img_shd, dat, msk),
             out_shardings=(rep, rep),
         )
         self._rng = jax.random.key(self.config.get("seed", 0))
@@ -451,7 +472,8 @@ class Trainer:
             window_start = time.perf_counter()
             window_imgs = 0
             for imgs, labels, mask in prefetch_to_device(
-                self.train_dataloader, self.mesh
+                self.train_dataloader, self.mesh,
+                spatial_first=self._spatial > 1,
             ):
                 # optional jax.profiler trace of the first few hot-loop steps
                 # (aux tracing subsystem; the reference has only a Timer)
@@ -542,13 +564,18 @@ class Trainer:
     def _validate(self) -> None:
         if self.validate_dataloader is None:
             return
-        n_dev = self.mesh.size
+        n_data = self.mesh.shape.get("data", self.mesh.size)
         total = 0.0
         n_batches = 0
         last_batch = None
         for imgs, labels, mask in self.validate_dataloader:
-            imgs, labels, mask = pad_batch_to_multiple(imgs, labels, mask, n_dev)
-            imgs_d, labels_d, mask_d = shard_batch(self.mesh, imgs, labels, mask)
+            imgs, labels, mask = pad_batch_to_multiple(
+                imgs, labels, mask, n_data
+            )
+            imgs_d, labels_d, mask_d = shard_batch(
+                self.mesh, imgs, labels, mask,
+                spatial_first=self._spatial > 1,
+            )
             loss, preds = self._eval_step(
                 self.state.params, self.state.batch_stats, imgs_d, labels_d, mask_d
             )
@@ -803,6 +830,7 @@ def do_training(args) -> None:
         "profile_steps": getattr(args, "profile_steps", 0),
         "resume_optimizer": getattr(args, "resume_optimizer", False),
         "remat": getattr(args, "remat", "none"),
+        "spatial_parallel": getattr(args, "spatial_parallel", 1),
     }
     trainer = Trainer(config)
     trainer.init()

@@ -29,6 +29,17 @@ def uint(val):
     return v
 
 
+def positive_int(val):
+    "a strictly positive integer (extension flags only - no reference quirk)"
+    try:
+        v = int(val)
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"{val} is not an integer")
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"{val} must be >= 1")
+    return v
+
+
 def super_unitary_float(val):
     "a number greater than or equal to 1"
     try:
@@ -249,6 +260,16 @@ def train_parser(parser=None):
             "'full' recomputes the whole forward)"
         ),
     )
+    parser.add_argument(
+        "--spatial-parallel", type=positive_int, default=1,
+        help=(
+            "split each image's rows over N devices on a 2-D (data, space) "
+            "mesh - GSPMD spatial partitioning, XLA inserts the conv halo "
+            "exchanges (extension; shrinks per-device activations Nx for "
+            "tall images or large batches; the image height must divide N; "
+            "single-process only) (default: 1)"
+        ),
+    )
     return parser
 
 
@@ -453,6 +474,16 @@ def infer_parser(parser=None):
             "shard each batch over all devices of this process (extension "
             "- the reference infers on one GPU; e.g. uses all 8 chips of "
             "a v5e-8 host, no-op on a single chip, single-process only)"
+        ),
+    )
+    parser.add_argument(
+        "--spatial-parallel", type=positive_int, default=1,
+        help=(
+            "split each image's rows over N devices on a (data, space) "
+            "mesh - GSPMD spatial partitioning with XLA-inserted conv halo "
+            "exchanges (extension - no reference analogue; for images/crops "
+            "too tall for one chip or for lower latency; composes with "
+            "--data-parallel; the image height must divide N) (default: 1)"
         ),
     )
     parser.add_argument(
