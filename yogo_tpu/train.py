@@ -43,6 +43,7 @@ from yogo_tpu.metrics import Metrics
 from yogo_tpu.models.yogo import YOGO
 from yogo_tpu.parallel.mesh import (
     data_sharded,
+    fsdp_sharding_tree,
     get_mesh,
     get_mesh_2d,
     space_sharded,
@@ -376,20 +377,40 @@ class Trainer:
         if self._spatial > 1:
             validate_spatial_height(self.mesh, self.model.img_size[0])
         img_shd = space_sharded(self.mesh)
+        # --fsdp: params/moments/batch_stats sharded over the data axis
+        # (ZeRO/fsdp - XLA all-gathers weights at use, reduce-scatters
+        # grads); otherwise everything replicated
+        if self.config.get("fsdp"):
+            state_shd = TrainState(
+                params=fsdp_sharding_tree(self.mesh, self.state.params),
+                batch_stats=fsdp_sharding_tree(
+                    self.mesh, self.state.batch_stats
+                ),
+                opt_state=fsdp_sharding_tree(self.mesh, self.state.opt_state),
+                step=rep,
+            )
+            self.state = jax.device_put(self.state, state_shd)
+        else:
+            state_shd = rep
         step_fn = make_train_step(
             self.model, self.tx, self.loss_kwargs, tuning=self.tuning,
             remat=self.config.get("remat", "none"),
         )
         self._train_step = jax.jit(
             step_fn,
-            in_shardings=(rep, img_shd, dat, msk, rep),
-            out_shardings=(rep, rep, rep),
+            in_shardings=(state_shd, img_shd, dat, msk, rep),
+            out_shardings=(state_shd, rep, rep),
             donate_argnums=(0,),
         )
         eval_fn = make_eval_step(self.model, self.loss_kwargs)
+        eval_param_shd = (
+            (state_shd.params, state_shd.batch_stats)
+            if self.config.get("fsdp")
+            else (rep, rep)
+        )
         self._eval_step = jax.jit(
             eval_fn,
-            in_shardings=(rep, rep, img_shd, dat, msk),
+            in_shardings=(*eval_param_shd, img_shd, dat, msk),
             out_shardings=(rep, rep),
         )
         self._rng = jax.random.key(self.config.get("seed", 0))
@@ -831,6 +852,7 @@ def do_training(args) -> None:
         "resume_optimizer": getattr(args, "resume_optimizer", False),
         "remat": getattr(args, "remat", "none"),
         "spatial_parallel": getattr(args, "spatial_parallel", 1),
+        "fsdp": getattr(args, "fsdp", False),
     }
     trainer = Trainer(config)
     trainer.init()

@@ -270,6 +270,16 @@ def train_parser(parser=None):
             "single-process only) (default: 1)"
         ),
     )
+    parser.add_argument(
+        "--fsdp", action="store_true",
+        help=(
+            "shard params, optimizer moments, and batch stats over the "
+            "data axis (ZeRO-style fully-sharded data parallelism: XLA "
+            "all-gathers each weight at use and reduce-scatters its "
+            "gradient; extension - per-device model-state memory shrinks "
+            "by the device count; identical math)"
+        ),
+    )
     return parser
 
 
