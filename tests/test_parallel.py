@@ -354,6 +354,80 @@ def test_predict_spatial_parallel_matches_single_device(tmp_path):
     np.testing.assert_allclose(multi, single, rtol=1e-3, atol=1e-5)
 
 
+def test_spatial_program_halo_exchanges_not_full_gathers():
+    """The memory-relief claim of --spatial-parallel rests on GSPMD lowering
+    the sharded convs to HALO exchanges (collective-permutes of a few
+    boundary rows), not to all-gathers of whole activations. Pin that
+    property in the compiled HLO: permutes exist, and every all-gather
+    output is at most head-grid-sized (the Sy regroup before decode)."""
+    import re
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.parallel.mesh import get_mesh_2d, replicated, space_sharded
+
+    model = YOGO.create((96, 128), 0.08, 0.1, num_classes=4,
+                        model_version="quarter_filters")
+    variables = model.init(jax.random.key(0))
+    mesh = get_mesh_2d(4)
+    fwd = jax.jit(
+        lambda v, x: model.apply(v, x, inference=True),
+        in_shardings=(replicated(mesh), space_sharded(mesh)),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    x = np.zeros((8, 1, 96, 128), np.uint8)
+    hlo = fwd.lower(variables, x).compile().as_text()
+
+    assert re.search(r"\bcollective-permute", hlo), (
+        "no halo exchanges in the spatial program"
+    )
+    # a full-activation regroup would gather ~1.5M elements (8x16x96x128);
+    # the legitimate gathers (head grid pieces) are ~7k
+    Sx, Sy = model.grid
+    head_elems = 8 * (5 + model.num_classes) * Sy * Sx
+    for m in re.finditer(r"= \w+\[([\d,]+)\][^ ]* all-gather\(", hlo):
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        elems = int(np.prod(dims)) if dims else 1
+        assert elems <= head_elems, (
+            f"all-gather of {elems} elements (> head size {head_elems}): "
+            "GSPMD is regrouping full activations, not exchanging halos"
+        )
+
+
+def test_spatial_sharding_covers_convnext_family():
+    """--spatial-parallel is family-agnostic: the convnext trunk
+    (LayerNorm, depthwise 7x7, stride-4 ConvTranspose upsample) partitions
+    over the space axis to the same backbone output."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.parallel.mesh import get_mesh_2d, replicated, space_sharded
+
+    model = YOGO.create((64, 64), 0.08, 0.1, num_classes=2,
+                        model_version="convnext_small")
+    v = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (4, 1, 64, 64)).astype(np.uint8)
+
+    def backbone(vv, xx):
+        h = jnp.transpose(xx, (0, 2, 3, 1)).astype(jnp.float32)
+        return model.module().apply(vv, h, train=False)
+
+    ref = np.asarray(jax.jit(backbone)(v, x))
+    mesh = get_mesh_2d(4)
+    out = np.asarray(
+        jax.jit(
+            backbone,
+            in_shardings=(replicated(mesh), space_sharded(mesh)),
+            out_shardings=replicated(mesh),
+        )(v, x)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_fsdp_train_steps_match_replicated():
     """ZeRO-style FSDP: with params/moments sharded over the data axis
     (fsdp_sharding_tree), train-step losses match the replicated run
