@@ -513,6 +513,20 @@ def test_fsdp_train_steps_match_replicated():
         assert x.shape == y.shape
 
 
+def test_trainer_guards_multihost_fsdp_and_spatial(monkeypatch):
+    """fsdp/spatial_parallel are single-process: the Trainer must refuse
+    them loudly under a multi-process runtime, at construction time."""
+    import pytest
+
+    from yogo_tpu.train import Trainer
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="single-process only"):
+        Trainer({"fsdp": True})
+    with pytest.raises(ValueError, match="single-process only"):
+        Trainer({"spatial_parallel": 4})
+
+
 def test_trainer_spatial_parallel_height_validation():
     """Trainer with spatial_parallel rejects a non-divisible image height at
     init (before any data loading)."""

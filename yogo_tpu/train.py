@@ -242,6 +242,15 @@ class Trainer:
                 "spatial_parallel training is single-process only (the "
                 "multi-host batch globalization assumes a 1-D data mesh)"
             )
+        if config.get("fsdp") and jax.process_count() > 1:
+            # host-side device_put of the initial state to a non-replicated
+            # GLOBAL sharding needs per-process assembly this driver does
+            # not do (each process holds the full state; only its own
+            # shards are addressable)
+            raise ValueError(
+                "fsdp training is single-process only: multi-host state "
+                "sharding needs per-process shard assembly"
+            )
         self.mesh = (
             get_mesh_2d(self._spatial) if self._spatial > 1 else get_mesh()
         )
