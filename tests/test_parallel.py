@@ -228,7 +228,6 @@ def test_spatial_sharded_eval_loss_matches_single_device():
     the mesh's space axis (XLA inserting conv halo exchanges) matches the
     single-device loss - validates the halo math end-to-end through
     conv/BN/decode/loss."""
-    import jax.numpy as jnp
 
     from tests.data_fixtures import CLASSES
     from yogo_tpu.models.yogo import YOGO
@@ -319,7 +318,7 @@ def test_spatial_train_steps_match_data_parallel():
         state = TrainState(
             params=v["params"], batch_stats=v.get("batch_stats", {}),
             opt_state=tx.init(v["params"]),
-            step=jax.numpy.asarray(0, jax.numpy.int32),
+            step=jnp.asarray(0, jnp.int32),
         )
         run = []
         for _ in range(4):
@@ -362,7 +361,6 @@ def test_spatial_program_halo_exchanges_not_full_gathers():
     output is at most head-grid-sized (the Sy regroup before decode)."""
     import re
 
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from yogo_tpu.models.yogo import YOGO
@@ -528,8 +526,10 @@ def test_trainer_guards_multihost_fsdp_and_spatial(monkeypatch):
 
 
 def test_trainer_spatial_parallel_height_validation():
-    """Trainer with spatial_parallel rejects a non-divisible image height at
-    init (before any data loading)."""
+    """The validator the Trainer invokes in _init_training_tools (and
+    shard_batch invokes per batch) rejects a non-divisible raw height with
+    an actionable message - so a bad --spatial-parallel surfaces as this
+    error, not a cryptic device_put failure mid-training."""
     import pytest
 
     from yogo_tpu.parallel.mesh import get_mesh_2d, validate_spatial_height

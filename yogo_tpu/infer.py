@@ -122,16 +122,18 @@ def predict(
     reference: yogo/infer.py:214-216) shards each batch over ALL devices
     of this process via a 1-D jax Mesh (parallel/mesh.py), e.g. the 8
     chips of a v5e-8 host, with XLA inserting any collectives; batch_size
-    is rounded up to a multiple of the device count (ragged tails are
-    already padded + masked). Single-process only: multi-host serving
-    would need per-process dataset sharding (raises a clear error).
-    `spatial_parallel` (an extension - no reference analogue) additionally
-    splits each image's ROWS over N devices on a 2-D (data, space) mesh:
-    XLA's SPMD partitioner inserts conv halo exchanges over ICI (GSPMD
-    spatial partitioning, the canonical TPU treatment of images too large
-    for one chip's HBM). Composes with data_parallel: 8 local devices with
-    spatial_parallel=4 serve each batch as 2 data shards x 4 row shards.
-    The image height must divide N (772 allows 2 or 4)."""
+    is rounded up to a multiple of the data-shard count (device count /
+    spatial_parallel; ragged tails are already padded + masked).
+    Single-process only: multi-host serving would need per-process
+    dataset sharding (raises a clear error).
+    `spatial_parallel` (an extension - no reference analogue) splits each
+    image's ROWS over N devices on a 2-D (data, space) mesh: XLA's SPMD
+    partitioner inserts conv halo exchanges over ICI (GSPMD spatial
+    partitioning, the canonical TPU treatment of images too large for one
+    chip's HBM). Alone it uses EXACTLY N devices with no batch sharding
+    or rounding; combined with data_parallel it spans all local devices
+    (8 with spatial_parallel=4 serve each batch as 2 data shards x 4 row
+    shards). N must divide the image height (772 allows 2 or 4)."""
     if save_preds and draw_boxes:
         raise ValueError(
             "cannot save predictions in YOGO format and draw_boxes at the "
@@ -215,7 +217,15 @@ def predict(
                 "shard the image list per process externally"
             )
         candidate = (
-            get_mesh_2d(spatial_parallel) if spatial_parallel > 1 else get_mesh()
+            # spatial-only: exactly N devices, pure row sharding - no
+            # implicit batch sharding/rounding the user didn't ask for;
+            # WITH --data-parallel: all local devices, (n_dev/N) x N
+            get_mesh_2d(
+                spatial_parallel,
+                None if data_parallel else jax.devices()[:spatial_parallel],
+            )
+            if spatial_parallel > 1
+            else get_mesh()
         )
         n_dev = candidate.devices.size
         if n_dev > 1:

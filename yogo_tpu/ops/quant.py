@@ -126,11 +126,13 @@ def _block_inputs_and_output(folded, weights, biases, x: Array):
 def folded_float_forward(folded, x_f32: Array, upto: int | None = None) -> Array:
     """f32 forward through the folded stack (the dequantized reference the
     calibration scales describe). `upto` stops BEFORE block `upto` and
-    returns its input activation."""
-    ws = [jnp.asarray(w) for _, w, _ in folded]
-    bs = [jnp.asarray(b) for _, _, b in folded]
-    ins, out = _block_inputs_and_output(folded, ws, bs, x_f32)
-    return out if upto is None else ins[upto]
+    returns its input activation (this entry point is eager, so only the
+    prefix actually runs)."""
+    subset = folded if upto is None else folded[:upto]
+    ws = [jnp.asarray(w) for _, w, _ in subset]
+    bs = [jnp.asarray(b) for _, _, b in subset]
+    _, out = _block_inputs_and_output(subset, ws, bs, x_f32)
+    return out
 
 
 def calibrate_act_scales(
@@ -236,9 +238,16 @@ def quantize_conv_stack(
             x = x[None]
         return np.transpose(x, (0, 2, 3, 1)).astype(np.float32)
 
-    scales = calibrate_act_scales(
-        folded, (to_nhwc_f32(b) for b in calib_batches), first_quant_block=1
-    )
+    if skip == valid:
+        # no int8 convs exist, so no activation scale is ever consumed:
+        # skip the calibration forward entirely (it would burn a full f32
+        # pass over the calib batches and could spuriously raise on a
+        # zero activation range)
+        scales = np.zeros(len(folded), np.float64)
+    else:
+        scales = calibrate_act_scales(
+            folded, (to_nhwc_f32(b) for b in calib_batches), first_quant_block=1
+        )
 
     spec0, w0, b0 = folded[0]
     qp: Dict[str, Any] = {

@@ -49,6 +49,8 @@ def get_mesh_2d(
             f"spatial axis size {n_space} must divide the device count "
             f"{len(devices)}"
         )
+    if n_space == 1:
+        return get_mesh(devices)
     grid = np.asarray(devices).reshape(len(devices) // n_space, n_space)
     return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
 

@@ -266,7 +266,7 @@ def train_parser(parser=None):
             "split each image's rows over N devices on a 2-D (data, space) "
             "mesh - GSPMD spatial partitioning, XLA inserts the conv halo "
             "exchanges (extension; shrinks per-device activations Nx for "
-            "tall images or large batches; the image height must divide N; "
+            "tall images or large batches; N must divide the image height; "
             "single-process only) (default: 1)"
         ),
     )
@@ -493,7 +493,7 @@ def infer_parser(parser=None):
             "mesh - GSPMD spatial partitioning with XLA-inserted conv halo "
             "exchanges (extension - no reference analogue; for images/crops "
             "too tall for one chip or for lower latency; composes with "
-            "--data-parallel; the image height must divide N) (default: 1)"
+            "--data-parallel; N must divide the image height) (default: 1)"
         ),
     )
     parser.add_argument(
