@@ -287,9 +287,13 @@ def test_predict_quantize_end_to_end(tmp_path):
 
 
 def test_predict_quantize_data_parallel_matches_single_device(tmp_path):
-    """--quantize composes with --data-parallel: the int8 program runs
-    sharded over the 8-virtual-device mesh (quant params replicated) and
-    must reproduce the single-device int8 predictions exactly."""
+    """The PRODUCT surface composes: predict(quantize=True) with
+    data_parallel/spatial_parallel reproduces the single-device
+    predictions. NOTE: the trained golden ckpt is half_filters, where the
+    default cin>=128 rule skips every block - this drives the CLI wiring
+    and the BN-folded bf16 program under sharding; the int8 convs
+    themselves are sharded in
+    test_quantized_forward_int8_sharded_matches_single_device below."""
     from tests.test_golden_detections import gen_test_images
     from yogo_tpu.infer import predict
 
@@ -313,6 +317,84 @@ def test_predict_quantize_data_parallel_matches_single_device(tmp_path):
         predict(CKPT_PATH, spatial_parallel=4, **kw), np.float32
     )
     np.testing.assert_allclose(spatial, single, rtol=1e-4, atol=1e-5)
+
+
+def test_quantized_forward_int8_sharded_matches_single_device():
+    """REAL int8 convs under GSPMD sharding: a base_model (whose blocks
+    4..7 quantize under the default cin>=128 rule) runs data-sharded over
+    8 devices AND row-sharded over a (2, 4) (data, space) mesh - the
+    round/clip/int8-conv/dequant chain must partition (halo exchanges
+    carry int8 operands) and reproduce the single-device output.
+
+    The head conv is scaled down so decode's exp(tw) is well-conditioned
+    on the untrained net (CLAUDE.md: never compare raw decoded w/h of
+    random weights across reduction orders)."""
+    from yogo_tpu.parallel.mesh import (
+        data_sharded,
+        get_mesh,
+        get_mesh_2d,
+        replicated,
+        shard_batch,
+        space_sharded,
+    )
+
+    model = YOGO.create((48, 64), 0.08, 0.1, 2, model_version="base_model")
+    v = model.init(jax.random.key(3))
+    head = f"conv{len(model.defn.blocks) - 1}"
+    v["params"][head] = jax.tree_util.tree_map(
+        lambda p: p * 0.05, v["params"][head]
+    )
+
+    skip = quant.default_skip_blocks(model.defn, model.input_channels)
+    batches = calib_batches(b=8)
+    qp = quant.quantize_conv_stack(model, v, batches, skip_blocks=skip)
+    n_int8 = sum("w8" in b for b in qp["blocks"])
+    assert n_int8 >= 4, "this test must exercise real int8 convs"
+
+    x = np.asarray(batches[0])  # (8, 1, 48, 64) uint8
+
+    def fwd(imgs):
+        return quant.quantized_forward(model, qp, imgs)
+
+    mesh1 = get_mesh(jax.devices()[:1])
+    (x1,) = shard_batch(mesh1, x)
+    single = np.asarray(jax.jit(fwd)(x1), np.float32)
+
+    # data-parallel: batch over all 8 devices, int8 weights replicated
+    mesh = get_mesh()
+    jdp = jax.jit(
+        fwd,
+        in_shardings=(data_sharded(mesh),),
+        out_shardings=replicated(mesh),
+    )
+    (xd,) = shard_batch(mesh, x)
+    np.testing.assert_allclose(
+        np.asarray(jdp(xd), np.float32), single, rtol=1e-5, atol=1e-6
+    )
+
+    # spatial x data: image rows over the space axis - XLA must halo-
+    # exchange the int8 conv operands (int32 accumulation is exact; only
+    # the f32 stem/dequant glue can wiggle with reduction order)
+    mesh2 = get_mesh_2d(4)  # (data=2, space=4)
+    jsp = jax.jit(
+        fwd,
+        in_shardings=(space_sharded(mesh2),),
+        out_shardings=replicated(mesh2),
+    )
+    (xs,) = shard_batch(mesh2, x, spatial_first=True)
+    assert xs.sharding.spec[2] == "space"
+    np.testing.assert_allclose(
+        np.asarray(jsp(xs), np.float32), single, rtol=1e-4, atol=1e-5
+    )
+
+    # the int8 path tracks the folded-float reference it quantizes
+    # (folded_float_forward IS that reference): objectness after sigmoid
+    # within int8 noise
+    folded = quant.fold_conv_stack(model.defn, v)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)).astype(np.float32))
+    ref_logits = np.asarray(quant.folded_float_forward(folded, x_nhwc))
+    obj_ref = 1.0 / (1.0 + np.exp(-ref_logits[..., 4]))  # (B, Sy, Sx)
+    np.testing.assert_allclose(single[:, 4], obj_ref, atol=0.1)
 
 
 def test_predict_quantize_rejects_convnext(tmp_path):

@@ -200,6 +200,7 @@ def predict(
             data_sharded,
             get_mesh,
             get_mesh_2d,
+            n_data,
             replicated,
             shard_batch,
             space_sharded,
@@ -232,11 +233,11 @@ def predict(
             mesh = candidate
             if spatial_parallel > 1:
                 validate_spatial_height(mesh, img_h)
-            n_data = n_dev // max(spatial_parallel, 1)
-            if batch_size % n_data:
+            nd = n_data(mesh)
+            if batch_size % nd:
                 # ragged tails are padded + image-masked anyway, so rounding
                 # the compiled batch shape up only adds masked padding work
-                batch_size = ((batch_size + n_data - 1) // n_data) * n_data
+                batch_size = ((batch_size + nd - 1) // nd) * nd
             variables = jax.device_put(variables, replicated(mesh))
 
     # jitted forward (full batch shape only; last batch is padded)
@@ -254,16 +255,23 @@ def predict(
             )
         if n_images == 0:
             raise ValueError("--quantize needs at least one image to calibrate")
-        # calibrate on the run's own leading images (decoded once more by
-        # the normal loop afterwards - one batch of extra decode work)
-        calib = np.stack(
-            [dataset[i][0] for i in range(min(batch_size, n_images))]
-        )
+        skip = default_skip_blocks(model.defn, model.input_channels)
+        if len(skip) == len(model.defn.blocks) - 1:
+            # every block skipped (narrow arch): quantize_conv_stack never
+            # consumes a calibration batch, so don't decode one (a full
+            # batch of pure startup latency otherwise)
+            calib_batches = []
+        else:
+            # calibrate on the run's own leading images (decoded once more
+            # by the normal loop afterwards - one batch of extra decode
+            # work)
+            calib_batches = [
+                np.stack(
+                    [dataset[i][0] for i in range(min(batch_size, n_images))]
+                )
+            ]
         qp = quantize_conv_stack(
-            model,
-            variables,
-            [calib],
-            skip_blocks=default_skip_blocks(model.defn, model.input_channels),
+            model, variables, calib_batches, skip_blocks=skip
         )
 
         if mesh is not None:

@@ -220,16 +220,6 @@ def quantize_conv_stack(
             f"skip_blocks {sorted(skip - valid)} out of range; this "
             f"{len(folded)}-block model indexes 1..{len(folded) - 1}"
         )
-    if skip == valid:
-        # e.g. half/quarter_filters under the default cin>=128 rule: the
-        # program is the BN-folded bf16 stack with NO int8 convs - valid,
-        # but the caller should know "--quantize" is not serving int8 here
-        warnings.warn(
-            "every block is skipped (all input channels below the int8 "
-            "payoff width): the quantized program contains no int8 convs "
-            "and serves the BN-folded bf16 stack"
-        )
-
     def to_nhwc_f32(xb):
         x = np.asarray(xb)
         if x.ndim == 2:
@@ -239,11 +229,20 @@ def quantize_conv_stack(
         return np.transpose(x, (0, 2, 3, 1)).astype(np.float32)
 
     if skip == valid:
-        # no int8 convs exist, so no activation scale is ever consumed:
-        # skip the calibration forward entirely (it would burn a full f32
-        # pass over the calib batches and could spuriously raise on a
-        # zero activation range)
-        scales = np.zeros(len(folded), np.float64)
+        # e.g. half/quarter_filters under the default cin>=128 rule: the
+        # program is the BN-folded bf16 stack with NO int8 convs - valid,
+        # but the caller should know "--quantize" is not serving int8 here.
+        # No activation scale is ever consumed, so skip the calibration
+        # forward entirely (it would burn a full f32 pass over the calib
+        # batches and could spuriously raise on a zero activation range);
+        # keep the scales layout identical to the calibrated path (one
+        # entry per block 1..N-1, consumed as scales[i-1] for block i)
+        warnings.warn(
+            "every block is skipped (all input channels below the int8 "
+            "payoff width): the quantized program contains no int8 convs "
+            "and serves the BN-folded bf16 stack"
+        )
+        scales = np.zeros(len(folded) - 1, np.float32)
     else:
         scales = calibrate_act_scales(
             folded, (to_nhwc_f32(b) for b in calib_batches), first_quant_block=1

@@ -80,6 +80,12 @@ def n_space(mesh: Mesh) -> int:
     return mesh.shape.get(SPACE_AXIS, 1)
 
 
+def n_data(mesh: Mesh) -> int:
+    """Size of the data axis (the batch-sharding factor): the single
+    helper every caller uses so the axis lookup cannot drift."""
+    return mesh.shape.get(DATA_AXIS, 1)
+
+
 def validate_spatial_height(mesh: Mesh, img_h: int) -> None:
     """device_put rejects unevenly-sharded host arrays, so the INPUT height
     must divide the spatial axis (772 divides 2 and 4; intermediate layers
@@ -108,7 +114,7 @@ def fsdp_sharding_tree(mesh: Mesh, tree: Any, min_size: int = 4096) -> Any:
 
     min_size keeps small leaves (BN vectors, biases) replicated: scattering
     a 128-float vector saves nothing and costs a collective."""
-    n = mesh.shape.get(DATA_AXIS, 1)
+    n = n_data(mesh)
 
     def rule(leaf):
         shape = getattr(leaf, "shape", ())
@@ -180,10 +186,10 @@ def prefetch_to_device(
     import collections
 
     queue = collections.deque()
-    n_data = mesh.shape.get(DATA_AXIS, mesh.size)
+    nd = n_data(mesh)
 
     def put(host_batch):
-        imgs, labels, mask = pad_batch_to_multiple(*host_batch, n_data)
+        imgs, labels, mask = pad_batch_to_multiple(*host_batch, nd)
         queue.append(
             shard_batch(mesh, imgs, labels, mask, spatial_first=spatial_first)
         )

@@ -46,6 +46,7 @@ from yogo_tpu.parallel.mesh import (
     fsdp_sharding_tree,
     get_mesh,
     get_mesh_2d,
+    n_data,
     space_sharded,
     validate_spatial_height,
     local_rows,
@@ -594,13 +595,13 @@ class Trainer:
     def _validate(self) -> None:
         if self.validate_dataloader is None:
             return
-        n_data = self.mesh.shape.get("data", self.mesh.size)
+        nd = n_data(self.mesh)
         total = 0.0
         n_batches = 0
         last_batch = None
         for imgs, labels, mask in self.validate_dataloader:
             imgs, labels, mask = pad_batch_to_multiple(
-                imgs, labels, mask, n_data
+                imgs, labels, mask, nd
             )
             imgs_d, labels_d, mask_d = shard_batch(
                 self.mesh, imgs, labels, mask,
