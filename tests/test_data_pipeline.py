@@ -225,6 +225,24 @@ def test_loader_sharding_covers_all():
     assert len(set(lens)) == 1
 
 
+def test_loader_sharding_smaller_than_world_size():
+    """Pad > dataset size (3 samples over 8 ranks): indices repeat
+    cyclically (DistributedSampler semantics) so EVERY rank still gets the
+    same nonzero step count - unequal counts would deadlock the cross-host
+    collectives inside the jitted step. A single `order[: total - n]`
+    slice under-fills here (ranks 6-7 would see zero batches)."""
+    lens, seen = [], []
+    for rank in range(8):
+        dl = DataLoader(ArrayDataset(3), batch_size=2, shard=(rank, 8))
+        batches = list(dl)
+        lens.append(len(batches))
+        assert len(dl) == len(batches)  # __len__ is arithmetic, must agree
+        for imgs, _, mask in batches:
+            seen.extend(imgs[mask.astype(bool), 0, 0, 0].tolist())
+    assert lens == [1] * 8
+    assert set(seen) == set(range(3))  # every real sample still surfaces
+
+
 def test_choose_num_workers():
     assert choose_dataloader_num_workers(100) == 0
     assert choose_dataloader_num_workers(5000, 4) == 4

@@ -133,6 +133,7 @@ class _Calls:
         self.summary = {}
         self.finished = False
         self.config_updates = []
+        self.init_kwargs = {}
 
 
 @pytest.fixture()
@@ -146,7 +147,7 @@ def fake_wandb(monkeypatch):
             calls.config_updates.append(d)
 
     mod.login = lambda anonymous=None: None
-    mod.init = lambda **kw: _FakeRun()
+    mod.init = lambda **kw: (calls.init_kwargs.update(kw), _FakeRun())[1]
     mod.log = lambda metrics, step=None: calls.logs.append((step, metrics))
     mod.summary = calls.summary
     mod.finish = lambda: setattr(calls, "finished", True)
@@ -187,6 +188,23 @@ def test_runlogger_mirrors_to_wandb(fake_wandb, tmp_path):
     assert calls.finished
     # the jsonl mirror is written regardless
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_runlogger_forwards_wandb_resume_id(fake_wandb):
+    """yogo test --wandb-resume-id must APPEND to the named run, not open
+    a fresh one (reference: yogo/utils/test_model.py:47-52 passes
+    id=..., resume='allow')."""
+    mod, calls = fake_wandb
+    from yogo_tpu.utils.logging import RunLogger
+
+    RunLogger(use_wandb=True, wandb_resume_id="abc123")
+    assert calls.init_kwargs["id"] == "abc123"
+    assert calls.init_kwargs["resume"] == "allow"
+
+    calls.init_kwargs.clear()
+    RunLogger(use_wandb=True)  # no resume: a fresh run, no resume kwarg
+    assert calls.init_kwargs["id"] is None
+    assert calls.init_kwargs["resume"] is None
 
 
 def test_wandb_roc_and_confusion_helpers(fake_wandb):

@@ -320,6 +320,33 @@ def test_get_dataset_rgb_plumb(tmp_path):
     assert arr.shape == (1, 10, 12)
 
 
+def test_center_crop_torchvision_semantics():
+    """center_crop matches torchvision CenterCrop EXACTLY: banker's-round
+    window placement on odd differences (not floor), and symmetric
+    zero-padding when the image is smaller than the target - the jitted
+    forward needs the promised fixed shape either way."""
+    from yogo_tpu.data.image_source import center_crop
+
+    img = np.arange(5 * 7, dtype=np.uint8).reshape(1, 5, 7)
+    # h=5->th=2: diff 3, torchvision top = int(round(1.5)) = 2 (banker's)
+    out = center_crop(img, (2, 7))
+    np.testing.assert_array_equal(out, img[:, 2:4])
+    # even differences: plain center
+    np.testing.assert_array_equal(center_crop(img, (3, 7)), img[:, 1:4])
+    # crop LARGER than the image: zero-pad symmetrically (floor pre-pad,
+    # remainder post-pad, per torchvision's padding_ltrb), full shape out
+    out = center_crop(img, (8, 9))
+    assert out.shape == (1, 8, 9)
+    np.testing.assert_array_equal(out[:, 1:6, 1:8], img)
+    assert out.sum() == img.sum()  # everything else is zero fill
+    # mixed: pad width, crop height
+    out = center_crop(img, (2, 9))
+    assert out.shape == (1, 2, 9)
+    np.testing.assert_array_equal(out[:, :, 1:8], img[:, 2:4])
+    # None passes through untouched
+    assert center_crop(img, None) is img
+
+
 @pytest.mark.parametrize("version", sorted(MODELS))
 def test_onnx_parity_every_architecture(version):
     """Writer + interpreter reproduce the jax forward for EVERY registered

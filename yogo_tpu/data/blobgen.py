@@ -157,6 +157,10 @@ class BlobDataset:
         num_tries: int = 100,
     ) -> Optional[Tuple[int, int, np.ndarray]]:
         bg_h, bg_w = self.background_img_shape
+        # `previous` is invariant across the rejection loop: concatenate
+        # once, not once per try (dense scenes run n x num_tries tries on
+        # the host data hot path)
+        prev = np.concatenate(previous) if previous else None
         for _ in range(num_tries):
             # inclusive upper placement: a h-tall thumbnail fits at any
             # y in [0, bg_h - h] (also keeps h == bg_h from crashing)
@@ -166,9 +170,8 @@ class BlobDataset:
                 [[x / bg_w, y / bg_h, (x + w) / bg_w, (y + h) / bg_h]],
                 np.float32,
             )
-            if not previous:
+            if prev is None:
                 return x, y, box
-            prev = np.concatenate(previous)
             ix1 = np.maximum(box[0, 0], prev[:, 0])
             iy1 = np.maximum(box[0, 1], prev[:, 1])
             ix2 = np.minimum(box[0, 2], prev[:, 2])

@@ -105,14 +105,25 @@ class ZarrDataset:
 def center_crop(
     img_chw: np.ndarray, crop_hw: Optional[Tuple[int, int]]
 ) -> np.ndarray:
-    """torchvision CenterCrop semantics for the --crop-height path
-    (reference: yogo/infer.py:220-226)."""
+    """torchvision CenterCrop semantics, exactly, for the --crop-height
+    path (reference: yogo/infer.py:220-226): zero-pad symmetrically when
+    the image is smaller than the target (so the output shape is always
+    (th, tw) - the jitted forward needs the fixed shape), and place the
+    window at round((h-th)/2) - Python banker's rounding, matching
+    torchvision's int(round(...)) - not floor."""
     if crop_hw is None:
         return img_chw
-    _, h, w = img_chw.shape
     th, tw = crop_hw
-    top = max((h - th) // 2, 0)
-    left = max((w - tw) // 2, 0)
+    _, h, w = img_chw.shape
+    if th > h or tw > w:
+        pt = (th - h) // 2 if th > h else 0
+        pb = (th - h + 1) // 2 if th > h else 0
+        pl = (tw - w) // 2 if tw > w else 0
+        pr = (tw - w + 1) // 2 if tw > w else 0
+        img_chw = np.pad(img_chw, ((0, 0), (pt, pb), (pl, pr)))
+        _, h, w = img_chw.shape
+    top = int(round((h - th) / 2.0))
+    left = int(round((w - tw) / 2.0))
     return img_chw[:, top : top + th, left : left + tw]
 
 

@@ -116,17 +116,25 @@ class DataLoader:
         else:
             order = np.arange(n)
         if self.world_size > 1:
-            # pad so every shard sees the same count (DistributedSampler-like)
+            # pad so every shard sees the same count (DistributedSampler-like,
+            # which also repeats indices). np.resize repeats `order`
+            # cyclically: a single `order[: total - n]` slice under-fills
+            # when the pad exceeds the dataset size (3 samples over 8
+            # processes), leaving ranks with UNEQUAL step counts - a
+            # cross-host collective deadlock
             total = -(-n // self.world_size) * self.world_size
-            order = np.concatenate([order, order[: total - n]])
+            order = np.resize(order, total)
             order = order[self.rank :: self.world_size]
         return order
 
     def __len__(self) -> int:
         # batches are ALWAYS padded to the fixed batch shape (masks mark
         # real rows); a drop-last mode never existed in working form and no
-        # caller asked for one
-        n = len(self._epoch_indices())
+        # caller asked for one. Pure arithmetic - generating an epoch
+        # permutation just to count it would be O(n) RNG work per call
+        n = len(self.dataset)
+        if self.world_size > 1:
+            n = -(-n // self.world_size)
         return -(-n // self.batch_size)
 
     def __iter__(
@@ -257,7 +265,6 @@ def get_dataloader(
     batch_size: int,
     Sx: int,
     Sy: int,
-    training: bool = True,
     image_hw: Tuple[int, int] = (772, 1032),
     rgb: bool = False,
     normalize_images: bool = False,
@@ -265,6 +272,13 @@ def get_dataloader(
     requested_num_workers: Optional[int] = None,
     shard: Optional[Tuple[int, int]] = None,
 ) -> Dict[str, DataLoader]:
+    """Per-split loaders (reference: yogo/data/yogo_dataloader.py:182-241).
+
+    The reference's `training: bool` parameter - which gates whether the
+    loader attaches flip augmentations - has no analogue here: paired
+    flips run jitted INSIDE the train step (data/transforms.py), so the
+    loader only ever yields raw batches and a dead parameter would
+    mislead."""
     split = get_datasets(
         dataset_definition,
         Sx,

@@ -35,6 +35,7 @@ class RunLogger:
         notes: Optional[str] = None,
         tags: Optional[list] = None,
         enabled: bool = True,
+        wandb_resume_id: Optional[str] = None,
     ):
         self.enabled = enabled
         self.log_dir = Path(log_dir) if log_dir else None
@@ -64,6 +65,10 @@ class RunLogger:
                     name=name,
                     notes=notes,
                     tags=tags,
+                    # append to an existing run (yogo test --wandb-resume-id;
+                    # reference: yogo/utils/test_model.py:47-52)
+                    id=wandb_resume_id,
+                    resume="allow" if wandb_resume_id is not None else None,
                 )
                 self.wandb = wandb
                 if run is not None and name is None:

@@ -74,8 +74,11 @@ def test_model(args) -> None:
         use_wandb=log_to_wandb,
         wandb_entity=args.wandb_entity,
         wandb_project=args.wandb_project,
-        tags=args.tags,
+        # the reference appends this tag to every test-time run
+        # (yogo/utils/test_model.py:64)
+        tags=list(args.tags or []) + ["resumed for test"],
         notes=args.note,
+        wandb_resume_id=args.wandb_resume_id,
     )
     if metrics is not None:
         (
