@@ -87,6 +87,25 @@ def test_ciou_gradient_finite_with_mask():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_ciou_degenerate_boxes_finite_documented_divergence():
+    """Boxes degenerate along one axis stay FINITE (value and grad) - the
+    documented divergence from torchvision, which yields pi/2 atan terms
+    (h==0, w>0) or NaN (fully degenerate). Unreachable from the decoded
+    loss path; pinned so the guard is never 'simplified' away."""
+    pred = jnp.array(
+        [[0.2, 0.0, 0.5, 0.0], [1.0, 1.0, 1.0, 1.0], [0.0, 0.0, 0.0, 0.0]]
+    )
+    tgt = jnp.array(
+        [[0.1, 0.1, 0.4, 0.4], [0.1, 0.1, 0.4, 0.4], [0.0, 0.0, 0.0, 0.0]]
+    )
+    loss = np.asarray(complete_box_iou_loss(pred, tgt))
+    assert np.all(np.isfinite(loss))
+    g = np.asarray(
+        jax.grad(lambda p: jnp.sum(complete_box_iou_loss(p, tgt)))(pred)
+    )
+    assert np.all(np.isfinite(g))
+
+
 def test_encode_label_grid_np_matches_reference_semantics():
     Sx, Sy = 8, 6
     labels = np.array(

@@ -134,8 +134,12 @@ def test_roc_shapes_and_extremes():
     )
     _, _, _, (fpr, tpr, thr), *_ = m.compute()
     assert fpr.shape == tpr.shape == (3, 500)
-    # at threshold 0 every sample is predicted positive
-    assert tpr[0, 0] == 1.0
+    # torchmetrics orientation: thresholds DESCEND, curves ascend
+    assert thr[0, 0] == 1.0 and thr[0, -1] == 0.0
+    assert np.all(np.diff(thr[0]) <= 0)
+    assert np.all(np.diff(tpr[0]) >= 0) and np.all(np.diff(fpr[0]) >= 0)
+    # at threshold 0 (now the LAST point) every sample is predicted positive
+    assert tpr[0, -1] == 1.0
 
 
 def test_reset():

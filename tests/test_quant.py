@@ -49,11 +49,11 @@ def test_fold_matches_export_fold():
             "var": jnp.asarray(rng.uniform(0.5, 2, stats[k]["var"].shape), jnp.float32),
         }
     v = {"params": params, "batch_stats": stats}
-    for i, spec in enumerate(model.defn.blocks):
+    for i in range(len(model.defn.blocks)):
         conv = params[f"conv{i}"]
         bn_p, bn_s = params.get(f"bn{i}"), stats.get(f"bn{i}")
-        w_hwio, b_hwio = quant.fold_block_params(spec, conv, bn_p, bn_s)
-        w_oihw, b_oihw = _folded_conv_params(spec, conv, bn_p, bn_s)
+        w_hwio, b_hwio = quant.fold_block_params(conv, bn_p, bn_s)
+        w_oihw, b_oihw = _folded_conv_params(conv, bn_p, bn_s)
         np.testing.assert_allclose(
             np.transpose(w_hwio, (3, 2, 0, 1)), w_oihw, rtol=1e-6, atol=1e-7
         )

@@ -228,7 +228,9 @@ class Metrics:
         (mAP dict, confusion, per-class accuracy, (fpr, tpr, thresholds),
         per-class precision, per-class recall, calibration error,
         missed-by-class, extra-by-class, total true objects)."""
-        mAP = self.mAP.compute() if self.include_mAP else {"map": -1.0}
+        # the reference returns map=0.0 when mAP is disabled
+        # (yogo/metrics.py:167-172), not a -1 sentinel
+        mAP = self.mAP.compute() if self.include_mAP else {"map": 0.0}
 
         diag = np.diag(self.confusion).astype(np.float64)
         row = self.confusion.sum(axis=1).astype(np.float64)
@@ -245,6 +247,12 @@ class Metrics:
         with np.errstate(invalid="ignore", divide="ignore"):
             tpr = np.where(tp + fn > 0, tp / (tp + fn), 0.0)
             fpr = np.where(fp + tn > 0, fp / (fp + tn), 0.0)
+        # torchmetrics' binned MulticlassROC flips its curves so thresholds
+        # DESCEND and fpr/tpr ascend (torchmetrics _binary_roc_compute);
+        # consumers ported from the reference (AUC via trapezoid over fpr,
+        # left-to-right ROC plots) assume that orientation
+        tpr = tpr[..., ::-1]
+        fpr = fpr[..., ::-1]
 
         total = self.ece_counts.sum()
         if total > 0:
@@ -261,7 +269,7 @@ class Metrics:
             mAP,
             self.confusion.copy(),
             accuracy,
-            (fpr, tpr, np.broadcast_to(self.roc_thresholds, tpr.shape)),
+            (fpr, tpr, np.broadcast_to(self.roc_thresholds[::-1], tpr.shape)),
             precision,
             recall,
             ece,

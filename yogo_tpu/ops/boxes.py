@@ -80,6 +80,15 @@ def complete_box_iou_loss(
 
     All divisions are eps-guarded so masked-out (zero) boxes produce finite
     values and zero gradients once multiplied by a mask.
+
+    DOCUMENTED DIVERGENCE on boxes degenerate along one axis (h == 0 or
+    w == 0, unreachable from the decoded-prediction loss path where
+    centers are strictly inside (0, 1)): torchvision evaluates
+    atan(w/0) = pi/2 (and NaN for 0/0), while this guard substitutes
+    h = 1 so the value AND gradient stay finite - e.g. a fully-degenerate
+    [1,1,1,1] pred gives NaN in torchvision but a finite loss here. The
+    guarded form is deliberate: masked label slots are all-zero boxes,
+    and a NaN from them would poison the whole gradient through 0 * NaN.
     """
     iou = elementwise_box_iou(pred, target, eps=eps)
 

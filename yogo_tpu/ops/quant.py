@@ -56,11 +56,11 @@ def _act_fn(name):
 
 
 def fold_block_params(
-    spec: ConvSpec, conv: Dict[str, Any], bn_params, bn_stats, eps: float = 1e-5
+    conv: Dict[str, Any], bn_params, bn_stats, eps: float = 1e-5
 ) -> Tuple[np.ndarray, np.ndarray]:
     """HWIO kernel + optional BN -> HWIO weight and per-channel bias with BN
     folded (the NHWC twin of export_model._folded_conv_params, which emits
-    OIHW for ONNX)."""
+    OIHW for ONNX). The fold depends only on the tensors, not the ConvSpec."""
     w = np.asarray(conv["kernel"], np.float32)
     b = (
         np.asarray(conv["bias"], np.float32)
@@ -92,7 +92,7 @@ def fold_conv_stack(defn, variables) -> List[Tuple[ConvSpec, np.ndarray, np.ndar
         if s.transpose:
             raise NotImplementedError("transpose conv in conv_stack defn")
         w, b = fold_block_params(
-            s, params[f"conv{i}"], params.get(f"bn{i}"), stats.get(f"bn{i}")
+            params[f"conv{i}"], params.get(f"bn{i}"), stats.get(f"bn{i}")
         )
         out.append((s, w, b))
     return out

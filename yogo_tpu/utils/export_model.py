@@ -23,7 +23,6 @@ from typing import Any, Dict, List, Tuple
 import jax
 import numpy as np
 
-from yogo_tpu.models.defns import ConvSpec
 from yogo_tpu.models.yogo import WH_CLAMP, YOGO
 from yogo_tpu.ops.grid import cell_offsets
 from yogo_tpu.utils import onnx_proto as op
@@ -34,13 +33,13 @@ PARITY_ATOL = 1e-5
 
 
 def _folded_conv_params(
-    spec: ConvSpec, conv: Dict[str, Any], bn_params, bn_stats, eps=1e-5
+    conv: Dict[str, Any], bn_params, bn_stats, eps=1e-5
 ) -> Tuple[np.ndarray, np.ndarray]:
     """HWIO kernel + optional BN -> OIHW weight and bias with BN folded
     (one shared fold implementation - ops/quant.py - transposed for ONNX)."""
     from yogo_tpu.ops.quant import fold_block_params
 
-    w, b = fold_block_params(spec, conv, bn_params, bn_stats, eps=eps)
+    w, b = fold_block_params(conv, bn_params, bn_stats, eps=eps)
     return np.transpose(w, (3, 2, 0, 1)), b
 
 
@@ -50,7 +49,7 @@ def _emit_conv_stack(nodes, inits, cur, defn, params, stats) -> str:
         conv = params[f"conv{i}"]
         bn_p = params.get(f"bn{i}")
         bn_s = stats.get(f"bn{i}")
-        w, b = _folded_conv_params(s, conv, bn_p, bn_s)
+        w, b = _folded_conv_params(conv, bn_p, bn_s)
         inits.append(op.tensor_proto(f"w{i}", w))
         inits.append(op.tensor_proto(f"b{i}", b))
         out = f"conv{i}_out"
