@@ -139,7 +139,7 @@ def test_pth_roundtrip(torch, tmp_path):
     assert ref_cfg["class_names"] == ["a", "b", "c", "d"]
 
     # and we can load it back
-    m2, v2, meta = load_pth(pth, inference=True)
+    m2, v2, meta = load_pth(pth)
     assert m2.grid == ours.grid
     assert meta["step"] == 17
 

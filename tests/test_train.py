@@ -520,3 +520,42 @@ def test_trainer_resume_optimizer_wiring(tmp_path):
         for l, a in zip(jax.tree.leaves(t2.state.opt_state),
                         jax.tree.leaves(state.opt_state))
     )
+
+    # a checkpoint WITHOUT saved optimizer state must warn, not silently
+    # start AdamW fresh while logging LR as if the resume were exact
+    p2 = tmp_path / "noopt.ckpt"
+    save_checkpoint(p2, model,
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    classes=CLASSES, step=1)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        t3 = Trainer(dict(base, resume_optimizer=True,
+                          pretrained_path=str(p2),
+                          model_save_dir=str(tmp_path / "r3")))
+        t3.init()
+    assert any("no saved optimizer state" in str(r.message) for r in rec)
+    # and the LR log clock falls back to this run's own step counter
+    assert t3._lr_step_offset == t3.global_step
+
+
+def test_trainer_checkpoint_rank_gated(tmp_path, monkeypatch):
+    """Only process 0 writes checkpoints (reference rank-gates saves in
+    _validate): concurrent multi-host writers would race on the tmp file
+    and could rename a torn checkpoint into place."""
+    model = tiny_model()
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
+    state = make_state(model, tx)
+    t = Trainer.__new__(Trainer)
+    t.model = model
+    t.state = state
+    t.epoch = 0
+    t.global_step = 0
+    t.config = {"class_names": CLASSES, "normalize_images": False}
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    t.checkpoint(tmp_path / "best.ckpt", model_name="x")
+    assert not (tmp_path / "best.ckpt").exists()
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    t.checkpoint(tmp_path / "best.ckpt", model_name="x")
+    assert (tmp_path / "best.ckpt").exists()

@@ -154,7 +154,7 @@ def predict(
             f"filetype; got {output_img_ftype}"
         )
 
-    model, variables, cfg = load_any(path_to_ckpt, inference=True)
+    model, variables, cfg = load_any(path_to_ckpt)
     if half:
         model = model.with_compute_dtype(jnp.bfloat16)
 
@@ -264,12 +264,15 @@ def predict(
         else:
             # calibrate on the run's own leading images (decoded once more
             # by the normal loop afterwards - one batch of extra decode
-            # work)
-            calib_batches = [
-                np.stack(
-                    [dataset[i][0] for i in range(min(batch_size, n_images))]
-                )
-            ]
+            # work), with the same threaded decode the batch loop uses: a
+            # serial 512-image decode is tens of seconds of startup latency
+            idxs = range(min(batch_size, n_images))
+            if num_workers > 0:
+                with ThreadPoolExecutor(max_workers=num_workers) as cp:
+                    items = list(cp.map(dataset.__getitem__, idxs))
+            else:
+                items = [dataset[i] for i in idxs]
+            calib_batches = [np.stack([im for im, _ in items])]
         qp = quantize_conv_stack(
             model, variables, calib_batches, skip_blocks=skip
         )

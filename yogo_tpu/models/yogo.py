@@ -566,10 +566,15 @@ class YOGO:
     def from_pth(cls, pth_path, inference: bool = False):
         """Load a reference-format .pth (or native .ckpt) checkpoint,
         mirroring the reference classmethod (reference: yogo/model.py:94-147).
-        Returns (model_config, variables, meta)."""
+        Returns (model_config, variables, meta).
+
+        `inference` is accepted for signature parity only: the reference
+        bakes inference mode into the constructed module, while here it is
+        a per-apply() argument - pass apply(..., inference=True) instead."""
+        del inference
         from yogo_tpu.utils.checkpoint import load_any
 
-        return load_any(pth_path, inference=inference)
+        return load_any(pth_path)
 
     @classmethod
     def create(

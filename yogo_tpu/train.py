@@ -360,17 +360,26 @@ class Trainer:
         # --resume-optimizer: exact resume restores AdamW moments from the
         # checkpoint (extension: the reference restores neither optimizer
         # nor schedule state, yogo/train.py:136-148 - off by default)
+        restored_opt = False
         if cfg.get("resume_optimizer") and self._pretrained_meta is not None:
-            opt_state = restore_opt_state(self._pretrained_meta, opt_state)
+            if "_opt_state_bytes" in self._pretrained_meta:
+                opt_state = restore_opt_state(self._pretrained_meta, opt_state)
+                restored_opt = True
+            else:
+                # .pth files (and any ckpt saved without opt_state) carry
+                # no optimizer state: say so instead of silently starting
+                # AdamW fresh while the LR log pretends an exact resume
+                warnings.warn(
+                    "--resume-optimizer: the checkpoint has no saved "
+                    "optimizer state (reference .pth files never do) - "
+                    "AdamW starts fresh and the LR schedule/log run on "
+                    "this run's clock"
+                )
         # the optax schedule counts steps from THIS run's optimizer init
         # (tx.init -> count 0) unless --resume-optimizer restored the saved
         # count; the logged "LR" must tick on the same clock, or fine-tune
         # runs log mid-decay values while actually at the cosine start
-        self._lr_step_offset = (
-            0
-            if cfg.get("resume_optimizer") and self._pretrained_meta is not None
-            else self.global_step
-        )
+        self._lr_step_offset = 0 if restored_opt else self.global_step
         self.state = TrainState(
             params=self.variables["params"],
             batch_stats=self.variables.get("batch_stats", {}),
@@ -463,6 +472,11 @@ class Trainer:
 
     # ----------------------------------------------------------- checkpoint
     def checkpoint(self, filename: Path, model_name: str, **kwargs) -> None:
+        if jax.process_index() != 0:
+            # the reference rank-gates saves (yogo/train.py _validate);
+            # replicated state is identical everywhere, and concurrent
+            # writers on a shared filesystem would race on the tmp file
+            return
         save_checkpoint(
             filename,
             self.model,
@@ -491,6 +505,7 @@ class Trainer:
         commit_interval = max(
             1, int(self.config.get("log_commit_interval", 100) or 100)
         )
+        tracing = False
         for epoch in range(self.config["epochs"]):
             self.epoch = epoch
             self.train_dataloader.set_epoch(epoch)
@@ -512,8 +527,10 @@ class Trainer:
                     jax.profiler.start_trace(
                         str(self.model_save_dir / "profile")
                     )
-                if profile_steps and self.global_step == profile_start + profile_steps:
+                    tracing = True
+                if profile_steps and self.global_step >= profile_start + profile_steps:
                     jax.profiler.stop_trace()
+                    tracing = False
                     profile_steps = 0
 
                 batch_imgs = imgs.shape[0]
@@ -533,6 +550,11 @@ class Trainer:
 
             if epoch % 4 == 0:
                 self._validate()
+
+        if tracing:
+            # the profile window reached the end of training before the
+            # in-loop stop step: finalize so the trace is actually flushed
+            jax.profiler.stop_trace()
 
         # reload best checkpoint and evaluate on the test split
         # (reference: yogo/train.py:344-361)

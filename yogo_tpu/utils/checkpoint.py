@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple, Union
 
@@ -77,7 +78,9 @@ def save_checkpoint(
     data = serialization.msgpack_serialize(payload)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_suffix(path.suffix + ".tmp")
+    # pid-unique tmp name: even if two processes ever write the same
+    # checkpoint path, neither renames a torn interleaved file into place
+    tmp = path.with_suffix(path.suffix + f".tmp.{os.getpid()}")
     tmp.write_bytes(data)
     tmp.replace(path)  # atomic: never leave a torn checkpoint
 
@@ -106,21 +109,25 @@ def restore_opt_state(meta: Dict[str, Any], opt_state_template: Any) -> Any:
     )
 
 
-def load_any(path: Union[str, Path], inference: bool = False):
+def load_any(path: Union[str, Path]):
     """Load either a native .ckpt or a reference-format .pth
-    (dispatch on content), returning (model, variables, meta)."""
+    (dispatch on content), returning (model, variables, meta).
+
+    There is no `inference` flag here: the reference bakes inference mode
+    into the loaded module (yogo/model.py:94-147), while this model is a
+    frozen config whose apply(inference=...) decides per call."""
     path = Path(path)
     if path.suffix == CKPT_SUFFIX:
         return load_checkpoint(path)
     if path.suffix == ".pth":
         from yogo_tpu.utils.torch_bridge import load_pth
 
-        return load_pth(path, inference=inference)
+        return load_pth(path)
     # sniff: msgpack checkpoints start with a fixmap/map byte, torch zips "PK"
     with open(path, "rb") as f:
         head = f.read(2)
     if head == b"PK":
         from yogo_tpu.utils.torch_bridge import load_pth
 
-        return load_pth(path, inference=inference)
+        return load_pth(path)
     return load_checkpoint(path)

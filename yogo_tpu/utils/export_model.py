@@ -410,7 +410,7 @@ def export_stablehlo(
 
 def do_export(args) -> None:
     input_path = Path(args.input)
-    model, variables, meta = load_any(input_path, inference=True)
+    model, variables, meta = load_any(input_path)
 
     if args.crop_height is not None:
         img_h = int(round(args.crop_height * model.img_size[0]))

@@ -352,5 +352,7 @@ def parse_model(buf: bytes) -> Dict[str, Any]:
         "initializers": inits,
         "inputs": vi_names(11),
         "outputs": vi_names(12),
-        "graph_name": parse_message(m[7][0]).get(2, [b""])[0].decode(),
+        # reuse the already-parsed graph: re-parsing m[7][0] would copy
+        # every initializer's raw weight bytes a second time
+        "graph_name": g.get(2, [b""])[0].decode(),
     }

@@ -259,14 +259,14 @@ def _append_config_buffers(sd: Dict[str, Any], model: YOGO, t, torch) -> None:
     sd["width_multiplier"] = torch.tensor(model.width_multiplier)
 
 
-def load_pth(
-    pth_path, inference: bool = False
-) -> Tuple[YOGO, Dict[str, Any], Dict[str, Any]]:
+def load_pth(pth_path) -> Tuple[YOGO, Dict[str, Any], Dict[str, Any]]:
     """Load a reference-format .pth checkpoint.
 
     Returns (model_config, variables, meta) where meta mirrors the reference's
     from_pth return dict (reference: yogo/model.py:94-147): step, class_names,
     normalize_images. Permissive of missing newer keys like the reference.
+    (The reference's `inference` construction flag has no analogue: decode
+    mode is a per-apply() argument here, not model state.)
     """
     torch = _require_torch()
     loaded = torch.load(str(Path(pth_path)), map_location="cpu", weights_only=False)
