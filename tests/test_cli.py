@@ -22,11 +22,11 @@ def run_cli(*args, timeout=120):
 def test_global_help():
     r = run_cli("--help")
     assert r.returncode == 0
-    for sub in ("train", "test", "export", "infer"):
+    for sub in ("train", "test", "export", "infer", "serve"):
         assert sub in r.stdout
 
 
-@pytest.mark.parametrize("sub", ["train", "test", "export", "infer"])
+@pytest.mark.parametrize("sub", ["train", "test", "export", "infer", "serve"])
 def test_subcommand_help(sub):
     r = run_cli(sub, "--help")
     assert r.returncode == 0

@@ -1,0 +1,203 @@
+"""`yogo serve` HTTP inference server (yogo_tpu/serve.py - extension, the
+reference ships only batch CLI inference).
+
+Pins: served detections == infer's host-exact formatter on the same image,
+micro-batching coalesces concurrent requests into shared dispatches, error
+paths return structured JSON (bad image, wrong shape, unknown route), and
+per-request threshold overrides work.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.test_golden_detections import gen_test_images
+from yogo_tpu.ops.postprocess import format_preds
+from yogo_tpu.serve import build_server
+from yogo_tpu.utils.checkpoint import load_any
+
+GOLDEN_DIR = Path(__file__).parent / "goldens"
+CKPT_PATH = GOLDEN_DIR / "trained_half_filters.ckpt"
+
+
+def _png_bytes(img_hw_u8: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img_hw_u8).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _post(port: int, body: bytes, path="/predict", timeout=60):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = build_server(CKPT_PATH, port=0, batch_size=4, linger_ms=20.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.yogo_batcher.shutdown()
+    srv.server_close()
+    t.join(timeout=5)
+
+
+def test_healthz_reports_model(server):
+    port = server.server_address[1]
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/healthz", timeout=30
+    ) as r:
+        info = json.loads(r.read())
+    assert info["status"] == "ok"
+    assert info["classes"] == ["cell", "parasite"]
+    assert info["input_hw"] == [int(d) for d in load_any(CKPT_PATH)[0].img_size]
+
+
+def test_served_detections_match_host_formatter(server):
+    """The end gate: a served response == format_preds on the model's own
+    prediction for the same image (bit-exact class/count agreement, boxes
+    to float tolerance)."""
+    import jax.numpy as jnp
+
+    port = server.server_address[1]
+    model, variables, _ = load_any(CKPT_PATH)
+    imgs = gen_test_images(Path("/tmp/serve_goldens"), n=4, seed=5)
+
+    total = 0
+    for img in imgs:
+        status, resp = _post(port, _png_bytes(img))
+        assert status == 200, resp
+        pred = np.asarray(
+            model.apply(variables, jnp.asarray(img[None, None]),
+                        inference=True),
+            np.float32,
+        )[0]
+        rows = format_preds(pred, obj_thresh=0.5, iou_thresh=0.5)
+        dets = resp["detections"]
+        assert len(dets) == len(rows)
+        got_classes = sorted(d["class_idx"] for d in dets)
+        want_classes = sorted(int(np.argmax(r[5:])) for r in rows)
+        assert got_classes == want_classes
+        # counts sum to detections and match the per-class histogram
+        assert sum(resp["counts"].values()) == len(dets)
+        # boxes round-trip through JSON at float precision
+        by_obj = sorted(dets, key=lambda d: -d["objectness"])
+        want_by_obj = rows[np.argsort(-rows[:, 4])]
+        for d, r in zip(by_obj, want_by_obj):
+            np.testing.assert_allclose(
+                d["bbox_cxcywh"], r[:4], rtol=1e-5, atol=1e-6
+            )
+        total += len(dets)
+    assert total >= 5  # the golden generator produces real detections
+
+
+def test_concurrent_requests_share_dispatches(server):
+    """Micro-batching: N concurrent posts produce N correct responses (the
+    batcher pads/unpads correctly under concurrency)."""
+    port = server.server_address[1]
+    imgs = gen_test_images(Path("/tmp/serve_goldens"), n=4, seed=5)
+    bodies = [_png_bytes(im) for im in imgs] * 3  # 12 requests, batch cap 4
+
+    with ThreadPoolExecutor(max_workers=12) as pool:
+        results = list(pool.map(lambda b: _post(port, b), bodies))
+    assert all(status == 200 for status, _ in results)
+    # identical images must produce identical responses regardless of
+    # which micro-batch slot they rode in
+    for i in range(4):
+        a, b, c = results[i][1], results[i + 4][1], results[i + 8][1]
+        assert a == b == c
+
+
+def test_threshold_query_overrides(server):
+    port = server.server_address[1]
+    img = gen_test_images(Path("/tmp/serve_goldens"), n=1, seed=5)[0]
+    _, strict = _post(port, _png_bytes(img), path="/predict?obj_thresh=0.99")
+    _, loose = _post(port, _png_bytes(img), path="/predict?obj_thresh=0.1")
+    assert len(strict["detections"]) <= len(loose["detections"])
+    _, bad = _post(port, _png_bytes(img), path="/predict?obj_thresh=nope")
+    assert "error" in bad
+
+
+def test_error_paths(server):
+    port = server.server_address[1]
+    status, resp = _post(port, b"not an image")
+    assert status == 400 and "decode" in resp["error"]
+    wrong = np.zeros((8, 8), np.uint8)
+    status, resp = _post(port, _png_bytes(wrong))
+    assert status == 400 and "shape" in resp["error"]
+    status, resp = _post(port, _png_bytes(wrong), path="/nonsense")
+    assert status == 404
+    status, resp = _post(port, b"")
+    assert status == 400
+
+
+def test_serve_quantize_all_skipped(tmp_path):
+    """--quantize on the (narrow) golden ckpt serves the bf16-folded stack
+    without needing calibration images; detections still match the float
+    server's."""
+    imgs = gen_test_images(tmp_path / "imgs", n=2, seed=6)
+    srv = build_server(
+        CKPT_PATH, port=0, batch_size=2, quantize=True, linger_ms=1.0
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        status, resp = _post(port, _png_bytes(imgs[0]))
+        assert status == 200
+        assert srv.yogo_info["quantize"] is True
+    finally:
+        srv.shutdown()
+        srv.yogo_batcher.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
+
+
+def test_serve_quantize_wide_model_requires_calibration(tmp_path):
+    """A wide (int8-bearing) arch refuses --quantize without
+    --calibration-images, and serves with them."""
+    import jax
+
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.utils.checkpoint import save_checkpoint
+
+    model = YOGO.create((96, 128), 0.08, 0.1, 2, model_version="base_model")
+    v = model.init(jax.random.key(0))
+    ck = tmp_path / "wide.ckpt"
+    save_checkpoint(ck, model, v, {}, classes=["a", "b"])
+
+    with pytest.raises(ValueError, match="calibration-images"):
+        build_server(ck, port=0, batch_size=2, quantize=True)
+
+    gen_test_images(tmp_path / "calib", n=2, seed=7)
+    srv = build_server(
+        ck, port=0, batch_size=2, quantize=True,
+        calibration_images=tmp_path / "calib", linger_ms=1.0,
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        img = gen_test_images(tmp_path / "calib", n=1, seed=7)[0]
+        status, resp = _post(port, _png_bytes(img))
+        assert status == 200 and "detections" in resp
+    finally:
+        srv.shutdown()
+        srv.yogo_batcher.shutdown()
+        srv.server_close()
+        t.join(timeout=5)

@@ -1,4 +1,4 @@
-"""CLI dispatcher: `yogo {train,test,export,infer}`
+"""CLI dispatcher: `yogo {train,test,export,infer,serve}`
 (reference: yogo/__main__.py:7-44 - no mp start-method needed: JAX is
 single-controller; subcommand modules import lazily)."""
 
@@ -49,6 +49,10 @@ def main() -> None:
         from yogo_tpu.infer import do_infer
 
         do_infer(args)
+    elif args.task == "serve":
+        from yogo_tpu.serve import do_serve
+
+        do_serve(args)
     else:
         p.print_help()
 

@@ -1,0 +1,351 @@
+"""`yogo serve`: a production inference server (extension - the reference
+ships only batch CLI inference, yogo/infer.py).
+
+Design, TPU-first:
+
+  - ONE jitted fixed-shape forward (bf16 or int8 via ops/quant.py) compiled
+    at startup and kept warm: requests never pay compile time, and the
+    fixed batch shape means XLA's program cache is never invalidated.
+  - MICRO-BATCHING: concurrent requests are coalesced by a single batcher
+    thread into one device dispatch (pad + mask, same fixed-shape contract
+    as infer.py) - the standard way to reach device throughput when
+    requests arrive one image at a time. `linger_ms` bounds added latency.
+  - stdlib only (http.server + threading): no framework dependency to pin.
+
+Protocol (JSON over HTTP):
+  GET  /healthz           -> {"status": "ok", "model": ..., "classes": [...]}
+  POST /predict           -> body = image bytes (PNG/JPEG/TIFF...; decoded
+                             exactly like the batch pipeline, data/utils.py
+                             read_image); optional query params obj_thresh,
+                             iou_thresh, min_class_confidence_threshold.
+                             Response: {"detections": [{"class_idx", "class",
+                             "objectness", "class_confidence", "bbox_cxcywh",
+                             "bbox_xyxy"}...], "counts": {name: n}}
+
+Detections come from the host-exact formatter (ops/postprocess.format_preds,
+reference semantics: yogo/utils/prediction_formatting.py:23-93), so a served
+response matches `yogo infer --save-preds` on the same image bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yogo_tpu.ops.postprocess import format_preds
+from yogo_tpu.utils.checkpoint import load_any
+
+
+class _Batcher:
+    """Coalesce single-image requests into fixed-shape device dispatches.
+
+    Handler threads submit() an image and block on a Future; one worker
+    thread drains the queue every `linger_s` (or immediately once a full
+    batch is waiting), pads to the compiled batch size, runs the jitted
+    forward, and distributes per-image predictions. Padding rows are
+    discarded - identical masking contract to infer.predict's ragged tail.
+    """
+
+    def __init__(self, fwd, batch_size: int, img_chw: Tuple[int, int, int],
+                 linger_s: float = 0.005):
+        self._fwd = fwd
+        self.batch_size = int(batch_size)
+        self.img_chw = tuple(img_chw)
+        self.linger_s = float(linger_s)
+        self._lock = threading.Lock()
+        self._nonempty = threading.Condition(self._lock)
+        self._queue: List[Tuple[np.ndarray, Future]] = []
+        self._stop = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, img: np.ndarray) -> Future:
+        if img.shape != self.img_chw:
+            raise ValueError(
+                f"image shape {img.shape} != model input {self.img_chw}"
+            )
+        fut: Future = Future()
+        with self._nonempty:
+            if self._stop:
+                raise RuntimeError("batcher is shut down")
+            self._queue.append((img, fut))
+            self._nonempty.notify()
+        return fut
+
+    def shutdown(self) -> None:
+        with self._nonempty:
+            self._stop = True
+            self._nonempty.notify()
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------- worker
+    def _run(self) -> None:
+        while True:
+            with self._nonempty:
+                while not self._queue and not self._stop:
+                    self._nonempty.wait()
+                if self._stop and not self._queue:
+                    return
+                if len(self._queue) < self.batch_size and not self._stop:
+                    # linger briefly so concurrent requests share a dispatch;
+                    # re-check under the lock after the nap
+                    self._nonempty.wait(self.linger_s)
+                take = self._queue[: self.batch_size]
+                del self._queue[: len(take)]
+            imgs = np.zeros((self.batch_size, *self.img_chw), np.uint8)
+            for i, (im, _) in enumerate(take):
+                imgs[i] = im
+            try:
+                preds = np.asarray(self._fwd(jnp.asarray(imgs)), np.float32)
+                for i, (_, fut) in enumerate(take):
+                    fut.set_result(preds[i])
+            except Exception as e:  # surface device errors to every waiter
+                for _, fut in take:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
+def build_server(
+    ckpt_path,
+    *,
+    host: str = "127.0.0.1",
+    port: int = 8765,
+    batch_size: int = 8,
+    obj_thresh: float = 0.5,
+    iou_thresh: float = 0.5,
+    min_class_confidence_threshold: float = 0.0,
+    class_names: Optional[List[str]] = None,
+    vertical_crop_height: Optional[float] = None,
+    half: bool = False,
+    quantize: bool = False,
+    calibration_images: Optional[Path] = None,
+    linger_ms: float = 5.0,
+) -> ThreadingHTTPServer:
+    """Load the model, compile the fixed-shape forward, and return a ready
+    (not yet serving) ThreadingHTTPServer. Callers run serve_forever();
+    tests drive it from a thread and shutdown() it."""
+    model, variables, cfg = load_any(ckpt_path)
+    if half:
+        model = model.with_compute_dtype(jnp.bfloat16)
+
+    img_h, img_w = (int(d) for d in model.img_size)
+    crop_hw = None
+    if vertical_crop_height:
+        crop_px = int(round(vertical_crop_height * img_h))
+        crop_hw = (crop_px, img_w)
+        model = model.resize(crop_px)
+        img_h = crop_px
+
+    num_classes = model.num_classes
+    if class_names is None and isinstance(cfg, dict):
+        names = cfg.get("class_names") or cfg.get("classes")
+        if names is not None and len(names) == num_classes:
+            class_names = list(names)
+    if class_names is None:
+        class_names = [str(i) for i in range(num_classes)]
+    if len(class_names) != num_classes:
+        raise ValueError(
+            f"expected {num_classes} class names, got {len(class_names)}"
+        )
+
+    rgb = bool(model.input_channels == 3)
+    img_chw = (model.input_channels, img_h, img_w)
+
+    if quantize:
+        from yogo_tpu.ops.quant import (
+            default_skip_blocks,
+            quantize_conv_stack,
+            quantized_forward,
+        )
+
+        if model.defn.family != "conv_stack":
+            raise ValueError(
+                "--quantize supports conv-stack models only "
+                f"(got {model.defn.family})"
+            )
+        skip = default_skip_blocks(model.defn, model.input_channels)
+        if len(skip) == len(model.defn.blocks) - 1:
+            calib = []  # no int8 convs -> no scales consumed (ops/quant.py)
+        else:
+            if calibration_images is None:
+                raise ValueError(
+                    "--quantize on a server needs --calibration-images DIR "
+                    "(representative images to calibrate activation scales "
+                    "on; the batch CLI calibrates on the run's own inputs)"
+                )
+            from yogo_tpu.data.image_source import get_dataset
+
+            ds = get_dataset(
+                path_to_images=calibration_images, crop_hw=crop_hw, rgb=rgb
+            )
+            n = min(len(ds), max(batch_size, 8))
+            if n == 0:
+                raise ValueError("--calibration-images directory is empty")
+            calib = [np.stack([ds[i][0] for i in range(n)])]
+        qp = quantize_conv_stack(model, variables, calib, skip_blocks=skip)
+
+        def _fwd(imgs):
+            return quantized_forward(model, qp, imgs)
+
+    else:
+
+        def _fwd(imgs):
+            return model.apply(variables, imgs, inference=True)
+
+    jfwd = jax.jit(_fwd)
+    # compile + warm NOW: the first request must not pay tracing/compile
+    jfwd(jnp.zeros((batch_size, *img_chw), jnp.uint8)).block_until_ready()
+
+    batcher = _Batcher(jfwd, batch_size, img_chw, linger_s=linger_ms / 1e3)
+    defaults = {
+        "obj_thresh": obj_thresh,
+        "iou_thresh": iou_thresh,
+        "min_class_confidence_threshold": min_class_confidence_threshold,
+    }
+    info = {
+        "status": "ok",
+        "model": getattr(model.defn, "name", "yogo"),
+        "classes": class_names,
+        "input_hw": [img_h, img_w],
+        "rgb": rgb,
+        "batch_size": batch_size,
+        "quantize": bool(quantize),
+        "defaults": defaults,
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; tests and production logs don't want per-request
+        # stderr lines from the stdlib handler
+        def log_message(self, fmt, *args):  # noqa: N802 (stdlib name)
+            pass
+
+        def _json(self, code: int, payload: Dict[str, Any]) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib name)
+            path = urlparse(self.path).path
+            if path in ("/", "/healthz"):
+                self._json(200, info)
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):  # noqa: N802 (stdlib name)
+            url = urlparse(self.path)
+            if url.path != "/predict":
+                self._json(404, {"error": f"unknown path {url.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0:
+                    self._json(400, {"error": "empty body; POST image bytes"})
+                    return
+                raw = self.rfile.read(length)
+                img = _decode_image_bytes(raw, rgb=rgb, crop_hw=crop_hw)
+            except Exception as e:
+                self._json(400, {"error": f"could not decode image: {e}"})
+                return
+            if img.shape != img_chw:
+                self._json(400, {
+                    "error": (
+                        f"image shape {list(img.shape)} != model input "
+                        f"{list(img_chw)} (CHW); resize/crop client-side or "
+                        "start the server with --crop-height"
+                    )
+                })
+                return
+
+            q = {k: v[-1] for k, v in parse_qs(url.query).items()}
+            try:
+                thr = {
+                    k: float(q.get(k, defaults[k])) for k in defaults
+                }
+            except ValueError as e:
+                self._json(400, {"error": f"bad query parameter: {e}"})
+                return
+
+            try:
+                pred = batcher.submit(img).result(timeout=60)
+            except Exception as e:
+                self._json(503, {"error": f"inference failed: {e}"})
+                return
+
+            rows = format_preds(pred, box_format="cxcywh", **thr)
+            xyxy = format_preds(pred, box_format="xyxy", **thr)
+            dets = []
+            counts = {name: 0 for name in class_names}
+            for r, rx in zip(rows, xyxy):
+                ci = int(np.argmax(r[5:]))
+                counts[class_names[ci]] += 1
+                dets.append({
+                    "class_idx": ci,
+                    "class": class_names[ci],
+                    "objectness": float(r[4]),
+                    "class_confidence": float(r[5 + ci]),
+                    "bbox_cxcywh": [float(v) for v in r[:4]],
+                    "bbox_xyxy": [float(v) for v in rx[:4]],
+                })
+            self._json(200, {"detections": dets, "counts": counts})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.yogo_batcher = batcher  # for orderly shutdown
+    server.yogo_info = info
+    return server
+
+
+def _decode_image_bytes(
+    raw: bytes, *, rgb: bool, crop_hw: Optional[Tuple[int, int]]
+) -> np.ndarray:
+    """Bytes -> (C, H, W) uint8, exactly like the batch pipeline's
+    read_image (data/utils.py:23-35) + center_crop."""
+    from PIL import Image
+
+    from yogo_tpu.data.image_source import center_crop
+
+    with Image.open(io.BytesIO(raw)) as im:
+        im = im.convert("RGB" if rgb else "L")
+        arr = np.asarray(im, np.uint8)
+    arr = arr[None] if arr.ndim == 2 else arr.transpose(2, 0, 1)
+    return center_crop(arr, crop_hw)
+
+
+def do_serve(args) -> None:
+    server = build_server(
+        args.ckpt_path,
+        host=args.host,
+        port=args.port,
+        batch_size=args.batch_size,
+        obj_thresh=args.obj_thresh,
+        iou_thresh=args.iou_thresh,
+        min_class_confidence_threshold=args.min_class_confidence_threshold,
+        class_names=args.class_names,
+        vertical_crop_height=args.crop_height,
+        half=args.half,
+        quantize=args.quantize,
+        calibration_images=args.calibration_images,
+        linger_ms=args.linger_ms,
+    )
+    host, port = server.server_address[:2]
+    print(f"serving on http://{host}:{port} "
+          f"(POST /predict, GET /healthz; ctrl-c to stop)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.yogo_batcher.shutdown()
+        server.server_close()

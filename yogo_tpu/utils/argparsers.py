@@ -106,6 +106,13 @@ def global_parser():
             "infer", help="infer images using a model", allow_abbrev=False
         )
     )
+    serve_parser(
+        parser=subparsers.add_parser(
+            "serve",
+            help="serve a model over HTTP (extension)",
+            allow_abbrev=False,
+        )
+    )
     return parser
 
 
@@ -499,5 +506,89 @@ def infer_parser(parser=None):
     parser.add_argument(
         "--use-tqdm", action=boolean_action, default=True,
         help="use tqdm progress bar",
+    )
+    return parser
+
+
+def serve_parser(parser=None):
+    """`yogo serve` (extension - the reference has no serving daemon):
+    an HTTP inference server with micro-batching over one warm jitted
+    fixed-shape program (yogo_tpu/serve.py)."""
+    if parser is None:
+        parser = argparse.ArgumentParser(
+            description="serve a model over HTTP", allow_abbrev=False
+        )
+    parser.add_argument("ckpt_path", type=Path,
+                        help="path to checkpoint (.ckpt or .pth) defining the model")
+    parser.add_argument(
+        "--host", type=str, default="127.0.0.1",
+        help="bind address (default: 127.0.0.1; 0.0.0.0 for external)",
+    )
+    parser.add_argument(
+        "--port", type=uint, default=8765,
+        help="bind port; 0 picks a free port (default: 8765)",
+    )
+    parser.add_argument(
+        "--batch-size", type=positive_int, default=8,
+        help=(
+            "micro-batch capacity: concurrent requests coalesce into one "
+            "device dispatch of this fixed shape (default: 8)"
+        ),
+    )
+    parser.add_argument(
+        "--linger-ms", type=unsigned_float, default=5.0,
+        help=(
+            "max time a request waits for batch-mates before dispatching "
+            "(latency/throughput knob) (default: 5.0)"
+        ),
+    )
+    parser.add_argument(
+        "--device", type=str,
+        help="JAX platform override (e.g. 'cpu', 'tpu')",
+    )
+    parser.add_argument(
+        "--half", default=False, action=boolean_action,
+        help="bfloat16 inference",
+    )
+    parser.add_argument(
+        "--quantize", default=False, action=boolean_action,
+        help=(
+            "int8 serving (extension; conv-stack models only) - needs "
+            "--calibration-images unless every block is below the int8 "
+            "payoff width"
+        ),
+    )
+    parser.add_argument(
+        "--calibration-images", type=Path, default=None,
+        help=(
+            "directory of representative images to calibrate int8 "
+            "activation scales on (required with --quantize on wide models)"
+        ),
+    )
+    parser.add_argument(
+        "--crop-height", type=unitary_float,
+        help=(
+            "crop incoming images vertically - '--crop-height 0.25' crops "
+            "to (round(0.25 * height), width) and resizes the model grid"
+        ),
+    )
+    parser.add_argument(
+        "--class-names", type=str, nargs="*", default=None,
+        help="list of class names - will default to the checkpoint's",
+    )
+    parser.add_argument(
+        "--obj-thresh", type=unsigned_float, default=0.5,
+        help="default objectness threshold (per-request override via "
+             "?obj_thresh=) (default: 0.5)",
+    )
+    parser.add_argument(
+        "--iou-thresh", type=unsigned_float, default=0.5,
+        help="default NMS IoU threshold (per-request override via "
+             "?iou_thresh=) (default: 0.5)",
+    )
+    parser.add_argument(
+        "--min-class-confidence-threshold", type=unitary_float, default=0.0,
+        help="default minimum class confidence (per-request override) "
+             "(default: 0.0)",
     )
     return parser
