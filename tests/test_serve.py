@@ -129,8 +129,13 @@ def test_threshold_query_overrides(server):
     _, strict = _post(port, _png_bytes(img), path="/predict?obj_thresh=0.99")
     _, loose = _post(port, _png_bytes(img), path="/predict?obj_thresh=0.1")
     assert len(strict["detections"]) <= len(loose["detections"])
-    _, bad = _post(port, _png_bytes(img), path="/predict?obj_thresh=nope")
-    assert "error" in bad
+    # unparseable, out-of-range, and NaN thresholds are all 400s - a
+    # negative obj_thresh would feed EVERY grid cell into the O(N^2) host
+    # NMS (one-request CPU exhaustion), NaN silently returns nothing
+    for bad_q in ("obj_thresh=nope", "obj_thresh=-1", "obj_thresh=nan",
+                  "iou_thresh=2"):
+        status, bad = _post(port, _png_bytes(img), path=f"/predict?{bad_q}")
+        assert status == 400 and "error" in bad, bad_q
 
 
 def test_error_paths(server):
@@ -144,6 +149,81 @@ def test_error_paths(server):
     assert status == 404
     status, resp = _post(port, b"")
     assert status == 400
+
+
+def test_missing_content_length_is_411(server):
+    """Chunked transfer-encoding is unsupported by stdlib http.server; the
+    server must say so (411) instead of misreporting an empty body."""
+    import socket
+
+    port = server.server_address[1]
+    with socket.create_connection(("127.0.0.1", port), timeout=30) as s:
+        s.sendall(
+            b"POST /predict HTTP/1.1\r\nHost: t\r\n"
+            b"Transfer-Encoding: chunked\r\nConnection: close\r\n\r\n"
+        )
+        head = s.recv(65536).split(b"\r\n", 1)[0]
+    assert b"411" in head
+
+
+def test_serve_rejects_duplicate_class_names():
+    with pytest.raises(ValueError, match="unique"):
+        build_server(CKPT_PATH, port=0, class_names=["cell", "cell"])
+
+
+def test_serve_normalized_checkpoint_parity(tmp_path):
+    """A normalize_images=True checkpoint must be served with the same
+    /255 scaling the batch pipeline applies in its dataset - serving raw
+    uint8 to such a model returns garbage with HTTP 200."""
+    import jax
+    import jax.numpy as jnp
+
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.utils.checkpoint import save_checkpoint
+
+    model = YOGO.create(
+        (48, 64), 0.08, 0.1, 2, model_version="quarter_filters",
+        normalize_images=True,
+    )
+    v = model.init(jax.random.key(4))
+    ck = tmp_path / "norm.ckpt"
+    save_checkpoint(ck, model, v, {}, classes=["a", "b"])
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    want_pred = np.asarray(
+        model.apply(
+            v, jnp.asarray(img[None, None], jnp.float32) / 255.0,
+            inference=True,
+        ),
+        np.float32,
+    )[0]
+    want = format_preds(want_pred, obj_thresh=0.4, iou_thresh=0.5)
+
+    srv = build_server(ck, port=0, batch_size=2, linger_ms=1.0)
+    assert srv.yogo_info["normalize_images"] is True
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        status, resp = _post(
+            port, _png_bytes(img), path="/predict?obj_thresh=0.4"
+        )
+        assert status == 200
+        dets = resp["detections"]
+        assert len(dets) == len(want)
+        got = sorted(
+            (d["class_idx"], round(d["objectness"], 4)) for d in dets
+        )
+        exp = sorted(
+            (int(np.argmax(r[5:])), round(float(r[4]), 4)) for r in want
+        )
+        assert got == exp
+    finally:
+        srv.shutdown()
+        srv.yogo_batcher.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
 
 
 def test_serve_quantize_all_skipped(tmp_path):

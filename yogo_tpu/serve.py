@@ -31,7 +31,9 @@ from __future__ import annotations
 
 import io
 import json
+import math
 import threading
+import time
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -42,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yogo_tpu.ops.postprocess import format_preds
+from yogo_tpu.ops.postprocess import _cxcywh_to_xyxy_np, format_preds
 from yogo_tpu.utils.checkpoint import load_any
 
 
@@ -96,10 +98,16 @@ class _Batcher:
                     self._nonempty.wait()
                 if self._stop and not self._queue:
                     return
-                if len(self._queue) < self.batch_size and not self._stop:
-                    # linger briefly so concurrent requests share a dispatch;
-                    # re-check under the lock after the nap
-                    self._nonempty.wait(self.linger_s)
+                # linger so concurrent requests share a dispatch: every
+                # submit() notifies, so loop on a monotonic deadline (a
+                # single wait() would wake on the FIRST new arrival and
+                # dispatch 2-image batches under streaming load)
+                deadline = time.monotonic() + self.linger_s
+                while len(self._queue) < self.batch_size and not self._stop:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._nonempty.wait(remaining)
                 take = self._queue[: self.batch_size]
                 del self._queue[: len(take)]
             imgs = np.zeros((self.batch_size, *self.img_chw), np.uint8)
@@ -157,9 +165,21 @@ def build_server(
         raise ValueError(
             f"expected {num_classes} class names, got {len(class_names)}"
         )
+    if len(set(class_names)) != num_classes:
+        # duplicate names would merge per-class counts into one JSON key
+        # and silently drop a class from every response
+        raise ValueError(f"class names must be unique, got {class_names}")
 
     rgb = bool(model.input_channels == 3)
     img_chw = (model.input_channels, img_h, img_w)
+    # the batch pipeline normalizes in the DATASET for normalize_images
+    # checkpoints (infer.py:189 -> ImagePathDataset divides by 255);
+    # requests arrive as raw bytes here, so scale inside the jitted
+    # forward instead (same math, f32, and uint8 stays the wire format)
+    normalize = bool(model.normalize_images)
+
+    def _scale(imgs):
+        return imgs.astype(jnp.float32) / 255.0 if normalize else imgs
 
     if quantize:
         from yogo_tpu.ops.quant import (
@@ -186,7 +206,10 @@ def build_server(
             from yogo_tpu.data.image_source import get_dataset
 
             ds = get_dataset(
-                path_to_images=calibration_images, crop_hw=crop_hw, rgb=rgb
+                path_to_images=calibration_images,
+                crop_hw=crop_hw,
+                rgb=rgb,
+                normalize_images=normalize,
             )
             n = min(len(ds), max(batch_size, 8))
             if n == 0:
@@ -195,12 +218,12 @@ def build_server(
         qp = quantize_conv_stack(model, variables, calib, skip_blocks=skip)
 
         def _fwd(imgs):
-            return quantized_forward(model, qp, imgs)
+            return quantized_forward(model, qp, _scale(imgs))
 
     else:
 
         def _fwd(imgs):
-            return model.apply(variables, imgs, inference=True)
+            return model.apply(variables, _scale(imgs), inference=True)
 
     jfwd = jax.jit(_fwd)
     # compile + warm NOW: the first request must not pay tracing/compile
@@ -218,6 +241,7 @@ def build_server(
         "classes": class_names,
         "input_hw": [img_h, img_w],
         "rgb": rgb,
+        "normalize_images": normalize,
         "batch_size": batch_size,
         "quantize": bool(quantize),
         "defaults": defaults,
@@ -249,11 +273,24 @@ def build_server(
             if url.path != "/predict":
                 self._json(404, {"error": f"unknown path {url.path}"})
                 return
+            cl = self.headers.get("Content-Length")
+            if cl is None:
+                # stdlib http.server does not decode chunked bodies; be
+                # explicit rather than misreporting it as an empty body
+                self._json(411, {
+                    "error": "Content-Length required (chunked "
+                             "transfer-encoding is not supported)"
+                })
+                return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                if length <= 0:
-                    self._json(400, {"error": "empty body; POST image bytes"})
-                    return
+                length = int(cl)
+            except ValueError:
+                self._json(400, {"error": f"bad Content-Length: {cl!r}"})
+                return
+            if length <= 0:
+                self._json(400, {"error": "empty body; POST image bytes"})
+                return
+            try:
                 raw = self.rfile.read(length)
                 img = _decode_image_bytes(raw, rgb=rgb, crop_hw=crop_hw)
             except Exception as e:
@@ -271,9 +308,13 @@ def build_server(
 
             q = {k: v[-1] for k, v in parse_qs(url.query).items()}
             try:
-                thr = {
-                    k: float(q.get(k, defaults[k])) for k in defaults
-                }
+                thr = {k: float(q.get(k, defaults[k])) for k in defaults}
+                # same bounds the CLI validators enforce: a negative or
+                # NaN obj_thresh would feed EVERY grid cell into the
+                # O(N^2) host NMS - a one-request CPU-exhaustion hole
+                for k, v in thr.items():
+                    if not math.isfinite(v) or not (0.0 <= v <= 1.0):
+                        raise ValueError(f"{k}={v} outside [0, 1]")
             except ValueError as e:
                 self._json(400, {"error": f"bad query parameter: {e}"})
                 return
@@ -285,10 +326,16 @@ def build_server(
                 return
 
             rows = format_preds(pred, box_format="cxcywh", **thr)
-            xyxy = format_preds(pred, box_format="xyxy", **thr)
+            # derive xyxy from the single formatter pass: a second
+            # format_preds call would redo the filter + host NMS
+            xyxy = (
+                _cxcywh_to_xyxy_np(rows[:, :4])
+                if len(rows)
+                else np.zeros((0, 4), np.float32)
+            )
             dets = []
             counts = {name: 0 for name in class_names}
-            for r, rx in zip(rows, xyxy):
+            for r, bx in zip(rows, xyxy):
                 ci = int(np.argmax(r[5:]))
                 counts[class_names[ci]] += 1
                 dets.append({
@@ -297,7 +344,7 @@ def build_server(
                     "objectness": float(r[4]),
                     "class_confidence": float(r[5 + ci]),
                     "bbox_cxcywh": [float(v) for v in r[:4]],
-                    "bbox_xyxy": [float(v) for v in rx[:4]],
+                    "bbox_xyxy": [float(v) for v in bx],
                 })
             self._json(200, {"detections": dets, "counts": counts})
 
@@ -310,17 +357,13 @@ def build_server(
 def _decode_image_bytes(
     raw: bytes, *, rgb: bool, crop_hw: Optional[Tuple[int, int]]
 ) -> np.ndarray:
-    """Bytes -> (C, H, W) uint8, exactly like the batch pipeline's
-    read_image (data/utils.py:23-35) + center_crop."""
-    from PIL import Image
-
+    """Bytes -> (C, H, W) uint8 through the batch pipeline's OWN decoder
+    (read_image accepts any PIL-openable source, so byte-for-byte parity
+    with `yogo infer` holds by construction, not by re-implementation)."""
     from yogo_tpu.data.image_source import center_crop
+    from yogo_tpu.data.utils import read_image
 
-    with Image.open(io.BytesIO(raw)) as im:
-        im = im.convert("RGB" if rgb else "L")
-        arr = np.asarray(im, np.uint8)
-    arr = arr[None] if arr.ndim == 2 else arr.transpose(2, 0, 1)
-    return center_crop(arr, crop_hw)
+    return center_crop(read_image(io.BytesIO(raw), rgb=rgb), crop_hw)
 
 
 def do_serve(args) -> None:
