@@ -108,7 +108,8 @@ def test_served_detections_match_host_formatter(server):
 
 def test_concurrent_requests_share_dispatches(server):
     """Micro-batching: N concurrent posts produce N correct responses (the
-    batcher pads/unpads correctly under concurrency)."""
+    batcher pads/unpads correctly under concurrency), and /metrics shows
+    the dispatches actually coalesced (occupancy > 1)."""
     port = server.server_address[1]
     imgs = gen_test_images(Path("/tmp/serve_goldens"), n=4, seed=5)
     bodies = [_png_bytes(im) for im in imgs] * 3  # 12 requests, batch cap 4
@@ -121,6 +122,16 @@ def test_concurrent_requests_share_dispatches(server):
     for i in range(4):
         a, b, c = results[i][1], results[i + 4][1], results[i + 8][1]
         assert a == b == c
+
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/metrics", timeout=30
+    ) as r:
+        stats = json.loads(r.read())
+    assert stats["images"] >= 12 and stats["batches"] >= 1
+    # 12 concurrent requests into a cap-4 batcher with a 20 ms linger must
+    # coalesce: strictly fewer dispatches than images
+    assert stats["batches"] < stats["images"]
+    assert stats["mean_batch_occupancy"] > 1.0
 
 
 def test_threshold_query_overrides(server):

@@ -68,8 +68,27 @@ class _Batcher:
         self._nonempty = threading.Condition(self._lock)
         self._queue: List[Tuple[np.ndarray, Future]] = []
         self._stop = False
+        # observability counters (read under the same lock via stats())
+        self._n_images = 0
+        self._n_batches = 0
+        self._dispatch_s = 0.0
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            n_img, n_b = self._n_images, self._n_batches
+            disp = self._dispatch_s
+            depth = len(self._queue)
+        return {
+            "images": n_img,
+            "batches": n_b,
+            # micro-batching health: 1.0 = every dispatch rode alone,
+            # batch_size = perfectly coalesced
+            "mean_batch_occupancy": (n_img / n_b) if n_b else 0.0,
+            "mean_dispatch_ms": (1e3 * disp / n_b) if n_b else 0.0,
+            "queue_depth": depth,
+        }
 
     def submit(self, img: np.ndarray) -> Future:
         if img.shape != self.img_chw:
@@ -113,6 +132,7 @@ class _Batcher:
             imgs = np.zeros((self.batch_size, *self.img_chw), np.uint8)
             for i, (im, _) in enumerate(take):
                 imgs[i] = im
+            t0 = time.monotonic()
             try:
                 preds = np.asarray(self._fwd(jnp.asarray(imgs)), np.float32)
                 for i, (_, fut) in enumerate(take):
@@ -121,6 +141,10 @@ class _Batcher:
                 for _, fut in take:
                     if not fut.done():
                         fut.set_exception(e)
+            with self._lock:
+                self._n_images += len(take)
+                self._n_batches += 1
+                self._dispatch_s += time.monotonic() - t0
 
 
 def build_server(
@@ -265,6 +289,8 @@ def build_server(
             path = urlparse(self.path).path
             if path in ("/", "/healthz"):
                 self._json(200, info)
+            elif path == "/metrics":
+                self._json(200, batcher.stats())
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 
