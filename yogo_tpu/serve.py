@@ -250,8 +250,12 @@ def build_server(
             return model.apply(variables, _scale(imgs), inference=True)
 
     jfwd = jax.jit(_fwd)
-    # compile + warm NOW: the first request must not pay tracing/compile
-    jfwd(jnp.zeros((batch_size, *img_chw), jnp.uint8)).block_until_ready()
+    # compile + warm NOW: the first request must not pay tracing/compile.
+    # FETCH the result rather than block_until_ready - on remote backends
+    # (the axon tunnel) block_until_ready can return before the program
+    # actually loaded+ran on the worker, leaving the first request to pay
+    # ~27 s of one-time load (measured; same gotcha as bench timing)
+    np.asarray(jfwd(jnp.zeros((batch_size, *img_chw), jnp.uint8)))
 
     batcher = _Batcher(jfwd, batch_size, img_chw, linger_s=linger_ms / 1e3)
     defaults = {
