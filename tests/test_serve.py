@@ -237,6 +237,39 @@ def test_serve_normalized_checkpoint_parity(tmp_path):
         t.join(timeout=5)
 
 
+def test_serve_data_parallel_matches_single_device(server):
+    """--data-parallel serving shards micro-batches over the 8-virtual-
+    device mesh and must reproduce the single-device server's responses."""
+    srv = build_server(
+        CKPT_PATH, port=0, batch_size=3,  # rounds up to 8 on the mesh
+        linger_ms=1.0, data_parallel=True,
+    )
+    assert srv.yogo_info["data_parallel_devices"] == 8
+    assert srv.yogo_info["batch_size"] == 8
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port_dp = srv.server_address[1]
+        port_1 = server.server_address[1]
+        imgs = gen_test_images(Path("/tmp/serve_goldens"), n=3, seed=5)
+        for img in imgs:
+            s1, single = _post(port_1, _png_bytes(img))
+            s2, multi = _post(port_dp, _png_bytes(img))
+            assert s1 == s2 == 200
+            assert len(single["detections"]) == len(multi["detections"])
+            assert single["counts"] == multi["counts"]
+            for a, b in zip(single["detections"], multi["detections"]):
+                assert a["class_idx"] == b["class_idx"]
+                np.testing.assert_allclose(
+                    a["bbox_cxcywh"], b["bbox_cxcywh"], rtol=1e-5, atol=1e-6
+                )
+    finally:
+        srv.shutdown()
+        srv.yogo_batcher.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
+
+
 def test_serve_quantize_all_skipped(tmp_path):
     """--quantize on the (narrow) golden ckpt serves the bf16-folded stack
     without needing calibration images; detections still match the float

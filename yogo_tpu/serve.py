@@ -162,6 +162,7 @@ def build_server(
     quantize: bool = False,
     calibration_images: Optional[Path] = None,
     linger_ms: float = 5.0,
+    data_parallel: bool = False,
 ) -> ThreadingHTTPServer:
     """Load the model, compile the fixed-shape forward, and return a ready
     (not yet serving) ThreadingHTTPServer. Callers run serve_forever();
@@ -249,7 +250,35 @@ def build_server(
         def _fwd(imgs):
             return model.apply(variables, _scale(imgs), inference=True)
 
-    jfwd = jax.jit(_fwd)
+    if data_parallel and jax.process_count() > 1:
+        raise ValueError(
+            "data_parallel serving is single-process only (same contract "
+            "as yogo infer --data-parallel)"
+        )
+    if data_parallel and len(jax.devices()) > 1:
+        # shard each micro-batch over all local devices, weights replicated
+        # (the same 1-D data mesh yogo infer --data-parallel uses)
+        from yogo_tpu.parallel.mesh import (
+            data_sharded,
+            get_mesh,
+            n_data,
+            replicated,
+        )
+
+        mesh = get_mesh()
+        nd = n_data(mesh)
+        if batch_size % nd:
+            batch_size = ((batch_size + nd - 1) // nd) * nd
+        variables = jax.device_put(variables, replicated(mesh))
+        if quantize:
+            qp = jax.device_put(qp, replicated(mesh))
+        jfwd = jax.jit(
+            _fwd,
+            in_shardings=(data_sharded(mesh),),
+            out_shardings=replicated(mesh),
+        )
+    else:
+        jfwd = jax.jit(_fwd)
     # compile + warm NOW: the first request must not pay tracing/compile.
     # FETCH the result rather than block_until_ready - on remote backends
     # (the axon tunnel) block_until_ready can return before the program
@@ -272,6 +301,11 @@ def build_server(
         "normalize_images": normalize,
         "batch_size": batch_size,
         "quantize": bool(quantize),
+        "data_parallel_devices": (
+            len(jax.devices())
+            if data_parallel and len(jax.devices()) > 1
+            else 1
+        ),
         "defaults": defaults,
     }
 
@@ -411,6 +445,7 @@ def do_serve(args) -> None:
         quantize=args.quantize,
         calibration_images=args.calibration_images,
         linger_ms=args.linger_ms,
+        data_parallel=args.data_parallel,
     )
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port} "

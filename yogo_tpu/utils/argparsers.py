@@ -591,4 +591,12 @@ def serve_parser(parser=None):
         help="default minimum class confidence (per-request override) "
              "(default: 0.0)",
     )
+    parser.add_argument(
+        "--data-parallel", action="store_true",
+        help=(
+            "shard each micro-batch over all local devices (same 1-D data "
+            "mesh as yogo infer --data-parallel; batch size rounds up to a "
+            "device multiple; single-process only)"
+        ),
+    )
     return parser
