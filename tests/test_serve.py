@@ -270,6 +270,41 @@ def test_serve_data_parallel_matches_single_device(server):
         t.join(timeout=5)
 
 
+def test_serve_spatial_parallel_matches_single_device(server):
+    """--spatial-parallel serving row-shards each request's image over the
+    space axis (XLA halo exchanges) and must reproduce the single-device
+    server's responses; spatial-only uses exactly N devices."""
+    srv = build_server(
+        CKPT_PATH, port=0, batch_size=2, linger_ms=1.0, spatial_parallel=4,
+    )
+    assert srv.yogo_info["spatial_parallel"] == 4
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port_sp = srv.server_address[1]
+        port_1 = server.server_address[1]
+        imgs = gen_test_images(Path("/tmp/serve_goldens"), n=2, seed=5)
+        for img in imgs:
+            s1, single = _post(port_1, _png_bytes(img))
+            s2, spatial = _post(port_sp, _png_bytes(img))
+            assert s1 == s2 == 200
+            assert single["counts"] == spatial["counts"]
+            for a, b in zip(single["detections"], spatial["detections"]):
+                assert a["class_idx"] == b["class_idx"]
+                np.testing.assert_allclose(
+                    a["bbox_cxcywh"], b["bbox_cxcywh"], rtol=1e-4, atol=1e-5
+                )
+    finally:
+        srv.shutdown()
+        srv.yogo_batcher.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
+
+    # a non-divisible height is rejected at startup, not per-request
+    with pytest.raises(ValueError, match="divisible"):
+        build_server(CKPT_PATH, port=0, spatial_parallel=5)
+
+
 def test_serve_quantize_all_skipped(tmp_path):
     """--quantize on the (narrow) golden ckpt serves the bf16-folded stack
     without needing calibration images; detections still match the float

@@ -163,6 +163,7 @@ def build_server(
     calibration_images: Optional[Path] = None,
     linger_ms: float = 5.0,
     data_parallel: bool = False,
+    spatial_parallel: int = 1,
 ) -> ThreadingHTTPServer:
     """Load the model, compile the fixed-shape forward, and return a ready
     (not yet serving) ThreadingHTTPServer. Callers run serve_forever();
@@ -250,32 +251,47 @@ def build_server(
         def _fwd(imgs):
             return model.apply(variables, _scale(imgs), inference=True)
 
-    if data_parallel and jax.process_count() > 1:
+    if (data_parallel or spatial_parallel > 1) and jax.process_count() > 1:
         raise ValueError(
-            "data_parallel serving is single-process only (same contract "
-            "as yogo infer --data-parallel)"
+            "data_parallel/spatial_parallel serving is single-process only "
+            "(same contract as yogo infer)"
         )
-    if data_parallel and len(jax.devices()) > 1:
-        # shard each micro-batch over all local devices, weights replicated
-        # (the same 1-D data mesh yogo infer --data-parallel uses)
+    if spatial_parallel > 1 or (data_parallel and len(jax.devices()) > 1):
+        # same mesh selection as infer.predict: spatial-only uses exactly
+        # N devices (row sharding cuts single-request LATENCY - the axis
+        # that matters when micro-batches are small); with data_parallel
+        # it spans all local devices as (n_dev/N) data x N space
         from yogo_tpu.parallel.mesh import (
             data_sharded,
             get_mesh,
+            get_mesh_2d,
             n_data,
             replicated,
+            space_sharded,
+            validate_spatial_height,
         )
 
-        mesh = get_mesh()
+        mesh = (
+            get_mesh_2d(
+                spatial_parallel,
+                None if data_parallel else jax.devices()[:spatial_parallel],
+            )
+            if spatial_parallel > 1
+            else get_mesh()
+        )
+        if spatial_parallel > 1:
+            validate_spatial_height(mesh, img_h)
         nd = n_data(mesh)
         if batch_size % nd:
             batch_size = ((batch_size + nd - 1) // nd) * nd
         variables = jax.device_put(variables, replicated(mesh))
         if quantize:
             qp = jax.device_put(qp, replicated(mesh))
+        in_shard = (
+            space_sharded(mesh) if spatial_parallel > 1 else data_sharded(mesh)
+        )
         jfwd = jax.jit(
-            _fwd,
-            in_shardings=(data_sharded(mesh),),
-            out_shardings=replicated(mesh),
+            _fwd, in_shardings=(in_shard,), out_shardings=replicated(mesh)
         )
     else:
         jfwd = jax.jit(_fwd)
@@ -306,6 +322,7 @@ def build_server(
             if data_parallel and len(jax.devices()) > 1
             else 1
         ),
+        "spatial_parallel": int(spatial_parallel),
         "defaults": defaults,
     }
 
@@ -446,6 +463,7 @@ def do_serve(args) -> None:
         calibration_images=args.calibration_images,
         linger_ms=args.linger_ms,
         data_parallel=args.data_parallel,
+        spatial_parallel=args.spatial_parallel,
     )
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port} "

@@ -599,4 +599,14 @@ def serve_parser(parser=None):
             "device multiple; single-process only)"
         ),
     )
+    parser.add_argument(
+        "--spatial-parallel", type=positive_int, default=1,
+        help=(
+            "split each image's rows over N devices (GSPMD spatial "
+            "partitioning, same as yogo infer --spatial-parallel) - the "
+            "LATENCY axis for serving: cuts per-request compute ~Nx when "
+            "micro-batches are small; N must divide the image height; "
+            "composes with --data-parallel (default: 1)"
+        ),
+    )
     return parser
