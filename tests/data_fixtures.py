@@ -66,3 +66,33 @@ def write_defn(path: Path, dataset_pairs=None, test_pairs=None, defn_paths=None,
     with open(path, "w") as f:
         yaml.safe_dump(data, f)
     return path
+
+
+def torch_ciou_oracle(b1, b2, eps=1e-7):
+    """Independent torch reimplementation of the published torchvision CIoU
+    formula - the single shared oracle for tests/test_boxes.py and
+    tests/test_loss.py (duplicated copies could drift apart silently).
+    Callers have already import-gated torch."""
+    import torch
+
+    x1, y1, x2, y2 = b1.unbind(-1)
+    x1g, y1g, x2g, y2g = b2.unbind(-1)
+    a1 = (x2 - x1) * (y2 - y1)
+    a2 = (x2g - x1g) * (y2g - y1g)
+    lt = torch.max(b1[..., :2], b2[..., :2])
+    rb = torch.min(b1[..., 2:], b2[..., 2:])
+    wh = (rb - lt).clamp(min=0)
+    inter = wh[..., 0] * wh[..., 1]
+    iou = inter / (a1 + a2 - inter + eps)
+    xc1 = torch.min(x1, x1g)
+    yc1 = torch.min(y1, y1g)
+    xc2 = torch.max(x2, x2g)
+    yc2 = torch.max(y2, y2g)
+    diag = (xc2 - xc1) ** 2 + (yc2 - yc1) ** 2 + eps
+    center = ((x1 + x2 - x1g - x2g) ** 2 + (y1 + y2 - y1g - y2g) ** 2) / 4
+    v = (4 / torch.pi**2) * (
+        torch.atan((x2g - x1g) / (y2g - y1g))
+        - torch.atan((x2 - x1) / (y2 - y1))
+    ) ** 2
+    alpha = (v / (1 - iou + v + eps)).detach()
+    return 1 - iou + center / diag + alpha * v

@@ -6,6 +6,11 @@ import sys
 
 import pytest
 
+# NOTE: this env var alone does NOT force CPU once a backend initializes
+# (the axon sitecustomize overrides it with jax.config.update - CLAUDE.md);
+# it is sufficient here ONLY because every run_cli call exits inside
+# argparse before backend init. A future smoke test that actually runs a
+# subcommand must pass `--device cpu` (which calls jax.config.update).
 ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
 
 

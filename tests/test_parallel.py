@@ -382,16 +382,29 @@ def test_spatial_program_halo_exchanges_not_full_gathers():
         "no halo exchanges in the spatial program"
     )
     # a full-activation regroup would gather ~1.5M elements (8x16x96x128);
-    # the legitimate gathers (head grid pieces) are ~7k
+    # the legitimate gathers (head grid pieces) are ~7k. Scan EVERY
+    # all-gather line and cap every result shape on it - including
+    # variadic/tuple results `(f32[..], f32[..]) all-gather(` and async
+    # `all-gather-start` forms a future XLA could lower to; a
+    # single-tensor-only regex would silently skip those
     Sx, Sy = model.grid
     head_elems = 8 * (5 + model.num_classes) * Sy * Sx
-    for m in re.finditer(r"= \w+\[([\d,]+)\][^ ]* all-gather\(", hlo):
-        dims = [int(d) for d in m.group(1).split(",") if d]
-        elems = int(np.prod(dims)) if dims else 1
-        assert elems <= head_elems, (
-            f"all-gather of {elems} elements (> head size {head_elems}): "
-            "GSPMD is regrouping full activations, not exchanging halos"
-        )
+    ag_lines = [ln for ln in hlo.splitlines() if "all-gather" in ln
+                and "all-gather-done" not in ln]
+    checked = 0
+    for ln in ag_lines:
+        for shape in re.finditer(r"\w+\[([\d,]*)\]", ln.split("all-gather")[0]):
+            dims = [int(d) for d in shape.group(1).split(",") if d]
+            elems = int(np.prod(dims)) if dims else 1
+            checked += 1
+            assert elems <= head_elems, (
+                f"all-gather of {elems} elements (> head size "
+                f"{head_elems}): GSPMD is regrouping full activations, "
+                f"not exchanging halos\n{ln}"
+            )
+    # the pin must actually be exercising shapes: if XLA ever renames the
+    # op entirely, fail loudly rather than pass on zero matches
+    assert checked > 0 or not ag_lines
 
 
 def test_spatial_sharding_covers_convnext_family():

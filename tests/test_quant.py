@@ -141,7 +141,7 @@ def test_quantized_forward_shape_layout_determinism():
     assert np.all((o[:, 4] >= 0) & (o[:, 4] <= 1))
 
 
-def test_trained_model_detection_parity():
+def test_trained_model_detection_parity(tmp_path):
     """End gate: int8 detections == float detections on the trained
     checkpoint at production thresholds (obj 0.5, iou 0.5) - same boxes
     (IoU > 0.8), same classes, same per-class counts."""
@@ -151,7 +151,7 @@ def test_trained_model_detection_parity():
     from yogo_tpu.utils.checkpoint import load_any
 
     model, variables, _ = load_any(CKPT_PATH)
-    imgs = gen_test_images(Path("/tmp/quant_goldens"), n=16, seed=2)
+    imgs = gen_test_images(tmp_path / "quant_goldens", n=16, seed=2)
     x = np.stack(imgs)[:, None]  # (B, 1, H, W) uint8
 
     # calibrate on the FIRST HALF, evaluate on all (held-out generalization)
@@ -173,9 +173,15 @@ def test_trained_model_detection_parity():
         iou = np.asarray(
             box_iou(jnp.asarray(dq)[:, :4], jnp.asarray(df)[:, :4])
         )
-        # greedy one-to-one: every float det must have an int8 twin
+        # greedy one-to-one: every float det must have its OWN int8 twin.
+        # Marking used rows matters: without it, one int8 box halfway
+        # between two float boxes could absorb both matches while a
+        # hallucinated extra int8 detection goes uninspected
+        used = set()
         for j in range(len(df)):
-            i = int(np.argmax(iou[:, j]))
+            order = np.argsort(-iou[:, j])
+            i = next(int(i) for i in order if int(i) not in used)
+            used.add(i)
             assert iou[i, j] > 0.8
             assert int(np.argmax(dq[i, 5:])) == int(np.argmax(df[j, 5:]))
             assert abs(float(dq[i, 4]) - float(df[j, 4])) < 0.1

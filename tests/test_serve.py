@@ -10,6 +10,7 @@ per-request threshold overrides work.
 import io
 import json
 import threading
+import urllib.error
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -46,6 +47,13 @@ def _post(port: int, body: bytes, path="/predict", timeout=60):
 
 
 @pytest.fixture(scope="module")
+def goldens_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve_goldens")
+    gen_test_images(d, n=4, seed=5)
+    return d
+
+
+@pytest.fixture(scope="module")
 def server():
     srv = build_server(CKPT_PATH, port=0, batch_size=4, linger_ms=20.0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -68,7 +76,7 @@ def test_healthz_reports_model(server):
     assert info["input_hw"] == [int(d) for d in load_any(CKPT_PATH)[0].img_size]
 
 
-def test_served_detections_match_host_formatter(server):
+def test_served_detections_match_host_formatter(server, goldens_dir):
     """The end gate: a served response == format_preds on the model's own
     prediction for the same image (bit-exact class/count agreement, boxes
     to float tolerance)."""
@@ -76,7 +84,7 @@ def test_served_detections_match_host_formatter(server):
 
     port = server.server_address[1]
     model, variables, _ = load_any(CKPT_PATH)
-    imgs = gen_test_images(Path("/tmp/serve_goldens"), n=4, seed=5)
+    imgs = gen_test_images(goldens_dir, n=4, seed=5)
 
     total = 0
     for img in imgs:
@@ -97,7 +105,7 @@ def test_served_detections_match_host_formatter(server):
         assert sum(resp["counts"].values()) == len(dets)
         # boxes round-trip through JSON at float precision
         by_obj = sorted(dets, key=lambda d: -d["objectness"])
-        want_by_obj = rows[np.argsort(-rows[:, 4])]
+        want_by_obj = rows[np.argsort(-rows[:, 4], kind="stable")]
         for d, r in zip(by_obj, want_by_obj):
             np.testing.assert_allclose(
                 d["bbox_cxcywh"], r[:4], rtol=1e-5, atol=1e-6
@@ -106,12 +114,12 @@ def test_served_detections_match_host_formatter(server):
     assert total >= 5  # the golden generator produces real detections
 
 
-def test_concurrent_requests_share_dispatches(server):
+def test_concurrent_requests_share_dispatches(server, goldens_dir):
     """Micro-batching: N concurrent posts produce N correct responses (the
     batcher pads/unpads correctly under concurrency), and /metrics shows
     the dispatches actually coalesced (occupancy > 1)."""
     port = server.server_address[1]
-    imgs = gen_test_images(Path("/tmp/serve_goldens"), n=4, seed=5)
+    imgs = gen_test_images(goldens_dir, n=4, seed=5)
     bodies = [_png_bytes(im) for im in imgs] * 3  # 12 requests, batch cap 4
 
     with ThreadPoolExecutor(max_workers=12) as pool:
@@ -134,9 +142,9 @@ def test_concurrent_requests_share_dispatches(server):
     assert stats["mean_batch_occupancy"] > 1.0
 
 
-def test_threshold_query_overrides(server):
+def test_threshold_query_overrides(server, goldens_dir):
     port = server.server_address[1]
-    img = gen_test_images(Path("/tmp/serve_goldens"), n=1, seed=5)[0]
+    img = gen_test_images(goldens_dir, n=1, seed=5)[0]
     _, strict = _post(port, _png_bytes(img), path="/predict?obj_thresh=0.99")
     _, loose = _post(port, _png_bytes(img), path="/predict?obj_thresh=0.1")
     assert len(strict["detections"]) <= len(loose["detections"])
@@ -237,7 +245,7 @@ def test_serve_normalized_checkpoint_parity(tmp_path):
         t.join(timeout=5)
 
 
-def test_serve_data_parallel_matches_single_device(server):
+def test_serve_data_parallel_matches_single_device(server, goldens_dir):
     """--data-parallel serving shards micro-batches over the 8-virtual-
     device mesh and must reproduce the single-device server's responses."""
     srv = build_server(
@@ -251,7 +259,7 @@ def test_serve_data_parallel_matches_single_device(server):
     try:
         port_dp = srv.server_address[1]
         port_1 = server.server_address[1]
-        imgs = gen_test_images(Path("/tmp/serve_goldens"), n=3, seed=5)
+        imgs = gen_test_images(goldens_dir, n=3, seed=5)
         for img in imgs:
             s1, single = _post(port_1, _png_bytes(img))
             s2, multi = _post(port_dp, _png_bytes(img))
@@ -270,7 +278,7 @@ def test_serve_data_parallel_matches_single_device(server):
         t.join(timeout=5)
 
 
-def test_serve_spatial_parallel_matches_single_device(server):
+def test_serve_spatial_parallel_matches_single_device(server, goldens_dir):
     """--spatial-parallel serving row-shards each request's image over the
     space axis (XLA halo exchanges) and must reproduce the single-device
     server's responses; spatial-only uses exactly N devices."""
@@ -283,7 +291,7 @@ def test_serve_spatial_parallel_matches_single_device(server):
     try:
         port_sp = srv.server_address[1]
         port_1 = server.server_address[1]
-        imgs = gen_test_images(Path("/tmp/serve_goldens"), n=2, seed=5)
+        imgs = gen_test_images(goldens_dir, n=2, seed=5)
         for img in imgs:
             s1, single = _post(port_1, _png_bytes(img))
             s2, spatial = _post(port_sp, _png_bytes(img))
@@ -305,10 +313,11 @@ def test_serve_spatial_parallel_matches_single_device(server):
         build_server(CKPT_PATH, port=0, spatial_parallel=5)
 
 
-def test_serve_quantize_all_skipped(tmp_path):
+def test_serve_quantize_all_skipped(tmp_path, server):
     """--quantize on the (narrow) golden ckpt serves the bf16-folded stack
-    without needing calibration images; detections still match the float
-    server's."""
+    without needing calibration images; detections must MATCH the float
+    server's (the stack is BN-folded bf16 - only fold/cast noise allowed),
+    not merely return 200."""
     imgs = gen_test_images(tmp_path / "imgs", n=2, seed=6)
     srv = build_server(
         CKPT_PATH, port=0, batch_size=2, quantize=True, linger_ms=1.0
@@ -316,10 +325,24 @@ def test_serve_quantize_all_skipped(tmp_path):
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:
-        port = srv.server_address[1]
-        status, resp = _post(port, _png_bytes(imgs[0]))
-        assert status == 200
+        port_q = srv.server_address[1]
+        port_f = server.server_address[1]
         assert srv.yogo_info["quantize"] is True
+        n_dets = 0
+        for img in imgs:
+            sq, q = _post(port_q, _png_bytes(img))
+            sf, f = _post(port_f, _png_bytes(img))
+            assert sq == sf == 200
+            assert q["counts"] == f["counts"]
+            assert len(q["detections"]) == len(f["detections"])
+            for a, b in zip(q["detections"], f["detections"]):
+                assert a["class_idx"] == b["class_idx"]
+                assert abs(a["objectness"] - b["objectness"]) < 0.05
+                np.testing.assert_allclose(
+                    a["bbox_cxcywh"], b["bbox_cxcywh"], rtol=1e-2, atol=1e-3
+                )
+            n_dets += len(f["detections"])
+        assert n_dets > 0
     finally:
         srv.shutdown()
         srv.yogo_batcher.shutdown()
