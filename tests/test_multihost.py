@@ -163,3 +163,247 @@ def test_multi_process_training_matches_single_process(tmp_path, nproc):
         assert np.asarray(a).shape == np.asarray(b).shape
     out = m2.apply(v2, jnp.asarray(imgs), inference=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("mode", ["fsdp", "spatial"])
+def test_multi_process_fsdp_and_spatial(tmp_path, mode):
+    """REAL multi-host FSDP / spatial-parallel training: 2 processes x 2
+    virtual CPU devices. fsdp shards params+moments ACROSS the two processes
+    (the worker asserts a leaf is genuinely non-addressable) and exercises
+    the cross-host checkpoint all-gather; spatial runs a (data=2, space=2)
+    global mesh with one data row per process. Losses must match across
+    processes and match a single-process run of the same global batch to
+    reduction-order noise."""
+    import time
+
+    port = _free_port()
+    ckpt = tmp_path / "mhm.ckpt"
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable,
+                 str(REPO / "tests" / "multihost_modes_worker.py"),
+                 str(pid), str(port), mode, str(ckpt)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+        time.sleep(1)
+    rows = {}
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"multihost {mode} workers timed out")
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        for line in out.splitlines():
+            if line.startswith("MHM "):
+                _, pid_s, m, l0, l1 = line.split()
+                assert m == mode
+                rows[int(pid_s)] = (float(l0), float(l1))
+    assert set(rows) == {0, 1}, rows
+    np.testing.assert_allclose(rows[0], rows[1], rtol=1e-6)
+
+    # single-process run of the same global batch (replicated for fsdp -
+    # the sharding must not change the math; a local (2,2) mesh for spatial)
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.parallel.mesh import (
+        data_sharded,
+        get_mesh,
+        get_mesh_2d,
+        replicated,
+        shard_batch,
+        space_sharded,
+    )
+    from yogo_tpu.train import TrainState, make_optimizer, make_train_step
+
+    model = YOGO.create((48, 64), 0.08, 0.1, num_classes=3,
+                        model_version="quarter_filters")
+    variables = model.init(jax.random.key(0))
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    mesh = (
+        get_mesh_2d(2, jax.devices()[:4])
+        if mode == "spatial"
+        else get_mesh(jax.devices()[:4])
+    )
+    rep, dat, msk = replicated(mesh), data_sharded(mesh), data_sharded(mesh, 1)
+    img_shd = space_sharded(mesh) if mode == "spatial" else dat
+    step = make_train_step(
+        model, tx,
+        dict(no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+             label_smoothing=0.01),
+    )
+    jstep = jax.jit(step, in_shardings=(rep, img_shd, dat, msk, rep),
+                    out_shardings=(rep, rep, rep))
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 255, (4, 1, 48, 64)).astype(np.uint8)
+    labels = np.zeros((4, 6, model.grid[1], model.grid[0]), np.float32)
+    labels[:, :, 2, 3] = np.array([1, 0.4, 0.4, 0.6, 0.6, 1.0])
+    mask = np.ones(4, np.float32)
+    imgs_d, labels_d, mask_d = shard_batch(
+        mesh, imgs, labels, mask, spatial_first=(mode == "spatial")
+    )
+    single = []
+    for _ in range(2):
+        state, loss, _ = jstep(state, imgs_d, labels_d, mask_d,
+                               jax.random.key(1))
+        single.append(float(loss))
+    np.testing.assert_allclose(rows[0], single, rtol=2e-4)
+
+    if mode == "fsdp":
+        # the cross-host-gathered checkpoint round-trips with full shapes
+        from yogo_tpu.utils.checkpoint import load_checkpoint
+
+        m2, v2, meta = load_checkpoint(ckpt)
+        assert meta["step"] == 2
+        for a, b in zip(jax.tree.leaves(v2["params"]),
+                        jax.tree.leaves(state.params)):
+            assert np.asarray(a).shape == np.asarray(b).shape
+
+
+def test_multi_process_inference_matches_single_process(tmp_path, capsys):
+    """REAL multi-host data-parallel inference: 2 processes x 2 virtual CPU
+    devices run `predict(data_parallel=True)` over a shared image dir. Each
+    process decodes its contiguous chunk (3 + 2 of 5 images; process 1 runs
+    a fully-masked zero round for collective alignment), the fused count
+    reduces across hosts, and per-image txt artifacts are written by the
+    owning process. Global counts and the merged artifacts must equal a
+    single-process run."""
+    import time
+
+    from PIL import Image
+
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.utils.checkpoint import save_checkpoint
+
+    hw = (48, 64)
+    classes = ["healthy", "ring", "misc"]
+    model = YOGO.create(hw, 0.15, 0.2, len(classes),
+                        model_version="quarter_filters")
+    variables = model.init(jax.random.key(0))
+    ckpt = tmp_path / "model.ckpt"
+    save_checkpoint(ckpt, model, variables, classes=classes, model_name="m")
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        arr = np.full(hw, 220, np.uint8)
+        arr[10:20, 20:32] = 40
+        arr += rng.integers(0, 10, hw).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im{i}.png")
+
+    # a second, base_model checkpoint for the int8 leg: its cin>=128 blocks
+    # actually quantize, so the worker exercises the cross-host calibration
+    # scale broadcast (quarter_filters would all-skip and never broadcast)
+    model_q = YOGO.create(hw, 0.15, 0.2, len(classes),
+                          model_version="base_model")
+    ckpt_q = tmp_path / "model_q.ckpt"
+    save_checkpoint(ckpt_q, model_q, model_q.init(jax.random.key(1)),
+                    classes=classes, model_name="mq")
+
+    # single-process expectation (plain, no mesh): counts + txt artifacts
+    from yogo_tpu.infer import predict
+
+    out_single = tmp_path / "single"
+    predict(
+        str(ckpt),
+        path_to_images=img_dir,
+        output_dir=str(out_single),
+        save_preds=True,
+        count_predictions=True,
+        batch_size=2,
+        obj_thresh=0.3,
+        use_tqdm=False,
+    )
+    expected_counts = capsys.readouterr().out.strip()
+    assert expected_counts
+    # int8 single-process expectation: calibrated on images [0, 2) - the
+    # same leading images process 0 calibrates on in the multi-host run,
+    # so the broadcast scales (and therefore the counts) match exactly
+    predict(
+        str(ckpt_q),
+        path_to_images=img_dir,
+        count_predictions=True,
+        quantize=True,
+        batch_size=2,
+        obj_thresh=0.3,
+        use_tqdm=False,
+    )
+    expected_counts_q = capsys.readouterr().out.strip().splitlines()[-1]
+    assert expected_counts_q
+
+    out_mh = tmp_path / "mh"
+    out_mh.mkdir()
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable,
+                 str(REPO / "tests" / "multihost_infer_worker.py"),
+                 str(pid), str(port), str(img_dir), str(ckpt), str(out_mh),
+                 str(ckpt_q)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+        time.sleep(1)
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost inference workers timed out")
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    assert "MHI 0 ok" in outs[0] and "MHI 1 ok" in outs[1]
+    # process 0 printed the fused-path, host-path, and int8-path global
+    # counts; the first two must equal the single-process float counts and
+    # the third the single-process int8 counts. process 1 prints none.
+    count_lines = [
+        line for line in outs[0].splitlines() if line.startswith("[(")
+    ]
+    assert count_lines == [
+        expected_counts, expected_counts, expected_counts_q
+    ], outs[0]
+    assert not any(line.startswith("[(") for line in outs[1].splitlines())
+
+    # merged per-process artifacts == the single-process artifacts
+    single_txts = sorted(out_single.glob("*.txt"))
+    mh_txts = sorted(out_mh.glob("*.txt"))
+    assert [p.name for p in mh_txts] == [p.name for p in single_txts]
+    for s, m in zip(single_txts, mh_txts):
+        assert m.read_text() == s.read_text(), m.name

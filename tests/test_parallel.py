@@ -524,18 +524,20 @@ def test_fsdp_train_steps_match_replicated():
         assert x.shape == y.shape
 
 
-def test_trainer_guards_multihost_fsdp_and_spatial(monkeypatch):
-    """fsdp/spatial_parallel are single-process: the Trainer must refuse
-    them loudly under a multi-process runtime, at construction time."""
+def test_trainer_guards_multihost_spatial_straddle(monkeypatch):
+    """Multi-host spatial parallelism requires the space axis to stay
+    WITHIN a process (a mesh row straddling hosts would put every conv halo
+    exchange on DCN): the Trainer must refuse a non-dividing factor loudly,
+    at construction time. fsdp and dividing spatial factors are allowed
+    multi-host (tests/test_multihost.py runs them over real processes)."""
     import pytest
 
     from yogo_tpu.train import Trainer
 
     monkeypatch.setattr(jax, "process_count", lambda: 2)
-    with pytest.raises(ValueError, match="single-process only"):
-        Trainer({"fsdp": True})
-    with pytest.raises(ValueError, match="single-process only"):
-        Trainer({"spatial_parallel": 4})
+    # 8 local virtual devices: 3 does not divide -> straddle error
+    with pytest.raises(ValueError, match="per-process device count"):
+        Trainer({"spatial_parallel": 3})
 
 
 def test_trainer_spatial_parallel_height_validation():

@@ -165,7 +165,118 @@ def test_train_step_remat_matches_none(remat):
     )
 
 
-def test_train_step_rejects_bad_remat():
+def test_grad_accumulation_exactly_matches_big_batch():
+    """accumulate=2 over stacked micro-batches must produce EXACTLY the
+    big-batch loss, gradient, and parameter update under frozen BN - for a
+    RAGGED mask pattern too (the count-weighted accumulation divides the
+    summed micro losses/grads by the total real-image count, which is the
+    big batch's normalizer). Dropout-free test arch: stochastic dropout
+    masks are drawn per forward and can never agree between one big forward
+    and two micro forwards."""
+    from yogo_tpu.models.defns import MODELS, ConvSpec, ModelDefn, register_model
+
+    def test_nodrop(num_classes, rgb_input=False):
+        return ModelDefn(
+            name="test_nodrop",
+            blocks=(
+                ConvSpec(8, stride=2, bias=False, bn=True),
+                ConvSpec(16, stride=2),
+                ConvSpec(5 + num_classes, kernel=1, padding=0, act=None),
+            ),
+        )
+
+    register_model(test_nodrop)
+    try:
+        model = YOGO.create((48, 64), 0.08, 0.1, len(CLASSES),
+                            model_version="test_nodrop")
+        tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
+        imgs, labels, _ = fake_batch(model, b=8, seed=3)
+        # ragged: micro 0 fully real, micro 1 has one real + three pad rows
+        mask = np.array([1, 1, 1, 1, 1, 0, 0, 0], np.float32)
+
+        kw = dict(no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+                  label_smoothing=0.01)
+        big_step = jax.jit(make_train_step(
+            model, tx, kw, augment=False, tuning=True))
+        acc_step = jax.jit(make_train_step(
+            model, tx, kw, augment=False, tuning=True, accumulate=2))
+
+        s_big, loss_big, comps_big = big_step(
+            make_state(model, tx), jnp.asarray(imgs), jnp.asarray(labels),
+            jnp.asarray(mask), jax.random.key(1),
+        )
+        s_acc, loss_acc, comps_acc = acc_step(
+            make_state(model, tx),
+            jnp.asarray(imgs).reshape(2, 4, *imgs.shape[1:]),
+            jnp.asarray(labels).reshape(2, 4, *labels.shape[1:]),
+            jnp.asarray(mask).reshape(2, 4),
+            jax.random.key(1),
+        )
+        np.testing.assert_allclose(
+            float(loss_acc), float(loss_big), rtol=1e-6)
+        for k in comps_big:
+            np.testing.assert_allclose(
+                float(comps_acc[k]), float(comps_big[k]), rtol=1e-5,
+                atol=1e-8)
+        for a, b in zip(jax.tree.leaves(s_acc.params),
+                        jax.tree.leaves(s_big.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+        assert int(s_acc.step) == int(s_big.step) == 1
+    finally:
+        del MODELS["test_nodrop"]
+
+
+def test_grad_accumulation_live_bn_descends():
+    """With live BN the micro-batches normalize with their own statistics
+    (sequential-small-batch semantics, documented divergence from the big
+    batch): the step must still run, update batch_stats, and descend."""
+    model = tiny_model()
+    tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
+    kw = dict(no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+              label_smoothing=0.01)
+    step = jax.jit(make_train_step(model, tx, kw, accumulate=2))
+    state = make_state(model, tx)
+    stats0 = jax.tree.map(np.asarray, state.batch_stats)
+    imgs, labels, mask = fake_batch(model, b=8, seed=4)
+    stack = lambda a: jnp.asarray(a).reshape(2, 4, *a.shape[1:])
+    losses = []
+    for _ in range(6):
+        state, loss, _ = step(
+            state, stack(imgs), stack(labels), stack(mask), jax.random.key(2)
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    changed = any(
+        not np.allclose(np.asarray(a), b)
+        for a, b in zip(jax.tree.leaves(state.batch_stats),
+                        jax.tree.leaves(stats0))
+    )
+    assert changed, "live BN stats must update through the scan"
+
+
+def test_prefetch_groups_micro_batches_and_pads_short_final():
+    """prefetch_to_device(accumulate=2): 5 loader batches -> 3 stacked
+    groups; the final group is padded with a zero-mask copy so the step
+    shape never changes, and the zero mask gives it zero gradient weight."""
+    from yogo_tpu.parallel.mesh import prefetch_to_device
+
+    model = tiny_model()
+    mesh = get_mesh()
+    imgs, labels, mask = fake_batch(model, b=10, seed=5)
+    batches = [
+        (imgs[i: i + 2], labels[i: i + 2], mask[i: i + 2])
+        for i in range(0, 10, 2)
+    ]
+    groups = list(prefetch_to_device(iter(batches), mesh, accumulate=2))
+    assert len(groups) == 3
+    for gi, gl, gm in groups:
+        # batch axis padded to the 8-device mesh: (2, 8, ...) stacks
+        assert gi.shape[:2] == (2, 8) and gm.shape == (2, 8)
+        assert gl.shape[:2] == (2, 8)
+    # the pad micro of the last group is fully masked out
+    last_mask = np.asarray(groups[-1][2])
+    assert last_mask[1].sum() == 0 and last_mask[0].sum() == 2
     model = tiny_model()
     tx, _ = make_optimizer(1e-3, 5e-2, 10.0, 50)
     with pytest.raises(ValueError, match="remat"):
@@ -282,6 +393,45 @@ def test_trainer_end_to_end_tiny(tmp_path):
     t2 = Trainer(config2)
     t2.init()
     assert int(t2.state.step) > 0  # global step restored
+
+
+def test_trainer_end_to_end_accumulate(tmp_path):
+    """Trainer wiring for --accumulate-grad-batches: stacked micro-batch
+    groups feed the train step (rank-5 shardings) while validation keeps
+    the plain rank-4 eval step - a CLI drive caught exactly this clobber.
+    3 train batches at accumulate=2 -> 2 optimizer steps per epoch (the
+    short final group pads with a zero-weight micro)."""
+    pairs = [make_pair_dirs(tmp_path, "a", n_images=8, seed=0)]
+    defn = write_defn(
+        tmp_path / "d.yml",
+        dataset_pairs=pairs,
+        split={"train": 0.75, "val": 0.25},
+    )
+    config = {
+        "learning_rate": 1e-3, "decay_factor": 10.0, "weight_decay": 5e-2,
+        "label_smoothing": 0.01, "iou_weight": 5.0, "no_obj_weight": 0.5,
+        "classify_weight": 1.0, "epochs": 1, "batch_size": 2,
+        "anchor_w": 0.1, "anchor_h": 0.15, "model": "quarter_filters",
+        "half": False, "rgb": False, "image_hw": (40, 56),
+        "pretrained_path": None, "normalize_images": False,
+        "dataset_split_override": None,
+        "dataset_descriptor_file": str(defn),
+        "name": "acc", "note": None, "tags": None,
+        "wandb_entity": None, "wandb_project": None, "use_wandb": False,
+        "model_save_dir": str(tmp_path / "run"),
+        "accumulate_grad_batches": 2,
+    }
+    trainer = Trainer(config)
+    trainer.init()
+    trainer.train()
+    # 6 train images / bs 2 = 3 batches -> ceil(3/2) = 2 optimizer steps
+    assert trainer.global_step == 2, trainer.global_step
+    lines = [
+        json.loads(ln)
+        for ln in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any("val loss" in ln for ln in lines)  # the rank-4 eval step ran
+    assert any("train loss" in ln for ln in lines)
 
 
 def test_trainer_rejects_mismatched_pretrained_size(tmp_path):

@@ -34,6 +34,7 @@ def main():
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     scan_k = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     remat = sys.argv[4] if len(sys.argv) > 4 else "none"
+    accumulate = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     model_version = os.environ.get("YOGO_PERF_MODEL", "base_model")
     model = YOGO.create(
@@ -49,19 +50,28 @@ def main():
     step = jax.jit(
         make_train_step(model, tx, dict(no_obj_weight=0.5, iou_weight=5.0,
                                         classify_weight=1.0,
-                                        label_smoothing=0.01), remat=remat),
+                                        label_smoothing=0.01), remat=remat,
+                        accumulate=accumulate),
         donate_argnums=(0,),
     )
 
     Sx, Sy = model.grid
+    shape = (bs, 1, 772, 1032) if accumulate == 1 else (
+        accumulate, bs, 1, 772, 1032
+    )
     imgs = jax.jit(
-        lambda k: jax.random.randint(k, (bs, 1, 772, 1032), 0, 255, jnp.uint8)
+        lambda k: jax.random.randint(k, shape, 0, 255, jnp.uint8)
     )(jax.random.key(1))
     labels = np.zeros((bs, 6, Sy, Sx), np.float32)
     labels[:, :, 20, 30] = [1, 0.4, 0.4, 0.5, 0.5, 2]
+    mask = np.ones(bs, np.float32)
+    if accumulate > 1:
+        labels = np.stack([labels] * accumulate)
+        mask = np.stack([mask] * accumulate)
     labels = jnp.asarray(labels)
-    mask = jnp.ones(bs, jnp.float32)
+    mask = jnp.asarray(mask)
     rng = jax.random.key(2)
+    imgs_per_step = bs * accumulate
 
     state, loss, _ = step(state, imgs, labels, mask, rng)  # compile+warm
     print(f"warmup loss {float(loss):.4f}")
@@ -72,9 +82,9 @@ def main():
     final = float(loss)  # fences the whole chain
     dt = (time.perf_counter() - t0) / n_steps
     print(
-        f"train step {model_version} bs={bs} remat={remat}: "
-        f"{dt * 1000:.1f} ms/step = {bs / dt:.0f} img/s "
-        f"(final loss {final:.4f})"
+        f"train step {model_version} bs={bs} remat={remat} "
+        f"accum={accumulate}: {dt * 1000:.1f} ms/step = "
+        f"{imgs_per_step / dt:.0f} img/s (final loss {final:.4f})"
     )
 
     if scan_k > 1:

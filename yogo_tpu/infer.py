@@ -124,8 +124,13 @@ def predict(
     chips of a v5e-8 host, with XLA inserting any collectives; batch_size
     is rounded up to a multiple of the data-shard count (device count /
     spatial_parallel; ragged tails are already padded + masked).
-    Single-process only: multi-host serving would need per-process
-    dataset sharding (raises a clear error).
+    Multi-host (jax.distributed initialized, process_count > 1): each
+    process decodes its contiguous chunk of the sorted image list,
+    batch_size becomes the PER-PROCESS batch, the fused count reduces
+    globally across hosts (process 0 prints), and per-image artifacts are
+    written by the owning process (.npy gets a .p{rank} suffix;
+    return_full_predictions raises - tested end-to-end by
+    tests/test_multihost.py over real processes).
     `spatial_parallel` (an extension - no reference analogue) splits each
     image's ROWS over N devices on a 2-D (data, space) mesh: XLA's SPMD
     partitioner inserts conv halo exchanges over ICI (GSPMD spatial
@@ -195,28 +200,50 @@ def predict(
     )
 
     mesh = None
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if (data_parallel or spatial_parallel > 1) and nproc > 1:
+        # multi-host: each process decodes and postprocesses ITS contiguous
+        # chunk of the (sorted) image list; batches are globalized over a
+        # mesh spanning every process's devices (shard_batch ->
+        # make_array_from_process_local_data) and the fused count's global
+        # reduction crosses hosts via XLA collectives. Per-image artifacts
+        # (txt/drawn images) are written by the owning process; counts are
+        # globally identical on every process and printed by process 0.
+        if not data_parallel:
+            raise ValueError(
+                "spatial_parallel-only inference is single-process; add "
+                "data_parallel to shard images across processes too"
+            )
+        if return_full_predictions:
+            raise ValueError(
+                "return_full_predictions is single-process only (each "
+                "process holds only its own images' predictions); use "
+                "save_npy and merge the per-process .npy files"
+            )
     if data_parallel or spatial_parallel > 1:
         from yogo_tpu.parallel.mesh import (
             data_sharded,
+            fetch_local_rows,
             get_mesh,
             get_mesh_2d,
             n_data,
-            replicated,
+            replicate_to_mesh,
             shard_batch,
             space_sharded,
             validate_spatial_height,
         )
 
-        if jax.process_count() > 1:
-            # multi-host serving needs per-process dataset sharding and
-            # count aggregation this driver does not do (every process
-            # would decode and count the SAME images); the supported scale
-            # axis is all devices of one process (e.g. a v5e-8 host)
-            raise ValueError(
-                "data_parallel/spatial_parallel inference is single-process "
-                "only: run one process and let it use all local devices, or "
-                "shard the image list per process externally"
-            )
+        if spatial_parallel > 1 and nproc > 1:
+            local_dev = len(jax.local_devices())
+            if local_dev % spatial_parallel:
+                # get_mesh_2d reshapes the process-major global device list
+                # into (data, space) rows; a row must not straddle hosts or
+                # every conv halo exchange would ride DCN instead of ICI
+                raise ValueError(
+                    f"spatial_parallel={spatial_parallel} must divide the "
+                    f"per-process device count {local_dev} under multi-host"
+                )
         candidate = (
             # spatial-only: exactly N devices, pure row sharding - no
             # implicit batch sharding/rounding the user didn't ask for;
@@ -233,12 +260,25 @@ def predict(
             mesh = candidate
             if spatial_parallel > 1:
                 validate_spatial_height(mesh, img_h)
-            nd = n_data(mesh)
-            if batch_size % nd:
-                # ragged tails are padded + image-masked anyway, so rounding
-                # the compiled batch shape up only adds masked padding work
-                batch_size = ((batch_size + nd - 1) // nd) * nd
-            variables = jax.device_put(variables, replicated(mesh))
+            # batch_size is the PER-PROCESS batch; it must divide over this
+            # process's data-axis shards (ragged tails are padded +
+            # image-masked anyway, so rounding the compiled batch shape up
+            # only adds masked padding work)
+            nd_local = max(n_data(mesh) // nproc, 1)
+            if batch_size % nd_local:
+                batch_size = ((batch_size + nd_local - 1) // nd_local) * nd_local
+            variables = replicate_to_mesh(variables, mesh)
+
+    # multi-host image ownership: process p takes the p-th contiguous chunk
+    # of the sorted image list (counts/artifacts stay deterministic)
+    mh = mesh is not None and nproc > 1
+    if mh:
+        per_proc = -(-n_images // nproc)
+        chunk_lo = pid * per_proc
+        chunk_hi = min(n_images, chunk_lo + per_proc)
+    else:
+        per_proc = n_images
+        chunk_lo, chunk_hi = 0, n_images
 
     # jitted forward (full batch shape only; last batch is padded)
     if quantize:
@@ -256,29 +296,54 @@ def predict(
         if n_images == 0:
             raise ValueError("--quantize needs at least one image to calibrate")
         skip = default_skip_blocks(model.defn, model.input_channels)
-        if len(skip) == len(model.defn.blocks) - 1:
+        all_skip = len(skip) == len(model.defn.blocks) - 1
+        if all_skip or (mh and pid != 0):
             # every block skipped (narrow arch): quantize_conv_stack never
             # consumes a calibration batch, so don't decode one (a full
-            # batch of pure startup latency otherwise)
+            # batch of pure startup latency otherwise). Multi-host,
+            # process 0 calibrates and broadcasts its scales.
             calib_batches = []
         else:
             # calibrate on the run's own leading images (decoded once more
             # by the normal loop afterwards - one batch of extra decode
             # work), with the same threaded decode the batch loop uses: a
             # serial 512-image decode is tens of seconds of startup latency
-            idxs = range(min(batch_size, n_images))
+            idxs = range(chunk_lo, min(chunk_lo + batch_size, chunk_hi))
             if num_workers > 0:
                 with ThreadPoolExecutor(max_workers=num_workers) as cp:
                     items = list(cp.map(dataset.__getitem__, idxs))
             else:
                 items = [dataset[i] for i in idxs]
             calib_batches = [np.stack([im for im, _ in items])]
-        qp = quantize_conv_stack(
-            model, variables, calib_batches, skip_blocks=skip
-        )
+        if mh and not all_skip:
+            # all processes must serve an IDENTICAL int8 program: process 0
+            # calibrates on its leading images, the scales broadcast, and
+            # every process assembles qp from the same (scales, weights)
+            from jax.experimental import multihost_utils
+
+            local_scales = (
+                np.asarray(
+                    quantize_conv_stack(
+                        model, variables, calib_batches, skip_blocks=skip
+                    )["scales"],
+                    np.float32,
+                )
+                if pid == 0
+                else np.zeros(len(model.defn.blocks) - 1, np.float32)
+            )
+            scales = np.asarray(
+                multihost_utils.broadcast_one_to_all(local_scales)
+            )
+            qp = quantize_conv_stack(
+                model, variables, [], skip_blocks=skip, act_scales=scales
+            )
+        else:
+            qp = quantize_conv_stack(
+                model, variables, calib_batches, skip_blocks=skip
+            )
 
         if mesh is not None:
-            qp = jax.device_put(qp, replicated(mesh))
+            qp = replicate_to_mesh(qp, mesh)
 
         def _fwd(imgs):
             return quantized_forward(model, qp, imgs)
@@ -358,7 +423,14 @@ def predict(
     )
 
     def load_batch(start: int):
-        idxs = range(start, min(start + batch_size, n_images))
+        idxs = range(start, min(start + batch_size, chunk_hi))
+        if len(idxs) == 0:
+            # aligned-rounds padding batch (multi-host, a shorter chunk):
+            # shape/dtype must match real batches so the compiled program
+            # is reused; every row is masked out via real=0
+            ch = 3 if model.is_rgb else 1
+            dtype = np.float32 if model.normalize_images else np.uint8
+            return np.zeros((batch_size, ch, img_h, int(img_w)), dtype), [], 0
         if decode_pool is not None:
             items = list(decode_pool.map(dataset.__getitem__, idxs))
         else:
@@ -376,11 +448,19 @@ def predict(
         try:
             from tqdm import tqdm
 
-            pbar = tqdm(unit="images", total=n_images)
+            pbar = tqdm(unit="images", total=chunk_hi - chunk_lo)
         except ImportError:
             pass
 
-    starts = list(range(0, n_images, batch_size))
+    if mh:
+        # every process dispatches the SAME number of rounds: the fused
+        # count program reduces over the GLOBAL batch (a cross-host
+        # collective), so a process that stopped early would deadlock it -
+        # short chunks run trailing fully-masked zero batches
+        n_rounds = -(-per_proc // batch_size) if n_images else 0
+        starts = [chunk_lo + k * batch_size for k in range(n_rounds)]
+    else:
+        starts = list(range(0, n_images, batch_size))
     # double-buffered prefetch: decode batch i+1 while batch i computes
     prefetcher = ThreadPoolExecutor(max_workers=1)
     # pools must not leak worker threads if the forward or a
@@ -415,21 +495,31 @@ def predict(
             if count_predictions and not needs_full:
                 # fully fused on device: forward + NMS + count, no big transfers;
                 # padded tail images are excluded by mask (a [:real] slice would
-                # change the shape and recompile per distinct tail size)
+                # change the shape and recompile per distinct tail size).
+                # Multi-host the mask must be a GLOBAL array like the batch
+                # (each process masks its own padding rows), and the counts
+                # that come back are already the GLOBAL per-round totals.
                 counts = count_class_predictions(
                     forward(imgs_j),
                     obj_thresh=obj_thresh,
                     iou_thresh=iou_thresh,
                     min_class_confidence_threshold=min_class_confidence_threshold,
                     max_detections=max_detections,
-                    image_mask=jnp.arange(batch_size) < real,
+                    image_mask=(
+                        shard_batch(mesh, np.arange(batch_size) < real)[0]
+                        if mh
+                        else jnp.arange(batch_size) < real
+                    ),
                 )
                 tot_counts += np.asarray(counts, np.int64)
                 if pbar:
                     pbar.update(real)
                 continue
 
-            res = np.asarray(forward(imgs_j))[:real]
+            out = forward(imgs_j)
+            # multi-host: the output stays batch-sharded; fetch only this
+            # process's rows (the images it decoded)
+            res = (fetch_local_rows(out) if mh else np.asarray(out))[:real]
 
             if draw_boxes:
                 from yogo_tpu.utils.drawing import draw_yogo_prediction
@@ -487,7 +577,20 @@ def predict(
             pbar.close()
 
     if count_predictions:
-        print(list(zip(class_names or range(num_classes), map(int, tot_counts))))
+        if mh and needs_full:
+            # host-path counting accumulated only this process's images;
+            # reduce across processes (the fused path's totals are already
+            # global - its in-program reduction crossed hosts)
+            from jax.experimental import multihost_utils
+
+            tot_counts = np.sum(
+                np.asarray(multihost_utils.process_allgather(tot_counts)),
+                axis=0,
+            ).astype(np.int64)
+        if pid == 0:
+            print(
+                list(zip(class_names or range(num_classes), map(int, tot_counts)))
+            )
 
     if save_npy and np_results:
         pred_tensors = np.hstack(np_results)
@@ -495,6 +598,10 @@ def predict(
             filename = Path(path_to_images).resolve().parent.stem
         elif path_to_zarr:
             filename = Path(path_to_zarr).resolve().stem
+        if mh:
+            # one .npy per process (its own images; img_id stays the global
+            # index) - concatenating them reproduces the single-process file
+            filename = f"{filename}.p{pid}"
         base = Path(output_dir).resolve() if output_dir else Path.cwd().resolve()
         fp = base / Path(filename).with_suffix(".npy")
         np.save(fp, pred_tensors)

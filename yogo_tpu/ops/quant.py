@@ -198,7 +198,11 @@ def default_skip_blocks(defn, input_channels: int = 1) -> Tuple[int, ...]:
 
 
 def quantize_conv_stack(
-    model, variables, calib_batches: Iterable[Any], skip_blocks: Iterable[int] = ()
+    model,
+    variables,
+    calib_batches: Iterable[Any],
+    skip_blocks: Iterable[int] = (),
+    act_scales=None,
 ) -> Dict[str, Any]:
     """Build the int8 parameter pytree for `quantized_forward`.
 
@@ -208,6 +212,10 @@ def quantize_conv_stack(
     bf16 (int8 only pays on the MXU-bound shapes - tools/perf_int8_conv.py
     measured the 64->128 block SLOWER in int8 on v5e while the 128->128
     blocks run ~1.25x faster, so callers can pick per-block).
+    act_scales: precomputed per-block activation scales (the qp["scales"]
+    layout: one entry per block 1..N-1) - skips calibration entirely; used
+    by multi-host inference, where process 0 calibrates and broadcasts so
+    every process assembles an identical int8 program.
     Returns a plain-dict pytree (jit/device_put friendly).
     """
     skip = set(skip_blocks)
@@ -228,7 +236,18 @@ def quantize_conv_stack(
             x = x[None]
         return np.transpose(x, (0, 2, 3, 1)).astype(np.float32)
 
-    if skip == valid:
+    if act_scales is not None:
+        scales = np.asarray(act_scales, np.float32)
+        if scales.shape != (len(folded) - 1,):
+            raise ValueError(
+                f"act_scales must have one entry per block 1..{len(folded) - 1} "
+                f"(shape ({len(folded) - 1},)); got {scales.shape}"
+            )
+        if skip != valid and not np.all(scales[~np.isin(
+            np.arange(1, len(folded)), sorted(skip)
+        )] > 0):
+            raise ValueError("act_scales has a zero scale for a quantized block")
+    elif skip == valid:
         # e.g. half/quarter_filters under the default cin>=128 rule: the
         # program is the BN-folded bf16 stack with NO int8 convs - valid,
         # but the caller should know "--quantize" is not serving int8 here.

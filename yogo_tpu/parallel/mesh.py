@@ -59,18 +59,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def data_sharded(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+def data_sharded(mesh: Mesh, ndim: int = 4, batch_axis: int = 0) -> NamedSharding:
+    """Shard the batch axis (default: leading) over the data axis.
+    batch_axis=1 serves micro-batch stacks (A, B, ...) for gradient
+    accumulation - the accumulation axis stays unsharded."""
+    spec = [None] * ndim
+    spec[batch_axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
 
 
-def space_sharded(mesh: Mesh, ndim: int = 4, h_axis: int = 2) -> NamedSharding:
+def space_sharded(
+    mesh: Mesh, ndim: int = 4, h_axis: int = 2, batch_axis: int = 0
+) -> NamedSharding:
     """Batch axis over "data" AND the image height axis over "space"
     (NCHW input: h_axis=2). On a 1-D mesh this is just data_sharded."""
     if SPACE_AXIS not in mesh.axis_names:
-        return data_sharded(mesh, ndim)
+        return data_sharded(mesh, ndim, batch_axis)
     spec = [None] * ndim
-    spec[0] = DATA_AXIS
+    spec[batch_axis] = DATA_AXIS
     spec[h_axis] = SPACE_AXIS
     return NamedSharding(mesh, P(*spec))
 
@@ -128,13 +134,16 @@ def fsdp_sharding_tree(mesh: Mesh, tree: Any, min_size: int = 4096) -> Any:
     return jax.tree.map(rule, tree)
 
 
-def shard_batch(mesh: Mesh, *arrays: Any, spatial_first: bool = False):
+def shard_batch(
+    mesh: Mesh, *arrays: Any, spatial_first: bool = False, batch_axis: int = 0
+):
     """Place host arrays onto the mesh, batch axis sharded.
 
     spatial_first=True additionally shards the FIRST array's height axis
     (the NCHW image batch) over the mesh's "space" axis; labels/masks stay
     batch-sharded only (the label grid height Sy=97 is prime - GSPMD
-    reshards it internally where the loss needs it).
+    reshards it internally where the loss needs it). batch_axis=1 places
+    micro-batch stacks (A, B, ...) for gradient accumulation.
 
     On a multi-host setup each process passes its local shard; single-host
     this is a plain device_put with a sharding.
@@ -143,20 +152,106 @@ def shard_batch(mesh: Mesh, *arrays: Any, spatial_first: bool = False):
     for i, a in enumerate(arrays):
         a = np.asarray(a)
         if spatial_first and i == 0:
-            validate_spatial_height(mesh, a.shape[2])
-            sharding = space_sharded(mesh, a.ndim)
+            validate_spatial_height(mesh, a.shape[batch_axis + 2])
+            sharding = space_sharded(
+                mesh, a.ndim, h_axis=batch_axis + 2, batch_axis=batch_axis
+            )
         else:
-            sharding = data_sharded(mesh, a.ndim)
+            sharding = data_sharded(mesh, a.ndim, batch_axis=batch_axis)
         if jax.process_count() > 1:  # exercised by tests/test_multihost.py
             # (two real processes over a localhost coordinator)
-            global_shape = (a.shape[0] * jax.process_count(), *a.shape[1:])
+            global_shape = list(a.shape)
+            global_shape[batch_axis] *= jax.process_count()
             arr = jax.make_array_from_process_local_data(
-                sharding, a, global_shape
+                sharding, a, tuple(global_shape)
             )
         else:
             arr = jax.device_put(a, sharding)
         out.append(arr)
     return tuple(out)
+
+
+def put_with_shardings(tree: Any, shardings: Any) -> Any:
+    """Place a host pytree onto a (pytree of) NamedShardings, multi-host safe.
+
+    Single-process this is a plain device_put; multi-host, device_put cannot
+    target non-addressable devices, so each leaf is assembled with
+    make_array_from_callback: every process feeds its addressable shards by
+    slicing its own (full) copy of the value at the global indices the
+    sharding assigns. Callers must pass the same host value on every process
+    (e.g. parameters from the same seed or checkpoint) - this is how
+    multi-host FSDP state sharding scatters an identically-initialized
+    state without any process ever holding more than it must on device."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+    shd_leaves = (
+        shardings
+        if isinstance(shardings, NamedSharding)
+        else None
+    )
+
+    def leaf(x, s):
+        a = np.asarray(x)
+        return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
+
+    if shd_leaves is not None:  # one sharding for the whole tree
+        return jax.tree.map(lambda x: leaf(x, shardings), tree)
+    return jax.tree.map(leaf, tree, shardings)
+
+
+def replicate_to_mesh(tree: Any, mesh: Mesh) -> Any:
+    """Place a host pytree fully replicated on the mesh, multi-host safe."""
+    return put_with_shardings(tree, replicated(mesh))
+
+
+def fetch_replicated(tree: Any) -> Any:
+    """Host (numpy) copy of a device pytree whose leaves may be sharded
+    across hosts (multi-host FSDP state at checkpoint time).
+
+    Cross-host-sharded leaves are replicated first via an identity jit with
+    a replicated out_sharding (an XLA all-gather over the mesh) - so under
+    multi-host EVERY process must call this together even if only process 0
+    writes the result; fully-addressable or fully-replicated leaves fetch
+    directly."""
+    from jax.sharding import PartitionSpec
+
+    def leaf(x):
+        if (
+            isinstance(x, jax.Array)
+            and not x.is_fully_addressable
+            and not x.is_fully_replicated
+        ):
+            x = jax.jit(
+                lambda a: a,
+                out_shardings=NamedSharding(x.sharding.mesh, PartitionSpec()),
+            )(x)
+        return np.asarray(x)
+
+    return jax.tree.map(leaf, tree)
+
+
+def fetch_local_rows(arr: jax.Array) -> np.ndarray:
+    """This process's batch rows of a batch-sharded global array.
+
+    Devices on the 1-D data axis are process-contiguous (jax.devices()
+    orders by process index), so the addressable shards of a
+    P("data", ...) output are exactly the rows this process contributed via
+    shard_batch. Space-axis replicas (a 2-D mesh output sharded on "data"
+    only) carry duplicate batch slices - deduplicated by slice start.
+    Single-process: the whole array."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    seen = set()
+    parts = []
+    for s in sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    ):
+        start = s.index[0].start or 0
+        if start in seen:
+            continue
+        seen.add(start)
+        parts.append(np.asarray(s.data))
+    return np.concatenate(parts, axis=0)
 
 
 def local_rows(global_np: np.ndarray, local_batch: int) -> np.ndarray:
@@ -173,7 +268,11 @@ def local_rows(global_np: np.ndarray, local_batch: int) -> np.ndarray:
 
 
 def prefetch_to_device(
-    batch_iter, mesh: Mesh, prefetch: int = 2, spatial_first: bool = False
+    batch_iter,
+    mesh: Mesh,
+    prefetch: int = 2,
+    spatial_first: bool = False,
+    accumulate: int = 1,
 ):
     """Wrap a host (imgs, labels, mask) iterator with device prefetch.
 
@@ -182,6 +281,13 @@ def prefetch_to_device(
     compute - the single-controller analog of the reference's pin_memory +
     non_blocking copies (reference: yogo/train.py:310-311). spatial_first
     shards image rows over the mesh's "space" axis (see shard_batch).
+
+    accumulate > 1 groups every `accumulate` consecutive batches into ONE
+    stacked (A, B, ...) micro-batch placement (batch axis sharded at axis
+    1, accumulation axis unsharded) for gradient accumulation; a final
+    short group is padded with zero-mask copies of its first micro-batch so
+    the compiled step shape never changes (the count-weighted accumulation
+    in make_train_step gives all-padding micros zero weight).
     """
     import collections
 
@@ -194,16 +300,43 @@ def prefetch_to_device(
             shard_batch(mesh, imgs, labels, mask, spatial_first=spatial_first)
         )
 
+    def put_group(group):
+        padded = [pad_batch_to_multiple(*b, nd) for b in group]
+        while len(padded) < accumulate:
+            i0, l0, m0 = padded[0]
+            padded.append((i0, l0, np.zeros_like(m0)))
+        imgs = np.stack([b[0] for b in padded])
+        labels = np.stack([b[1] for b in padded])
+        mask = np.stack([b[2] for b in padded])
+        queue.append(
+            shard_batch(
+                mesh, imgs, labels, mask,
+                spatial_first=spatial_first, batch_axis=1,
+            )
+        )
+
+    def pull(it):
+        if accumulate == 1:
+            put(next(it))
+            return
+        group = [next(it)]  # StopIteration here ends cleanly with no group
+        try:
+            while len(group) < accumulate:
+                group.append(next(it))
+        except StopIteration:
+            pass
+        put_group(group)
+
     it = iter(batch_iter)
     try:
         for _ in range(prefetch):
-            put(next(it))
+            pull(it)
     except StopIteration:
         pass
     while queue:
         out = queue.popleft()
         try:
-            put(next(it))
+            pull(it)
         except StopIteration:
             pass
         yield out

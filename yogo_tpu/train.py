@@ -49,9 +49,11 @@ from yogo_tpu.parallel.mesh import (
     n_data,
     space_sharded,
     validate_spatial_height,
+    fetch_replicated,
     local_rows,
     pad_batch_to_multiple,
     prefetch_to_device,
+    put_with_shardings,
     replicated,
     shard_batch,
 )
@@ -111,6 +113,7 @@ def make_train_step(
     augment: bool = True,
     tuning: bool = False,
     remat: str = "none",
+    accumulate: int = 1,
 ) -> Callable:
     """Build the pure train step: (state, imgs, labels, img_mask, rng) ->
     (state, loss, components). Augmentation (paired flips) runs on device
@@ -127,20 +130,29 @@ def make_train_step(
       "blocks" - save only block-boundary activations (the checkpoint_name
                  markers in models/yogo.py ConvStack); conv/bn/act
                  intermediates are recomputed during bwd,
-      "full"   - save nothing; recompute the whole forward during bwd."""
+      "full"   - save nothing; recompute the whole forward during bwd.
+
+    accumulate > 1 (extension - the reference has no gradient accumulation)
+    takes micro-batch stacks (A, b, ...) and lax.scans over them before ONE
+    optimizer update: activation memory stays that of a single micro-batch
+    while the effective batch is A*b. Gradients and the loss are
+    accumulated weighted by each micro-batch's real-image count, so the
+    result is EXACTLY the big-batch loss/gradient for any padding-mask
+    pattern (under frozen BN; with live BN each micro-batch normalizes with
+    its own statistics, like running the small batches sequentially -
+    tests/test_train.py pins the frozen-BN equivalence). The cosine
+    schedule ticks once per optimizer step."""
     if remat not in ("none", "blocks", "full"):
         raise ValueError(f"remat must be none|blocks|full, got {remat!r}")
+    if accumulate < 1:
+        raise ValueError(f"accumulate must be >= 1, got {accumulate}")
 
-    def step(state: TrainState, imgs, labels, img_mask, rng):
-        rng = jax.random.fold_in(rng, state.step)
-        rng_flip, rng_drop = jax.random.split(rng)
+    def forward_and_grad(params, batch_stats, imgs, labels, img_mask, rng_drop):
+        """Count-weighted micro-batch grad: returns unnormalized-sum loss
+        scaled so Σ_micro / Σ_count == the exact big-batch quantities."""
 
-        imgs = imgs.astype(model.compute_dtype)
-        if augment:
-            imgs, labels = random_flips(rng_flip, imgs, labels)
-
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+        def loss_fn(p):
+            variables = {"params": p, "batch_stats": batch_stats}
             if tuning:
                 out = model.apply(
                     variables,
@@ -149,7 +161,7 @@ def make_train_step(
                     tuning=True,
                     rngs={"dropout": rng_drop},
                 )
-                new_model_state = {"batch_stats": state.batch_stats}
+                new_model_state = {"batch_stats": batch_stats}
             else:
                 out, new_model_state = model.apply(
                     variables,
@@ -163,26 +175,78 @@ def make_train_step(
             )
             return loss, (comps, new_model_state)
 
+        wrapped = loss_fn
         if remat == "blocks":
-            loss_fn = jax.checkpoint(
+            wrapped = jax.checkpoint(
                 loss_fn,
                 policy=jax.checkpoint_policies.save_only_these_names(
                     "yogo_block"
                 ),
             )
         elif remat == "full":
-            loss_fn = jax.checkpoint(loss_fn)
+            wrapped = jax.checkpoint(loss_fn)
 
-        (loss, (comps, new_ms)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        return jax.value_and_grad(wrapped, has_aux=True)(params)
+
+    def step(state: TrainState, imgs, labels, img_mask, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        if accumulate == 1:
+            rng_flip, rng_drop = jax.random.split(rng)
+            x = imgs.astype(model.compute_dtype)
+            if augment:
+                x, labels = random_flips(rng_flip, x, labels)
+            (loss, (comps, new_ms)), grads = forward_and_grad(
+                state.params, state.batch_stats, x, labels, img_mask, rng_drop
+            )
+            new_bstats = new_ms["batch_stats"]
+        else:
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            zero_comps = {
+                "iou_loss": 0.0,
+                "objectness_loss": 0.0,
+                "classification_loss": 0.0,
+            }
+
+            def micro(carry, xs):
+                bstats, gacc, lacc, cacc, wacc = carry
+                mi, ml, mm, idx = xs
+                r = jax.random.fold_in(rng, idx)
+                rng_flip, rng_drop = jax.random.split(r)
+                x = mi.astype(model.compute_dtype)
+                if augment:
+                    x, ml = random_flips(rng_flip, x, ml)
+                (loss, (comps, new_ms)), g = forward_and_grad(
+                    state.params, bstats, x, ml, mm, rng_drop
+                )
+                # weight by the micro-batch's real-image count: loss/grad
+                # came back divided by max(count, 1), so count * value
+                # recovers the unnormalized sums (zero for all-pad micros)
+                w = jnp.sum(mm.astype(jnp.float32))
+                gacc = jax.tree.map(lambda a, b: a + w * b, gacc, g)
+                lacc = lacc + w * loss
+                cacc = jax.tree.map(lambda a, b: a + w * b, cacc, comps)
+                return (
+                    new_ms["batch_stats"], gacc, lacc, cacc, wacc + w
+                ), None
+
+            (new_bstats, gsum, lsum, csum, wsum), _ = jax.lax.scan(
+                micro,
+                (state.batch_stats, zero_grads, 0.0, zero_comps, 0.0),
+                (imgs, labels, img_mask, jnp.arange(accumulate)),
+            )
+            denom = jnp.maximum(wsum, 1.0)
+            grads = jax.tree.map(lambda a: a / denom, gsum)
+            loss = lsum / denom
+            comps = jax.tree.map(lambda a: a / denom, csum)
+
         updates, new_opt_state = tx.update(
             grads, state.opt_state, state.params
         )
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             params=new_params,
-            batch_stats=new_ms["batch_stats"],
+            batch_stats=new_bstats,
             opt_state=new_opt_state,
             step=state.step + 1,
         )
@@ -239,19 +303,15 @@ class Trainer:
         # activations shrink Nx), orthogonal to data parallelism.
         self._spatial = int(config.get("spatial_parallel", 1) or 1)
         if self._spatial > 1 and jax.process_count() > 1:
-            raise ValueError(
-                "spatial_parallel training is single-process only (the "
-                "multi-host batch globalization assumes a 1-D data mesh)"
-            )
-        if config.get("fsdp") and jax.process_count() > 1:
-            # host-side device_put of the initial state to a non-replicated
-            # GLOBAL sharding needs per-process assembly this driver does
-            # not do (each process holds the full state; only its own
-            # shards are addressable)
-            raise ValueError(
-                "fsdp training is single-process only: multi-host state "
-                "sharding needs per-process shard assembly"
-            )
+            local_dev = len(jax.local_devices())
+            if local_dev % self._spatial:
+                # get_mesh_2d reshapes the process-major global device list
+                # into (data, space) rows; a row must not straddle hosts or
+                # every conv halo exchange would ride DCN instead of ICI
+                raise ValueError(
+                    f"spatial_parallel={self._spatial} must divide the "
+                    f"per-process device count {local_dev} under multi-host"
+                )
         self.mesh = (
             get_mesh_2d(self._spatial) if self._spatial > 1 else get_mesh()
         )
@@ -342,7 +402,12 @@ class Trainer:
 
     def _init_training_tools(self) -> None:
         cfg = self.config
-        total_steps = cfg["epochs"] * len(self.train_dataloader)
+        # with gradient accumulation the optimizer steps once per A loader
+        # batches, so the cosine schedule's horizon is the optimizer-step
+        # count (ceil: a final short group still steps once)
+        self._accumulate = max(int(cfg.get("accumulate_grad_batches", 1) or 1), 1)
+        steps_per_epoch = -(-len(self.train_dataloader) // self._accumulate)
+        total_steps = cfg["epochs"] * steps_per_epoch
         self.tx, self.lr_schedule = make_optimizer(
             learning_rate=cfg["learning_rate"],
             weight_decay=cfg["weight_decay"],
@@ -408,16 +473,29 @@ class Trainer:
                 opt_state=fsdp_sharding_tree(self.mesh, self.state.opt_state),
                 step=rep,
             )
-            self.state = jax.device_put(self.state, state_shd)
+            # multi-host safe: each process assembles only its addressable
+            # shards from its (identical) host copy of the state
+            self.state = put_with_shardings(self.state, state_shd)
         else:
             state_shd = rep
         step_fn = make_train_step(
             self.model, self.tx, self.loss_kwargs, tuning=self.tuning,
             remat=self.config.get("remat", "none"),
+            accumulate=self._accumulate,
         )
+        if self._accumulate > 1:
+            # micro-batch stacks (A, b, ...): batch axis sharded at axis 1,
+            # the accumulation axis stays unsharded (it is scanned). These
+            # are TRAIN-step-only: the eval step below keeps the plain
+            # rank-4 batch shardings (img_shd/dat/msk)
+            img_in = space_sharded(self.mesh, ndim=5, h_axis=3, batch_axis=1)
+            dat_in = data_sharded(self.mesh, ndim=5, batch_axis=1)
+            msk_in = data_sharded(self.mesh, ndim=2, batch_axis=1)
+        else:
+            img_in, dat_in, msk_in = img_shd, dat, msk
         self._train_step = jax.jit(
             step_fn,
-            in_shardings=(state_shd, img_shd, dat, msk, rep),
+            in_shardings=(state_shd, img_in, dat_in, msk_in, rep),
             out_shardings=(state_shd, rep, rep),
             donate_argnums=(0,),
         )
@@ -472,6 +550,17 @@ class Trainer:
 
     # ----------------------------------------------------------- checkpoint
     def checkpoint(self, filename: Path, model_name: str, **kwargs) -> None:
+        # multi-host FSDP shards the state ACROSS hosts: replicating it for
+        # the write is an all-gather every process must join, so the fetch
+        # happens before the rank gate (single-process/replicated state it
+        # degenerates to a plain device fetch)
+        host_state = fetch_replicated(
+            {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+            }
+        )
         if jax.process_index() != 0:
             # the reference rank-gates saves (yogo/train.py _validate);
             # replicated state is identical everywhere, and concurrent
@@ -481,10 +570,10 @@ class Trainer:
             filename,
             self.model,
             {
-                "params": jax.device_get(self.state.params),
-                "batch_stats": jax.device_get(self.state.batch_stats),
+                "params": host_state["params"],
+                "batch_stats": host_state["batch_stats"],
             },
-            opt_state=jax.device_get(self.state.opt_state),
+            opt_state=host_state["opt_state"],
             epoch=self.epoch,
             step=int(self.state.step),
             classes=self.config["class_names"],
@@ -520,6 +609,7 @@ class Trainer:
             for imgs, labels, mask in prefetch_to_device(
                 self.train_dataloader, self.mesh,
                 spatial_first=self._spatial > 1,
+                accumulate=self._accumulate,
             ):
                 # optional jax.profiler trace of the first few hot-loop steps
                 # (aux tracing subsystem; the reference has only a Timer)
@@ -533,7 +623,10 @@ class Trainer:
                     tracing = False
                     profile_steps = 0
 
-                batch_imgs = imgs.shape[0]
+                # a stacked (A, b, ...) accumulation group carries A*b images
+                batch_imgs = imgs.shape[0] * (
+                    imgs.shape[1] if imgs.ndim == 5 else 1
+                )
                 self.state, loss, comps = self._train_step(
                     self.state, imgs, labels, mask, self._rng
                 )
@@ -885,6 +978,7 @@ def do_training(args) -> None:
         "remat": getattr(args, "remat", "none"),
         "spatial_parallel": getattr(args, "spatial_parallel", 1),
         "fsdp": getattr(args, "fsdp", False),
+        "accumulate_grad_batches": getattr(args, "accumulate_grad_batches", 1),
     }
     trainer = Trainer(config)
     trainer.init()

@@ -273,8 +273,8 @@ def train_parser(parser=None):
             "split each image's rows over N devices on a 2-D (data, space) "
             "mesh - GSPMD spatial partitioning, XLA inserts the conv halo "
             "exchanges (extension; shrinks per-device activations Nx for "
-            "tall images or large batches; N must divide the image height; "
-            "single-process only) (default: 1)"
+            "tall images or large batches; N must divide the image height "
+            "and, multi-host, the per-process device count) (default: 1)"
         ),
     )
     parser.add_argument(
@@ -285,6 +285,16 @@ def train_parser(parser=None):
             "all-gathers each weight at use and reduce-scatters its "
             "gradient; extension - per-device model-state memory shrinks "
             "by the device count; identical math)"
+        ),
+    )
+    parser.add_argument(
+        "--accumulate-grad-batches", type=positive_int, default=1,
+        help=(
+            "accumulate gradients over N loader batches before each "
+            "optimizer step (extension; effective batch = N x batch-size "
+            "at the activation memory of ONE batch - count-weighted, so "
+            "it equals the big-batch gradient exactly under frozen BN; "
+            "the LR schedule ticks per optimizer step) (default: 1)"
         ),
     )
     return parser
@@ -488,9 +498,10 @@ def infer_parser(parser=None):
     parser.add_argument(
         "--data-parallel", action="store_true",
         help=(
-            "shard each batch over all devices of this process (extension "
-            "- the reference infers on one GPU; e.g. uses all 8 chips of "
-            "a v5e-8 host, no-op on a single chip, single-process only)"
+            "shard each batch over all devices (extension - the reference "
+            "infers on one GPU; e.g. all 8 chips of a v5e-8 host; under "
+            "multi-host each process takes its chunk of the image list and "
+            "counts reduce globally; no-op on a single chip)"
         ),
     )
     parser.add_argument(
