@@ -403,23 +403,31 @@ def test_quantized_forward_int8_sharded_matches_single_device():
     np.testing.assert_allclose(single[:, 4], obj_ref, atol=0.1)
 
 
-def test_predict_quantize_rejects_convnext(tmp_path):
+def test_predict_quantize_convnext_end_to_end(tmp_path):
+    """The product surface routes --quantize by family: a convnext
+    checkpoint runs through ops/quant_convnext.py (pointwise matmuls in
+    int8), calibrating on the run's own images, and its predictions track
+    the float path (compare obj/cls/xy - never raw w/h of an UNTRAINED
+    net, whose exp(tw) decode amplifies backbone noise; CLAUDE.md)."""
     from tests.test_golden_detections import gen_test_images
     from yogo_tpu.infer import predict
     from yogo_tpu.utils.checkpoint import save_checkpoint
 
-    model = YOGO.create((64, 64), 0.08, 0.1, 2, model_version="convnext_small")
+    model = YOGO.create((96, 128), 0.08, 0.1, 2, model_version="convnext_small")
     v = model.init(jax.random.key(0))
     ck = tmp_path / "cn.ckpt"
     save_checkpoint(ck, model, v, {})
     img_dir = tmp_path / "imgs"
     gen_test_images(img_dir, n=2, seed=2)
-    with pytest.raises(ValueError, match="conv-stack"):
-        predict(
-            ck,
-            path_to_images=img_dir,
-            quantize=True,
-            return_full_predictions=True,
-            batch_size=2,
-            use_tqdm=False,
-        )
+    kw = dict(
+        path_to_images=img_dir,
+        return_full_predictions=True,
+        batch_size=2,
+        use_tqdm=False,
+    )
+    pq = np.asarray(predict(ck, quantize=True, **kw), np.float32)
+    pf = np.asarray(predict(ck, **kw), np.float32)
+    assert pq.shape == pf.shape
+    assert np.max(np.abs(pq[:, 4] - pf[:, 4])) < 0.01  # objectness
+    assert np.max(np.abs(pq[:, 5:] - pf[:, 5:])) < 0.01  # class probs
+    assert np.max(np.abs(pq[:, :2] - pf[:, :2])) < 0.01  # centers

@@ -114,10 +114,12 @@ def predict(
     the reference's host NMS has no capacity) bounds the fused on-device
     count path's top-K; the default covers ~1.5x the realistic max object
     density (capacity note: docs/perf-notes.md round 3). `quantize` (an
-    extension - no reference analogue) runs the backbone's wide blocks in
+    extension - no reference analogue) runs the backbone's wide matmuls in
     int8 on the MXU after calibrating activation scales on the first
-    batch of this run's own images (ops/quant.py; ~1.25x forward
-    throughput on v5e at detection parity with the float path).
+    batch of this run's own images (conv stacks: ops/quant.py, ~1.25x
+    forward throughput on v5e at detection parity with the float path;
+    convnext: ops/quant_convnext.py quantizes the pointwise/downsample
+    matmuls).
     `data_parallel` (an extension - the reference infers on a single GPU,
     reference: yogo/infer.py:214-216) shards each batch over ALL devices
     of this process via a 1-D jax Mesh (parallel/mesh.py), e.g. the 8
@@ -282,21 +284,42 @@ def predict(
 
     # jitted forward (full batch shape only; last batch is padded)
     if quantize:
-        from yogo_tpu.ops.quant import (
-            default_skip_blocks,
-            quantize_conv_stack,
-            quantized_forward,
-        )
-
-        if model.defn.family != "conv_stack":
-            raise ValueError(
-                "--quantize supports conv-stack models only "
-                f"(got {model.defn.family})"
+        if model.defn.family == "convnext":
+            from yogo_tpu.ops.quant_convnext import (
+                quant_sites,
+                quantize_convnext,
+                quantized_convnext_forward,
             )
+
+            n_scales = len(quant_sites())
+            all_skip = False  # convnext always has wide matmuls to quantize
+
+            def build_qp(calib, scales=None):
+                return quantize_convnext(
+                    model, variables, calib, act_scales=scales
+                )
+
+            fwd_quant = quantized_convnext_forward
+        else:
+            from yogo_tpu.ops.quant import (
+                default_skip_blocks,
+                quantize_conv_stack,
+                quantized_forward,
+            )
+
+            skip = default_skip_blocks(model.defn, model.input_channels)
+            n_scales = len(model.defn.blocks) - 1
+            all_skip = len(skip) == n_scales
+
+            def build_qp(calib, scales=None):
+                return quantize_conv_stack(
+                    model, variables, calib, skip_blocks=skip, act_scales=scales
+                )
+
+            fwd_quant = quantized_forward
+
         if n_images == 0:
             raise ValueError("--quantize needs at least one image to calibrate")
-        skip = default_skip_blocks(model.defn, model.input_channels)
-        all_skip = len(skip) == len(model.defn.blocks) - 1
         if all_skip or (mh and pid != 0):
             # every block skipped (narrow arch): quantize_conv_stack never
             # consumes a calibration batch, so don't decode one (a full
@@ -322,31 +345,22 @@ def predict(
             from jax.experimental import multihost_utils
 
             local_scales = (
-                np.asarray(
-                    quantize_conv_stack(
-                        model, variables, calib_batches, skip_blocks=skip
-                    )["scales"],
-                    np.float32,
-                )
+                np.asarray(build_qp(calib_batches)["scales"], np.float32)
                 if pid == 0
-                else np.zeros(len(model.defn.blocks) - 1, np.float32)
+                else np.zeros(n_scales, np.float32)
             )
             scales = np.asarray(
                 multihost_utils.broadcast_one_to_all(local_scales)
             )
-            qp = quantize_conv_stack(
-                model, variables, [], skip_blocks=skip, act_scales=scales
-            )
+            qp = build_qp([], scales=scales)
         else:
-            qp = quantize_conv_stack(
-                model, variables, calib_batches, skip_blocks=skip
-            )
+            qp = build_qp(calib_batches)
 
         if mesh is not None:
             qp = replicate_to_mesh(qp, mesh)
 
         def _fwd(imgs):
-            return quantized_forward(model, qp, imgs)
+            return fwd_quant(model, qp, imgs)
 
     else:
 

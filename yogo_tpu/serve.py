@@ -208,19 +208,32 @@ def build_server(
         return imgs.astype(jnp.float32) / 255.0 if normalize else imgs
 
     if quantize:
-        from yogo_tpu.ops.quant import (
-            default_skip_blocks,
-            quantize_conv_stack,
-            quantized_forward,
-        )
-
-        if model.defn.family != "conv_stack":
-            raise ValueError(
-                "--quantize supports conv-stack models only "
-                f"(got {model.defn.family})"
+        if model.defn.family == "convnext":
+            from yogo_tpu.ops.quant_convnext import (
+                quantize_convnext as _quantize,
+                quantized_convnext_forward as _q_forward,
             )
-        skip = default_skip_blocks(model.defn, model.input_channels)
-        if len(skip) == len(model.defn.blocks) - 1:
+
+            def build_qp(calib):
+                return _quantize(model, variables, calib)
+
+            all_skip = False  # convnext always has wide matmuls to quantize
+        else:
+            from yogo_tpu.ops.quant import (
+                default_skip_blocks,
+                quantize_conv_stack,
+                quantized_forward as _q_forward,
+            )
+
+            skip = default_skip_blocks(model.defn, model.input_channels)
+
+            def build_qp(calib):
+                return quantize_conv_stack(
+                    model, variables, calib, skip_blocks=skip
+                )
+
+            all_skip = len(skip) == len(model.defn.blocks) - 1
+        if all_skip:
             calib = []  # no int8 convs -> no scales consumed (ops/quant.py)
         else:
             if calibration_images is None:
@@ -241,10 +254,10 @@ def build_server(
             if n == 0:
                 raise ValueError("--calibration-images directory is empty")
             calib = [np.stack([ds[i][0] for i in range(n)])]
-        qp = quantize_conv_stack(model, variables, calib, skip_blocks=skip)
+        qp = build_qp(calib)
 
         def _fwd(imgs):
-            return quantized_forward(model, qp, _scale(imgs))
+            return _q_forward(model, qp, _scale(imgs))
 
     else:
 
