@@ -276,7 +276,9 @@ def predict(
     mh = mesh is not None and nproc > 1
     if mh:
         per_proc = -(-n_images // nproc)
-        chunk_lo = pid * per_proc
+        # clamp keeps chunk_lo <= chunk_hi when nproc > n_images (an
+        # empty chunk still dispatches n_rounds fully-masked batches)
+        chunk_lo = min(n_images, pid * per_proc)
         chunk_hi = min(n_images, chunk_lo + per_proc)
     else:
         per_proc = n_images
@@ -344,15 +346,18 @@ def predict(
             # every process assembles qp from the same (scales, weights)
             from jax.experimental import multihost_utils
 
+            qp0 = build_qp(calib_batches) if pid == 0 else None
             local_scales = (
-                np.asarray(build_qp(calib_batches)["scales"], np.float32)
-                if pid == 0
+                np.asarray(qp0["scales"], np.float32)
+                if qp0 is not None
                 else np.zeros(n_scales, np.float32)
             )
             scales = np.asarray(
                 multihost_utils.broadcast_one_to_all(local_scales)
             )
-            qp = build_qp([], scales=scales)
+            # pid 0 already holds the identical qp - don't quantize every
+            # weight tensor a second time just to rebuild it from scales
+            qp = qp0 if qp0 is not None else build_qp([], scales=scales)
         else:
             qp = build_qp(calib_batches)
 
@@ -436,15 +441,18 @@ def predict(
         ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
     )
 
+    def zero_batch():
+        # fully-masked padding batch: shape/dtype must match real batches so
+        # the compiled program is reused; every row is masked out via real=0
+        ch = 3 if model.is_rgb else 1
+        dtype = np.float32 if model.normalize_images else np.uint8
+        return np.zeros((batch_size, ch, img_h, int(img_w)), dtype), [], 0
+
     def load_batch(start: int):
         idxs = range(start, min(start + batch_size, chunk_hi))
         if len(idxs) == 0:
-            # aligned-rounds padding batch (multi-host, a shorter chunk):
-            # shape/dtype must match real batches so the compiled program
-            # is reused; every row is masked out via real=0
-            ch = 3 if model.is_rgb else 1
-            dtype = np.float32 if model.normalize_images else np.uint8
-            return np.zeros((batch_size, ch, img_h, int(img_w)), dtype), [], 0
+            # aligned-rounds padding batch (multi-host, a shorter chunk)
+            return zero_batch()
         if decode_pool is not None:
             items = list(decode_pool.map(dataset.__getitem__, idxs))
         else:
@@ -489,12 +497,18 @@ def predict(
                 imgs, names, real = pending.result()
             except Exception as e:
                 warnings.warn(f"got error {e}; continuing")
-                pending = (
-                    prefetcher.submit(load_batch, starts[bi + 1])
-                    if bi + 1 < len(starts)
-                    else None
-                )
-                continue
+                if not mh:
+                    pending = (
+                        prefetcher.submit(load_batch, starts[bi + 1])
+                        if bi + 1 < len(starts)
+                        else None
+                    )
+                    continue
+                # multi-host: the other processes enter this round's
+                # collective regardless, so a skipped round here would
+                # desynchronize the dispatch counts and deadlock them -
+                # substitute a fully-masked zero batch instead
+                imgs, names, real = zero_batch()
             pending = (
                 prefetcher.submit(load_batch, starts[bi + 1])
                 if bi + 1 < len(starts)

@@ -82,8 +82,9 @@ def fold_conv_stack(defn, variables) -> List[Tuple[ConvSpec, np.ndarray, np.ndar
     """All blocks of a conv_stack model as (spec, folded HWIO w, bias)."""
     if defn.family != "conv_stack":
         raise NotImplementedError(
-            "int8 quantization supports the conv_stack family only "
-            f"(got {defn.family}); convnext runs the float path"
+            "int8 quantization via quantize_conv_stack supports the "
+            f"conv_stack family only (got {defn.family}); for convnext "
+            "use ops.quant_convnext.quantize_convnext"
         )
     params = variables["params"]
     stats = variables.get("batch_stats", {})
@@ -96,6 +97,18 @@ def fold_conv_stack(defn, variables) -> List[Tuple[ConvSpec, np.ndarray, np.ndar
         )
         out.append((s, w, b))
     return out
+
+
+def to_nhwc_f32(xb) -> np.ndarray:
+    """Calibration batch (NCHW, uint8 or float, optionally unbatched or
+    single-channel-squeezed) -> NHWC f32, the layout the quantized forward
+    consumes. Shared by both quant families (quant_convnext imports it)."""
+    x = np.asarray(xb)
+    if x.ndim == 2:
+        x = x[None, None]
+    elif x.ndim == 3:
+        x = x[None]
+    return np.transpose(x, (0, 2, 3, 1)).astype(np.float32)
 
 
 def _conv(x, w, spec: ConvSpec, preferred):
@@ -228,14 +241,6 @@ def quantize_conv_stack(
             f"skip_blocks {sorted(skip - valid)} out of range; this "
             f"{len(folded)}-block model indexes 1..{len(folded) - 1}"
         )
-    def to_nhwc_f32(xb):
-        x = np.asarray(xb)
-        if x.ndim == 2:
-            x = x[None, None]
-        elif x.ndim == 3:
-            x = x[None]
-        return np.transpose(x, (0, 2, 3, 1)).astype(np.float32)
-
     if act_scales is not None:
         scales = np.asarray(act_scales, np.float32)
         if scales.shape != (len(folded) - 1,):

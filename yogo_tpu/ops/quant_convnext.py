@@ -263,6 +263,18 @@ def calibrate_act_scales(
     return (absmax / 127.0).astype(np.float32)
 
 
+def _tree_has(params: Dict[str, Any], key: str) -> bool:
+    """True when the '/'-joined path resolves to a node with a kernel."""
+    from collections.abc import Mapping
+
+    node: Any = params
+    for part in key.split("/"):
+        if not isinstance(node, Mapping) or part not in node:
+            return False
+        node = node[part]
+    return isinstance(node, Mapping) and "kernel" in node
+
+
 def _quantize_site_weights(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Per-output-channel int8 for a site kernel: Dense (cin, cout) or conv
     HWIO; both reduce over everything but the last axis (reuses
@@ -300,6 +312,17 @@ def quantize_convnext(
     sites = quant_sites(min_cin=min_cin)
     keys = [k for k, _ in sites]
 
+    # the functional twin hardcodes ConvNeXt-Small geometry (DEPTHS/DIMS):
+    # a hypothetical second convnext variant would pass the family gate but
+    # mis-walk the param tree - fail loudly here instead of deep in _lookup
+    missing = [k for k in keys if not _tree_has(params, k)]
+    if missing:
+        raise NotImplementedError(
+            "quantize_convnext is pinned to the ConvNeXt-Small geometry "
+            f"(DEPTHS={DEPTHS}, DIMS={DIMS}); this model's params lack "
+            f"site(s) {missing[:3]}{'...' if len(missing) > 3 else ''}"
+        )
+
     if act_scales is not None:
         scales = np.asarray(act_scales, np.float32)
         if scales.shape != (len(keys),):
@@ -310,14 +333,7 @@ def quantize_convnext(
         if not np.all(scales > 0):
             raise ValueError("act_scales has a zero scale for a quantized site")
     else:
-
-        def to_nhwc_f32(xb):
-            x = np.asarray(xb)
-            if x.ndim == 2:
-                x = x[None, None]
-            elif x.ndim == 3:
-                x = x[None]
-            return np.transpose(x, (0, 2, 3, 1)).astype(np.float32)
+        from yogo_tpu.ops.quant import to_nhwc_f32
 
         scales = calibrate_act_scales(
             params, (to_nhwc_f32(b) for b in calib_batches), min_cin=min_cin

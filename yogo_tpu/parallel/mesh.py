@@ -204,30 +204,52 @@ def replicate_to_mesh(tree: Any, mesh: Mesh) -> Any:
     return put_with_shardings(tree, replicated(mesh))
 
 
+_REPLICATE_JITS: dict = {}
+
+
+def _replicate_all_fn(mesh: Mesh):
+    """One cached jitted identity per mesh: a stable function identity so
+    repeated checkpoint saves reuse the compiled all-gather program instead
+    of recompiling a fresh jit wrapper per leaf per call."""
+    from jax.sharding import PartitionSpec
+
+    fn = _REPLICATE_JITS.get(mesh)
+    if fn is None:
+        fn = jax.jit(
+            lambda xs: xs,
+            out_shardings=NamedSharding(mesh, PartitionSpec()),
+        )
+        _REPLICATE_JITS[mesh] = fn
+    return fn
+
+
 def fetch_replicated(tree: Any) -> Any:
     """Host (numpy) copy of a device pytree whose leaves may be sharded
     across hosts (multi-host FSDP state at checkpoint time).
 
-    Cross-host-sharded leaves are replicated first via an identity jit with
-    a replicated out_sharding (an XLA all-gather over the mesh) - so under
-    multi-host EVERY process must call this together even if only process 0
-    writes the result; fully-addressable or fully-replicated leaves fetch
-    directly."""
-    from jax.sharding import PartitionSpec
-
-    def leaf(x):
-        if (
-            isinstance(x, jax.Array)
-            and not x.is_fully_addressable
-            and not x.is_fully_replicated
-        ):
-            x = jax.jit(
-                lambda a: a,
-                out_shardings=NamedSharding(x.sharding.mesh, PartitionSpec()),
-            )(x)
-        return np.asarray(x)
-
-    return jax.tree.map(leaf, tree)
+    Cross-host-sharded leaves are replicated first in ONE jitted identity
+    program with a replicated out_sharding (an XLA all-gather over the
+    mesh) - so under multi-host EVERY process must call this together even
+    if only process 0 writes the result; fully-addressable or
+    fully-replicated leaves fetch directly."""
+    leaves, treedef = jax.tree.flatten(tree)
+    need = [
+        i
+        for i, x in enumerate(leaves)
+        if isinstance(x, jax.Array)
+        and not x.is_fully_addressable
+        and not x.is_fully_replicated
+    ]
+    # group by mesh (in practice all state shares one mesh) and gather each
+    # group in a single dispatch: per-leaf jits were 100+ compiles per save
+    by_mesh: dict = {}
+    for i in need:
+        by_mesh.setdefault(leaves[i].sharding.mesh, []).append(i)
+    for mesh, idxs in by_mesh.items():
+        gathered = _replicate_all_fn(mesh)([leaves[i] for i in idxs])
+        for i, g in zip(idxs, gathered):
+            leaves[i] = g
+    return treedef.unflatten([np.asarray(x) for x in leaves])
 
 
 def fetch_local_rows(arr: jax.Array) -> np.ndarray:
