@@ -709,3 +709,161 @@ def test_trainer_checkpoint_rank_gated(tmp_path, monkeypatch):
     monkeypatch.setattr(jax, "process_index", lambda: 0)
     t.checkpoint(tmp_path / "best.ckpt", model_name="x")
     assert (tmp_path / "best.ckpt").exists()
+
+
+# ------------------------------------------------------- preemption / resume
+def _resume_base_config(tmp_path, pairs=None):
+    if pairs is None:
+        pairs = [
+            make_pair_dirs(tmp_path, str(i), n_images=6, seed=i)
+            for i in range(2)
+        ]
+    defn = write_defn(
+        tmp_path / "resume_d.yml",
+        dataset_pairs=pairs,
+        split={"train": 0.75, "val": 0.25},
+    )
+    return {
+        "learning_rate": 1e-3, "decay_factor": 10.0, "weight_decay": 5e-2,
+        "label_smoothing": 0.01, "iou_weight": 5.0, "no_obj_weight": 0.5,
+        "classify_weight": 1.0, "epochs": 4, "batch_size": 4,
+        "anchor_w": 0.1, "anchor_h": 0.15, "model": "quarter_filters",
+        "half": False, "rgb": False, "image_hw": (40, 56),
+        "pretrained_path": None, "normalize_images": False,
+        "dataset_split_override": None,
+        "dataset_descriptor_file": str(defn),
+        "name": "resume", "note": None, "tags": None,
+        "wandb_entity": None, "wandb_project": None, "use_wandb": False,
+        "model_save_dir": str(tmp_path / "run_full"),
+    }
+
+
+def test_resume_requires_pretrained(tmp_path):
+    cfg = dict(_resume_base_config(tmp_path), resume=True)
+    t = Trainer(cfg)
+    with pytest.raises(ValueError, match="--resume .* --from-pretrained"):
+        t.init()
+
+
+def test_resume_exact_continuation(tmp_path):
+    """An epoch-boundary SIGTERM stop + --resume replays the uninterrupted
+    run bit-for-bit: params, BN stats, optimizer count, min-val-loss
+    watermark and the epoch counter all carry over (the rng stream is
+    step-keyed and the shuffle is epoch-keyed, so nothing drifts)."""
+    from pathlib import Path
+
+    base = _resume_base_config(tmp_path)
+
+    # run A: 4 epochs uninterrupted
+    tA = Trainer(dict(base))
+    tA.init()
+    tA.train()
+    full_latest = Path(base["model_save_dir"]) / "latest.ckpt"
+    _, varsA, metaA = load_checkpoint(full_latest)
+    assert metaA["next_epoch"] == 4
+
+    # run B1: same config, stop at the end of epoch 1 (signal lands while
+    # the per-epoch latest.ckpt write runs -> consensus boundary stop)
+    cfgB = dict(base, model_save_dir=str(tmp_path / "run_int"))
+    tB = Trainer(cfgB)
+    tB.init()
+    orig_ckpt = tB.checkpoint
+
+    def ckpt_hook(path, model_name, **kw):
+        orig_ckpt(path, model_name, **kw)
+        if Path(path).name == "latest.ckpt" and tB.epoch == 1:
+            tB._stop_requested = True
+
+    tB.checkpoint = ckpt_hook
+    assert tB.train() is None  # interrupted: no test pass
+    int_latest = Path(cfgB["model_save_dir"]) / "latest.ckpt"
+    _, _, metaB = load_checkpoint(int_latest)
+    assert metaB["next_epoch"] == 2
+    assert metaB["min_val_loss"] is not None  # epoch-0 validation recorded
+
+    # run B2: --resume from the interrupted checkpoint
+    cfgR = dict(
+        base,
+        model_save_dir=str(tmp_path / "run_resumed"),
+        pretrained_path=str(int_latest),
+        resume=True,
+    )
+    tR = Trainer(cfgR)
+    tR.init()
+    assert tR._start_epoch == 2
+    assert tR.tuning is False  # resume is NOT a BN-frozen fine-tune
+    assert tR.min_val_loss == pytest.approx(metaB["min_val_loss"])
+    tR.train()
+
+    _, varsR, metaR = load_checkpoint(
+        Path(cfgR["model_save_dir"]) / "latest.ckpt"
+    )
+    assert metaR["next_epoch"] == 4
+    flatA = jax.tree.leaves(varsA)
+    flatR = jax.tree.leaves(varsR)
+    assert len(flatA) == len(flatR)
+    for a, r in zip(flatA, flatR):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+
+
+def test_sigterm_mid_epoch_checkpoint(tmp_path):
+    """A mid-epoch stop (single-process) checkpoints latest.ckpt with
+    next_epoch = the UNFINISHED epoch, so --resume replays it from the
+    top instead of skipping it."""
+    base = _resume_base_config(tmp_path)
+    base["model_save_dir"] = str(tmp_path / "run_mid")
+    t = Trainer(base)
+    t.init()
+    t._stop_requested = True  # as if SIGTERM arrived before step 1
+    assert t.train() is None
+    p = (tmp_path / "run_mid") / "latest.ckpt"
+    assert p.exists()
+    _, _, meta = load_checkpoint(p)
+    assert meta["next_epoch"] == 0  # epoch 0 never finished
+    assert meta["step"] >= 1  # but the in-flight step completed first
+
+    # and the resumed run starts at epoch 0 and completes normally
+    cfgR = dict(
+        base,
+        model_save_dir=str(tmp_path / "run_mid2"),
+        pretrained_path=str(p),
+        resume=True,
+        epochs=1,
+    )
+    tR = Trainer(cfgR)
+    tR.init()
+    assert tR._start_epoch == 0
+    tR.train()
+    assert ((tmp_path / "run_mid2") / "latest.ckpt").exists()
+
+
+def test_sigterm_real_signal(tmp_path):
+    """The trainer's SIGTERM handler is actually installed during train():
+    a real signal delivered mid-run stops at the next epoch boundary with
+    a resumable checkpoint (this is the TPU-pod/SLURM preemption path)."""
+    import os
+    import signal as _signal
+
+    base = _resume_base_config(tmp_path)
+    base["model_save_dir"] = str(tmp_path / "run_sig")
+    t = Trainer(base)
+    t.init()
+    orig_flush = t._flush_train_logs
+    fired = []
+
+    def flush_hook(pending, epoch, window_imgs, window_start):
+        r = orig_flush(pending, epoch, window_imgs, window_start)
+        if not fired:
+            fired.append(1)
+            os.kill(os.getpid(), _signal.SIGTERM)
+        return r
+
+    t._flush_train_logs = flush_hook
+    prev_disposition = _signal.getsignal(_signal.SIGTERM)
+    assert t.train() is None
+    # the previous SIGTERM disposition is restored afterwards: a second
+    # SIGTERM would no longer be swallowed by the trainer's handler
+    assert _signal.getsignal(_signal.SIGTERM) is prev_disposition
+    _, _, meta = load_checkpoint((tmp_path / "run_sig") / "latest.ckpt")
+    # flush fires at the end of epoch 0 -> boundary stop, epoch 0 complete
+    assert meta["next_epoch"] == 1

@@ -23,6 +23,7 @@ Divergences (documented):
 from __future__ import annotations
 
 import math
+import signal
 import sys
 import time
 import warnings
@@ -319,6 +320,8 @@ class Trainer:
         self.global_step = 0
         self.tuning = False
         self.min_val_loss = float("inf")
+        self._start_epoch = 0
+        self._stop_requested = False
         self.model_save_dir: Optional[Path] = None
         self._initialized = False
 
@@ -345,6 +348,12 @@ class Trainer:
         # pretrained models with tuning=True: yogo/model.py:134)
         self.tuning = not (pretrained is None or pretrained == "none")
         self._pretrained_meta = None
+        resume = bool(cfg.get("resume"))
+        if resume and (pretrained is None or pretrained == "none"):
+            raise ValueError(
+                "--resume continues an interrupted run and needs its "
+                "checkpoint: pass --from-pretrained <run_dir>/latest.ckpt"
+            )
         if pretrained is None or pretrained == "none":
             self.model = YOGO.create(
                 img_size=cfg["image_hw"],
@@ -378,6 +387,20 @@ class Trainer:
             # checkpoint"; without this an RGB checkpoint gets 1-channel
             # batches and fails on input-channel mismatch
             cfg["rgb"] = self.model.is_rgb
+            if resume:
+                # exact continuation of the SAME run (preemption recovery),
+                # not a fine-tune: BatchNorm keeps training, the epoch
+                # counter / best-val-loss tracker pick up where the
+                # checkpoint left them, and AdamW moments + schedule count
+                # must come along (the rng stream is step-keyed, so the
+                # resumed run replays the uninterrupted run bit-for-bit)
+                self.tuning = False
+                cfg["resume_optimizer"] = True
+                self._start_epoch = int(
+                    meta.get("next_epoch", meta.get("epoch", -1) + 1)
+                )
+                if meta.get("min_val_loss") is not None:
+                    self.min_val_loss = float(meta["min_val_loss"])
         self.Sx, self.Sy = self.model.grid
 
     def _init_dataset(self) -> None:
@@ -566,6 +589,14 @@ class Trainer:
             # replicated state is identical everywhere, and concurrent
             # writers on a shared filesystem would race on the tmp file
             return
+        # resume metadata: which epoch a --resume run should start at, and
+        # the best-val-loss watermark so best.ckpt isn't overwritten by a
+        # worse post-resume validation (getattr: tests build bare Trainers)
+        kwargs.setdefault("next_epoch", getattr(self, "epoch", -1) + 1)
+        mvl = getattr(self, "min_val_loss", float("inf"))
+        kwargs.setdefault(
+            "min_val_loss", float(mvl) if np.isfinite(mvl) else None
+        )
         save_checkpoint(
             filename,
             self.model,
@@ -595,7 +626,21 @@ class Trainer:
             1, int(self.config.get("log_commit_interval", 100) or 100)
         )
         tracing = False
-        for epoch in range(self.config["epochs"]):
+        # graceful preemption (aux subsystem; the reference has none): a
+        # SIGTERM - the grace signal TPU-pod/SLURM preemption delivers -
+        # finishes the in-flight step, checkpoints latest.ckpt, and exits
+        # cleanly so the follow-up run continues with --resume. Registered
+        # only on the main thread (signal.signal raises elsewhere).
+        prev_sigterm = None
+        try:
+            prev_sigterm = signal.signal(
+                signal.SIGTERM,
+                lambda s, f: setattr(self, "_stop_requested", True),
+            )
+        except ValueError:
+            pass
+        interrupted = mid_epoch_stop = False
+        for epoch in range(self._start_epoch, self.config["epochs"]):
             self.epoch = epoch
             self.train_dataloader.set_epoch(epoch)
 
@@ -638,19 +683,90 @@ class Trainer:
                         pending, epoch, window_imgs, window_start
                     )
                     window_imgs = 0
+                if self._stop_requested and jax.process_count() == 1:
+                    # single-process: stop mid-epoch right away (the
+                    # checkpoint below records this epoch as unfinished, a
+                    # --resume replays it from the top). Multi-host ranks
+                    # may receive the signal at different steps, so they
+                    # keep the loop in lockstep and agree at the epoch
+                    # boundary instead - breaking here would desync the
+                    # collectives inside the jitted step.
+                    interrupted = mid_epoch_stop = True
+                    break
             if pending:
                 self._flush_train_logs(pending, epoch, window_imgs, window_start)
+            if interrupted:
+                break
 
             if epoch % 4 == 0:
                 self._validate()
+
+            # every-epoch latest.ckpt: the preemption-recovery anchor (the
+            # reference writes latest only at non-best validations). State
+            # is unchanged since _validate, so this supersedes rather than
+            # duplicates a latest write there.
+            if self.model_save_dir is not None:
+                self.checkpoint(
+                    self.model_save_dir / "latest.ckpt",
+                    model_name=self.logger.run_name or "recent_run_latest",
+                )
+            stop = self._stop_requested
+            if jax.process_count() > 1:
+                # consensus: stop iff ANY rank saw the signal, decided at
+                # the same point of the same epoch on every rank
+                from jax.experimental import multihost_utils
+
+                stop = bool(
+                    np.max(
+                        multihost_utils.process_allgather(
+                            np.asarray(stop, np.int32)
+                        )
+                    )
+                )
+            if stop:
+                interrupted = True
+                break
 
         if tracing:
             # the profile window reached the end of training before the
             # in-loop stop step: finalize so the trace is actually flushed
             jax.profiler.stop_trace()
 
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
+
+        if interrupted:
+            # preemption exit: persist state for --resume and return
+            # without the best-reload/test pass (the grace window is short)
+            if self.model_save_dir is not None and mid_epoch_stop:
+                # a mid-epoch stop leaves this epoch unfinished: a --resume
+                # must replay it from the top (the epoch-boundary stop path
+                # already wrote latest.ckpt with next_epoch=epoch+1)
+                self.checkpoint(
+                    self.model_save_dir / "latest.ckpt",
+                    model_name=self.logger.run_name or "recent_run_latest",
+                    next_epoch=self.epoch,
+                )
+            print(
+                "training interrupted by SIGTERM: state saved to "
+                f"{(self.model_save_dir or Path('.')) / 'latest.ckpt'} - "
+                "continue with `yogo train ... --from-pretrained "
+                "<that file> --resume`",
+                file=sys.stderr,
+            )
+            self.logger.finish()
+            return None
+
         # reload best checkpoint and evaluate on the test split
         # (reference: yogo/train.py:344-361)
+        if jax.process_count() > 1:
+            # rank 0 may still be writing best.ckpt from the final
+            # _validate(); without a barrier another rank can read a
+            # partially-written file (or miss it entirely), desyncing
+            # params across ranks before the collective test() below
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("yogo:best-ckpt-written")
         best = (self.model_save_dir or Path(".")) / "best.ckpt"
         if best.exists():
             _, variables, meta = load_any(best)
@@ -757,11 +873,9 @@ class Trainer:
                 self.model_save_dir / "best.ckpt",
                 model_name=self.logger.run_name or "recent_run_best",
             )
-        else:
-            self.checkpoint(
-                self.model_save_dir / "latest.ckpt",
-                model_name=self.logger.run_name or "recent_run_latest",
-            )
+        # (the reference writes latest.ckpt here when not best,
+        # yogo/train.py _validate; this trainer writes latest at EVERY
+        # epoch end instead - same state, strictly fresher cadence)
         self.logger.log(log, step=self.global_step)
 
     # ------------------------------------------------------------------ test
@@ -974,6 +1088,7 @@ def do_training(args) -> None:
         "wandb_project": args.wandb_project,
         "use_wandb": getattr(args, "wandb", True),
         "profile_steps": getattr(args, "profile_steps", 0),
+        "resume": getattr(args, "resume", False),
         "resume_optimizer": getattr(args, "resume_optimizer", False),
         "remat": getattr(args, "remat", "none"),
         "spatial_parallel": getattr(args, "spatial_parallel", 1),

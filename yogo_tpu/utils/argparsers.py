@@ -244,6 +244,17 @@ def train_parser(parser=None):
         help="log to wandb when available (--no-wandb for local-only JSONL logs)",
     )
     parser.add_argument(
+        "--resume", default=False, action=boolean_action,
+        help=(
+            "with --from-pretrained <run_dir>/latest.ckpt: continue an "
+            "interrupted run exactly where it stopped - epoch counter, "
+            "best-val-loss watermark, AdamW moments and LR schedule all "
+            "carry over, and BatchNorm keeps training (unlike a plain "
+            "--from-pretrained fine-tune). Pairs with the trainer's "
+            "SIGTERM handler, which checkpoints latest.ckpt on preemption"
+        ),
+    )
+    parser.add_argument(
         "--resume-optimizer", default=False, action=boolean_action,
         help=(
             "with --from-pretrained: restore the saved AdamW optimizer "
