@@ -407,3 +407,86 @@ def test_multi_process_inference_matches_single_process(tmp_path, capsys):
     assert [p.name for p in mh_txts] == [p.name for p in single_txts]
     for s, m in zip(single_txts, mh_txts):
         assert m.read_text() == s.read_text(), m.name
+
+
+def test_multi_process_preemption_resume(tmp_path):
+    """REAL multi-host preemption recovery through the full Trainer.train()
+    loop: 2 processes x 2 virtual CPU devices. Phase 1 delivers a REAL
+    SIGTERM to rank 1 ONLY - rank 0 must stop via the epoch-boundary
+    process_allgather consensus in the same epoch, with no collective
+    desync, leaving a rank-0-written latest.ckpt with resume metadata.
+    Phase 2 runs `--resume` from that checkpoint multi-host: it must start
+    at the recorded epoch and run to completion through the best-reload
+    barrier. Both phases assert bit-identical replicated params across
+    ranks (the norms printed by the workers)."""
+    import time
+
+    from tests.data_fixtures import make_pair_dirs, write_defn
+
+    pairs = [
+        make_pair_dirs(tmp_path, str(i), n_images=6, seed=i) for i in range(2)
+    ]
+    defn = write_defn(
+        tmp_path / "mht_d.yml",
+        dataset_pairs=pairs,
+        split={"train": 0.75, "val": 0.25},
+    )
+
+    def run_phase(phase, outdir, pretrained=None):
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            env = dict(
+                os.environ,
+                PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}",
+                XLA_FLAGS="--xla_force_host_platform_device_count=2",
+                JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                JAX_NUM_PROCESSES="2",
+                JAX_PROCESS_ID=str(pid),
+            )
+            argv = [sys.executable,
+                    str(REPO / "tests" / "multihost_train_worker.py"),
+                    str(pid), str(defn), str(outdir), phase]
+            if pretrained is not None:
+                argv.append(str(pretrained))
+            procs.append(
+                subprocess.Popen(argv, env=env, stdout=subprocess.PIPE,
+                                 stderr=subprocess.PIPE, text=True)
+            )
+            time.sleep(1)
+        rows = {}
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail(f"multihost {phase} workers timed out")
+            assert p.returncode == 0, f"{phase} worker failed:\n{err[-3000:]}"
+            for line in out.splitlines():
+                if line.startswith("MHT "):
+                    _, pid_s, ph, outcome, norm = line.split()
+                    assert ph == phase
+                    rows[int(pid_s)] = (outcome, float(norm))
+        assert set(rows) == {0, 1}, rows
+        # replicated params bit-identical across ranks
+        assert rows[0][1] == rows[1][1], rows
+        return rows
+
+    from yogo_tpu.utils.checkpoint import load_checkpoint
+
+    run_int = tmp_path / "run_int"
+    rows = run_phase("interrupt", run_int)
+    assert rows[0][0] == rows[1][0] == "interrupted"
+    latest = run_int / "latest.ckpt"
+    assert latest.exists()
+    _, _, meta = load_checkpoint(latest)
+    # consensus stop at the end of epoch 1 on BOTH ranks
+    assert meta["next_epoch"] == 2, meta
+    assert meta["min_val_loss"] is not None  # epoch-0 validation recorded
+
+    run_res = tmp_path / "run_res"
+    rows = run_phase("resume", run_res, pretrained=latest)
+    assert rows[0][0] == rows[1][0] == "completed"
+    _, _, meta = load_checkpoint(run_res / "latest.ckpt")
+    assert meta["next_epoch"] == 4, meta
