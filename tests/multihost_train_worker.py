@@ -88,10 +88,14 @@ def main() -> None:
     result = t.train()
 
     if phase == "interrupt":
+        # the defn HAS a test split, so None really means "skipped the test
+        # pass because interrupted" - a run that ignored the SIGTERM would
+        # have returned test metrics here
         assert result is None, "interrupted run must skip the test pass"
         outcome = "interrupted"
         assert t.epoch == 1, f"consensus stop epoch drifted: {t.epoch}"
     else:
+        assert result is not None, "completed run must run the test pass"
         outcome = "completed"
         assert t._start_epoch == 2, t._start_epoch
 

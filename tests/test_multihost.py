@@ -426,10 +426,14 @@ def test_multi_process_preemption_resume(tmp_path):
     pairs = [
         make_pair_dirs(tmp_path, str(i), n_images=6, seed=i) for i in range(2)
     ]
+    # a real test split makes the workers' return-value asserts non-vacuous:
+    # train() returns None when interrupted AND when there is no test split,
+    # so without one the interrupt-phase "result is None" could not tell a
+    # consensus stop from a run that ignored the SIGTERM entirely
     defn = write_defn(
         tmp_path / "mht_d.yml",
         dataset_pairs=pairs,
-        split={"train": 0.75, "val": 0.25},
+        split={"train": 0.5, "val": 0.25, "test": 0.25},
     )
 
     def run_phase(phase, outdir, pretrained=None):

@@ -814,7 +814,17 @@ def test_sigterm_mid_epoch_checkpoint(tmp_path):
     base["model_save_dir"] = str(tmp_path / "run_mid")
     t = Trainer(base)
     t.init()
-    t._stop_requested = True  # as if SIGTERM arrived before step 1
+
+    # the signal lands while step 1 is in flight (a flag set BEFORE train()
+    # is deliberately cleared at entry as stale); the in-flight step
+    # completes, the pre-step check fires before step 2
+    orig_step = t._train_step
+
+    def step_hook(state, imgs, labels, mask, rng):
+        t._stop_requested = True
+        return orig_step(state, imgs, labels, mask, rng)
+
+    t._train_step = step_hook
     assert t.train() is None
     p = (tmp_path / "run_mid") / "latest.ckpt"
     assert p.exists()
@@ -835,6 +845,48 @@ def test_sigterm_mid_epoch_checkpoint(tmp_path):
     assert tR._start_epoch == 0
     tR.train()
     assert ((tmp_path / "run_mid2") / "latest.ckpt").exists()
+
+
+def test_sigterm_stale_flag_cleared_at_entry(tmp_path):
+    """A _stop_requested left over from a previous interrupted train() on
+    the same Trainer must not abort a fresh train() after one step."""
+    base = _resume_base_config(tmp_path)
+    base["model_save_dir"] = str(tmp_path / "run_stale")
+    base["epochs"] = 1
+    t = Trainer(base)
+    t.init()
+    t._stop_requested = True  # stale, e.g. from a prior interrupted run
+    t.train()
+    _, _, meta = load_checkpoint((tmp_path / "run_stale") / "latest.ckpt")
+    assert meta["next_epoch"] == 1  # ran to completion, not interrupted
+
+
+def test_sigterm_during_final_step_completes_epoch(tmp_path):
+    """A SIGTERM that lands during an epoch's FINAL step must not mark the
+    fully-completed epoch as unfinished: the loop exhausts naturally and
+    the epoch-boundary consensus stop records next_epoch = epoch+1, so
+    --resume does not double-train a whole epoch of applied updates."""
+    base = _resume_base_config(tmp_path)
+    base["model_save_dir"] = str(tmp_path / "run_final")
+    t = Trainer(base)
+    t.init()
+    steps_per_epoch = len(t.train_dataloader)
+    assert steps_per_epoch >= 2
+    orig_step = t._train_step
+    calls = []
+
+    def step_hook(state, imgs, labels, mask, rng):
+        calls.append(1)
+        if len(calls) == steps_per_epoch:  # epoch 0's final step in flight
+            t._stop_requested = True
+        return orig_step(state, imgs, labels, mask, rng)
+
+    t._train_step = step_hook
+    assert t.train() is None  # still an interrupted (boundary) stop
+    assert len(calls) == steps_per_epoch  # no extra step dispatched
+    _, _, meta = load_checkpoint((tmp_path / "run_final") / "latest.ckpt")
+    assert meta["next_epoch"] == 1  # epoch 0 complete - replay NOT needed
+    assert meta["step"] == steps_per_epoch
 
 
 def test_sigterm_real_signal(tmp_path):

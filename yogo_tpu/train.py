@@ -625,13 +625,16 @@ class Trainer:
         commit_interval = max(
             1, int(self.config.get("log_commit_interval", 100) or 100)
         )
-        tracing = False
         # graceful preemption (aux subsystem; the reference has none): a
         # SIGTERM - the grace signal TPU-pod/SLURM preemption delivers -
         # finishes the in-flight step, checkpoints latest.ckpt, and exits
         # cleanly so the follow-up run continues with --resume. Registered
-        # only on the main thread (signal.signal raises elsewhere).
-        prev_sigterm = None
+        # only on the main thread (signal.signal raises elsewhere). The
+        # previous disposition may legitimately be None (installed from C),
+        # so "never installed" needs its own sentinel for the restore.
+        self._stop_requested = False  # a stale flag from a prior train()
+        not_installed = object()
+        prev_sigterm = not_installed
         try:
             prev_sigterm = signal.signal(
                 signal.SIGTERM,
@@ -639,6 +642,22 @@ class Trainer:
             )
         except ValueError:
             pass
+        try:
+            return self._train_epochs(profile_steps, profile_start,
+                                      commit_interval)
+        finally:
+            # restored in ALL exits - including exceptions out of the epoch
+            # loop (otherwise the lambda leaks process-wide and SIGTERM is
+            # silently swallowed for the life of the host) - and only AFTER
+            # the interrupted-path grace-window checkpoint inside, so a
+            # repeated SIGTERM during that save stays absorbed
+            if prev_sigterm is not not_installed:
+                signal.signal(signal.SIGTERM, prev_sigterm)
+
+    def _train_epochs(
+        self, profile_steps: int, profile_start: int, commit_interval: int
+    ) -> Optional[Tuple]:
+        tracing = False
         interrupted = mid_epoch_stop = False
         for epoch in range(self._start_epoch, self.config["epochs"]):
             self.epoch = epoch
@@ -656,6 +675,20 @@ class Trainer:
                 spatial_first=self._spatial > 1,
                 accumulate=self._accumulate,
             ):
+                if self._stop_requested and jax.process_count() == 1:
+                    # single-process: stop mid-epoch before dispatching the
+                    # next step (the checkpoint below records this epoch as
+                    # unfinished, a --resume replays it from the top).
+                    # Checking BEFORE the step - not after it - means a
+                    # signal that lands during the epoch's final step lets
+                    # the loop exhaust naturally, so a fully-completed epoch
+                    # is recorded complete instead of being replayed.
+                    # Multi-host ranks may receive the signal at different
+                    # steps, so they keep the loop in lockstep and agree at
+                    # the epoch boundary instead - breaking here would
+                    # desync the collectives inside the jitted step.
+                    interrupted = mid_epoch_stop = True
+                    break
                 # optional jax.profiler trace of the first few hot-loop steps
                 # (aux tracing subsystem; the reference has only a Timer)
                 if profile_steps and self.global_step == profile_start:
@@ -683,16 +716,6 @@ class Trainer:
                         pending, epoch, window_imgs, window_start
                     )
                     window_imgs = 0
-                if self._stop_requested and jax.process_count() == 1:
-                    # single-process: stop mid-epoch right away (the
-                    # checkpoint below records this epoch as unfinished, a
-                    # --resume replays it from the top). Multi-host ranks
-                    # may receive the signal at different steps, so they
-                    # keep the loop in lockstep and agree at the epoch
-                    # boundary instead - breaking here would desync the
-                    # collectives inside the jitted step.
-                    interrupted = mid_epoch_stop = True
-                    break
             if pending:
                 self._flush_train_logs(pending, epoch, window_imgs, window_start)
             if interrupted:
@@ -731,9 +754,6 @@ class Trainer:
             # the profile window reached the end of training before the
             # in-loop stop step: finalize so the trace is actually flushed
             jax.profiler.stop_trace()
-
-        if prev_sigterm is not None:
-            signal.signal(signal.SIGTERM, prev_sigterm)
 
         if interrupted:
             # preemption exit: persist state for --resume and return
