@@ -35,9 +35,11 @@ def _png_bytes(img_hw_u8: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def _post(port: int, body: bytes, path="/predict", timeout=60):
+def _post(port: int, body: bytes, path="/predict", timeout=60,
+          content_type=None):
     req = urllib.request.Request(
-        f"http://127.0.0.1:{port}{path}", data=body, method="POST"
+        f"http://127.0.0.1:{port}{path}", data=body, method="POST",
+        headers={"Content-Type": content_type} if content_type else {},
     )
     try:
         with urllib.request.urlopen(req, timeout=timeout) as r:
@@ -183,6 +185,37 @@ def test_missing_content_length_is_411(server):
         )
         head = s.recv(65536).split(b"\r\n", 1)[0]
     assert b"411" in head
+
+
+def test_raw_frame_path_matches_png_path(server, goldens_dir):
+    """`Content-Type: application/octet-stream` posts the raw (C, H, W)
+    uint8 buffer - the high-rate camera-client path. Responses must be
+    bit-identical to the PNG path for the same pixels (both feed the same
+    batcher), and size errors must be structured 400s."""
+    port = server.server_address[1]
+    img = gen_test_images(goldens_dir, n=1, seed=5)[0]  # (H, W) grayscale
+
+    _, png_resp = _post(port, _png_bytes(img))
+    status, raw_resp = _post(
+        port, img[None].tobytes(),  # (1, H, W) C-order
+        content_type="application/octet-stream",
+    )
+    assert status == 200
+    assert raw_resp == png_resp
+    assert len(raw_resp["detections"]) >= 1  # a real trained-model response
+
+    # wrong byte count -> 400 naming the expected size, not a 500
+    status, resp = _post(
+        port, img[None].tobytes()[:-7],
+        content_type="application/octet-stream",
+    )
+    assert status == 400 and "bytes" in resp["error"]
+    # content-type parameters (charset etc.) don't break the dispatch
+    status, resp = _post(
+        port, img[None].tobytes(),
+        content_type="application/octet-stream; x=y",
+    )
+    assert status == 200 and resp == png_resp
 
 
 def test_serve_rejects_duplicate_class_names():

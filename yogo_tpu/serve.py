@@ -21,6 +21,14 @@ Protocol (JSON over HTTP):
                              Response: {"detections": [{"class_idx", "class",
                              "objectness", "class_confidence", "bbox_cxcywh",
                              "bbox_xyxy"}...], "counts": {name: n}}
+  POST /predict with `Content-Type: application/octet-stream` -> body is a
+      RAW uint8 frame, C-order (C, H, W) exactly matching the model input
+      reported by /healthz's input_hw (grayscale: H*W bytes). This is the
+      high-rate path for clients that already hold pixel buffers (a
+      microscope camera streaming frames): no PNG encode client-side, no
+      decode server-side (per-request cost measured in
+      tools/serve_loadtest.py / docs/perf-notes.md). Responses are
+      bit-identical to the encoded-image path for the same pixels.
 
 Detections come from the host-exact formatter (ops/postprocess.format_preds,
 reference semantics: yogo/utils/prediction_formatting.py:23-93), so a served
@@ -384,12 +392,38 @@ def build_server(
             if length <= 0:
                 self._json(400, {"error": "empty body; POST image bytes"})
                 return
-            try:
-                raw = self.rfile.read(length)
-                img = _decode_image_bytes(raw, rgb=rgb, crop_hw=crop_hw)
-            except Exception as e:
-                self._json(400, {"error": f"could not decode image: {e}"})
-                return
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            if ctype.strip().lower() == "application/octet-stream":
+                # raw uint8 frame path: the body IS the (C, H, W) pixel
+                # buffer the model consumes - no decode, no crop (clients
+                # holding camera frames send them as-is; /healthz reports
+                # the expected input_hw)
+                expected = int(np.prod(img_chw))
+                if length != expected:
+                    self._json(400, {
+                        "error": (
+                            f"raw frame must be exactly {expected} bytes "
+                            f"(uint8, C-order {list(img_chw)} CHW), got "
+                            f"{length}"
+                        )
+                    })
+                    return
+                buf = self.rfile.read(length)
+                if len(buf) != length:  # client hung up mid-body
+                    self._json(400, {
+                        "error": f"short body: {len(buf)}/{length} bytes"
+                    })
+                    return
+                img = np.frombuffer(buf, np.uint8).reshape(img_chw)
+            else:
+                try:
+                    raw = self.rfile.read(length)
+                    img = _decode_image_bytes(raw, rgb=rgb, crop_hw=crop_hw)
+                except Exception as e:
+                    self._json(
+                        400, {"error": f"could not decode image: {e}"}
+                    )
+                    return
             if img.shape != img_chw:
                 self._json(400, {
                     "error": (
