@@ -218,6 +218,65 @@ def test_raw_frame_path_matches_png_path(server, goldens_dir):
     assert status == 200 and resp == png_resp
 
 
+def test_serve_sigterm_graceful_shutdown():
+    """`yogo serve` + SIGTERM (the supervisor/pod grace signal): the
+    server stops accepting, answers the in-flight request, prints the
+    drain line, and exits 0 - the serving side of the framework's
+    preemption story (the trainer's is tests/test_train.py)."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys as _sys
+    import time
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "yogo_tpu", "serve", str(CKPT_PATH),
+         "--device", "cpu", "--port", str(port), "--batch-size", "2"],
+        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=dict(os.environ, PYTHONPATH=f"{repo}:{os.environ.get('PYTHONPATH', '')}"),
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while True:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5
+                ):
+                    break
+            except Exception:
+                if time.monotonic() > deadline:
+                    proc.kill()
+                    pytest.fail("server never came up")
+                time.sleep(0.5)
+
+        img = np.full((96, 128), 127, np.uint8)
+        result = {}
+
+        def post():
+            result["resp"] = _post(
+                port, img[None].tobytes(),
+                content_type="application/octet-stream",
+            )
+
+        th = threading.Thread(target=post)
+        th.start()
+        time.sleep(0.05)  # request likely in flight when the signal lands
+        proc.send_signal(signal.SIGTERM)
+        th.join(timeout=60)
+        out, err = proc.communicate(timeout=60)
+    except Exception:
+        proc.kill()
+        raise
+    assert proc.returncode == 0, err[-2000:]
+    assert "SIGTERM" in err and "shutting down" in err, err[-2000:]
+    assert result["resp"][0] == 200  # the in-flight request was answered
+
+
 def test_serve_rejects_duplicate_class_names():
     with pytest.raises(ValueError, match="unique"):
         build_server(CKPT_PATH, port=0, class_names=["cell", "cell"])

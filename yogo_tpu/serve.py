@@ -40,6 +40,7 @@ from __future__ import annotations
 import io
 import json
 import math
+import sys
 import threading
 import time
 from concurrent.futures import Future
@@ -54,6 +55,40 @@ import numpy as np
 
 from yogo_tpu.ops.postprocess import _cxcywh_to_xyxy_np, format_preds
 from yogo_tpu.utils.checkpoint import load_any
+
+
+class _Gauge:
+    """Count of in-flight /predict requests, waitable at shutdown: request
+    handler threads are daemons (a hung keep-alive client must not block
+    exit forever), so a graceful stop instead waits - bounded - for the
+    gauge to reach zero before closing, ensuring accepted requests get
+    their responses written."""
+
+    def __init__(self):
+        self._n = 0
+        self._cond = threading.Condition()
+
+    def __enter__(self):
+        with self._cond:
+            self._n += 1
+        return self
+
+    def __exit__(self, *exc):
+        with self._cond:
+            self._n -= 1
+            if self._n == 0:
+                self._cond.notify_all()
+        return False
+
+    def wait_zero(self, timeout: float) -> bool:
+        deadline = time.monotonic() + timeout
+        with self._cond:
+            while self._n > 0:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._cond.wait(remaining)
+            return True
 
 
 class _Batcher:
@@ -324,6 +359,7 @@ def build_server(
     np.asarray(jfwd(jnp.zeros((batch_size, *img_chw), jnp.uint8)))
 
     batcher = _Batcher(jfwd, batch_size, img_chw, linger_s=linger_ms / 1e3)
+    inflight = _Gauge()
     defaults = {
         "obj_thresh": obj_thresh,
         "iou_thresh": iou_thresh,
@@ -371,6 +407,10 @@ def build_server(
                 self._json(404, {"error": f"unknown path {path}"})
 
         def do_POST(self):  # noqa: N802 (stdlib name)
+            with inflight:
+                self._predict()
+
+        def _predict(self):
             url = urlparse(self.path)
             if url.path != "/predict":
                 self._json(404, {"error": f"unknown path {url.path}"})
@@ -478,6 +518,7 @@ def build_server(
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.yogo_batcher = batcher  # for orderly shutdown
+    server.yogo_inflight = inflight
     server.yogo_info = info
     return server
 
@@ -514,11 +555,43 @@ def do_serve(args) -> None:
     )
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port} "
-          f"(POST /predict, GET /healthz; ctrl-c to stop)")
+          f"(POST /predict, GET /healthz; ctrl-c or SIGTERM to stop)")
+
+    # graceful stop on SIGTERM (the supervisor/pod grace signal), same
+    # philosophy as the trainer's preemption handler: stop accepting,
+    # finish in-flight requests, exit 0. shutdown() must run off the
+    # serve_forever thread (calling it from the signal frame - which IS
+    # that thread - deadlocks, stdlib gotcha), so the handler hands it
+    # to a one-shot thread.
+    import signal as _signal
+
+    def _term(signum, frame):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    not_installed = object()  # a None prev disposition is legitimate
+    prev = not_installed
+    try:
+        prev = _signal.signal(_signal.SIGTERM, _term)
+    except ValueError:  # not the main thread (embedded use)
+        pass
     try:
         server.serve_forever()
+        # stopped via SIGTERM -> server.shutdown(): drain before closing.
+        # Accepted requests finish (the gauge covers decode -> batcher
+        # round-trip -> response write); the bound keeps a hung client's
+        # keep-alive connection from holding the process hostage.
+        drained = server.yogo_inflight.wait_zero(timeout=30.0)
+        print(
+            "SIGTERM: "
+            + ("drained in-flight requests, " if drained
+               else "drain timed out (hung client?), ")
+            + "shutting down",
+            file=sys.stderr,
+        )
     except KeyboardInterrupt:
         pass
     finally:
+        if prev is not not_installed:
+            _signal.signal(_signal.SIGTERM, prev)
         server.yogo_batcher.shutdown()
         server.server_close()
