@@ -218,6 +218,57 @@ def test_raw_frame_path_matches_png_path(server, goldens_dir):
     assert status == 200 and resp == png_resp
 
 
+def test_fetch_topk_fallback_is_exact(goldens_dir):
+    """The device->host candidate fetch is capacity-K but responses must
+    stay EXACT at any threshold: when the K-th candidate's objectness
+    exceeds the request's obj_thresh the server fetches that image's full
+    tensor instead (counted in /metrics full_fetch_fallbacks). K=4 on a
+    192-cell grid forces both paths."""
+    import jax.numpy as jnp
+
+    srv = build_server(CKPT_PATH, port=0, batch_size=2, linger_ms=5.0,
+                       fetch_top_k=4)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        assert srv.yogo_info["fetch_top_k"] == 4
+        model, variables, _ = load_any(CKPT_PATH)
+        img = gen_test_images(goldens_dir, n=1, seed=5)[0]
+        pred = np.asarray(
+            model.apply(variables, jnp.asarray(img[None, None]),
+                        inference=True), np.float32,
+        )[0]
+
+        for thresh in (0.01, 0.5, 0.99):
+            status, resp = _post(
+                port, _png_bytes(img), path=f"/predict?obj_thresh={thresh}"
+            )
+            assert status == 200
+            want = format_preds(pred, obj_thresh=thresh, iou_thresh=0.5)
+            assert len(resp["detections"]) == len(want)
+            got = sorted(resp["detections"], key=lambda d: -d["objectness"])
+            want_sorted = want[np.argsort(-want[:, 4], kind="stable")]
+            for d, r in zip(got, want_sorted):
+                np.testing.assert_allclose(
+                    d["bbox_cxcywh"], r[:4], rtol=1e-5, atol=1e-6
+                )
+        # obj_thresh=0.01 passes more than 4 cells on this trained model,
+        # so at least one request took the full-tensor path
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=30
+        ) as r:
+            stats = json.loads(r.read())
+        assert stats["full_fetch_fallbacks"] >= 1
+        n_pass_low = int((pred[4] > 0.01).sum())
+        assert n_pass_low > 4  # the premise of the fallback assertion
+    finally:
+        srv.shutdown()
+        srv.yogo_batcher.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
+
+
 def test_serve_sigterm_graceful_shutdown():
     """`yogo serve` + SIGTERM (the supervisor/pod grace signal): the
     server stops accepting, answers the in-flight request, prints the

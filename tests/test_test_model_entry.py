@@ -3,6 +3,7 @@
 from types import SimpleNamespace
 
 import jax
+import pytest
 
 from tests.data_fixtures import CLASSES, make_pair_dirs, write_defn
 from yogo_tpu.models.yogo import YOGO
@@ -48,15 +49,23 @@ def test_test_model_end_to_end(tmp_path, capsys):
     assert "calibration error" in out
 
 
-def test_test_model_quantize_end_to_end(tmp_path):
+@pytest.mark.parametrize(
+    "model_version,image_hw",
+    [("quarter_filters", (40, 56)), ("convnext_small", (64, 96))],
+)
+def test_test_model_quantize_end_to_end(tmp_path, model_version, image_hw):
     """`yogo test --quantize` (extension): evaluates the int8 PTQ program
-    on the test split; metrics come out sane and close to the float run."""
+    on the test split for BOTH quantizable families - the same program
+    `yogo infer --quantize` / `yogo serve --quantize` serve
+    (ops/quant.family_quant_plan); metrics come out sane and close to the
+    float run. (`yogo test` used to reject convnext while the other two
+    entry points supported it.)"""
     from yogo_tpu.data.definition import DatasetDefinition
     from yogo_tpu.data.loader import get_dataloader
     from yogo_tpu.train import Trainer
 
     model = YOGO.create(
-        (40, 56), 0.15, 0.2, len(CLASSES), model_version="quarter_filters"
+        image_hw, 0.15, 0.2, len(CLASSES), model_version=model_version
     )
     variables = model.init(jax.random.key(0))
     pairs = [make_pair_dirs(tmp_path, "tr", n_images=4)]
@@ -82,7 +91,7 @@ def test_test_model_quantize_end_to_end(tmp_path):
 
     def loader():
         return get_dataloader(
-            data_defn, 4, Sx=Sx, Sy=Sy, image_hw=(40, 56)
+            data_defn, 4, Sx=Sx, Sy=Sy, image_hw=image_hw
         )["test"]
 
     f_metrics = Trainer.test(loader(), config, model, variables,
@@ -97,21 +106,25 @@ def test_test_model_quantize_end_to_end(tmp_path):
     assert q_metrics[2].shape == f_metrics[2].shape
 
 
-def test_test_model_quantize_rejects_convnext(tmp_path):
-    import pytest
-
+def test_test_model_quantize_rejects_unknown_family(tmp_path):
+    """A family with no int8 path is rejected BEFORE a test batch is
+    consumed for calibration (the loader here would blow up if touched)."""
     from yogo_tpu.train import Trainer
 
-    model = YOGO.create((64, 96), 0.15, 0.2, 2, model_version="convnext_small")
-    variables = model.init(jax.random.key(0))
+    stub = SimpleNamespace(
+        defn=SimpleNamespace(family="transformer"), input_channels=1
+    )
 
-    class FakeLoader:
+    class ExplodingLoader:
         def __len__(self):
             return 1
 
-    with pytest.raises(ValueError, match="conv-stack"):
+        def __iter__(self):
+            raise AssertionError("loader consumed before family validation")
+
+    with pytest.raises(ValueError, match="conv-stack and convnext"):
         Trainer.test(
-            FakeLoader(),
+            ExplodingLoader(),
             {
                 "class_names": ["a", "b"],
                 "no_classify": False,
@@ -122,8 +135,8 @@ def test_test_model_quantize_rejects_convnext(tmp_path):
                 "model": "m",
                 "test_set": "d",
             },
-            model,
-            variables,
+            stub,
+            {},
             include_mAP=False,
             quantize=True,
         )

@@ -200,6 +200,7 @@ def main():
                     (m1["mean_dispatch_ms"] * m1["batches"]
                      - m0["mean_dispatch_ms"] * m0["batches"]) / d_b, 1),
                 "errors": len(errors),
+                "error_sample": [str(e) for e in errors[:2]],
             }
             results.append(row)
             print(json.dumps(row), flush=True)

@@ -286,39 +286,11 @@ def predict(
 
     # jitted forward (full batch shape only; last batch is padded)
     if quantize:
-        if model.defn.family == "convnext":
-            from yogo_tpu.ops.quant_convnext import (
-                quant_sites,
-                quantize_convnext,
-                quantized_convnext_forward,
-            )
+        from yogo_tpu.ops.quant import family_quant_plan
 
-            n_scales = len(quant_sites())
-            all_skip = False  # convnext always has wide matmuls to quantize
-
-            def build_qp(calib, scales=None):
-                return quantize_convnext(
-                    model, variables, calib, act_scales=scales
-                )
-
-            fwd_quant = quantized_convnext_forward
-        else:
-            from yogo_tpu.ops.quant import (
-                default_skip_blocks,
-                quantize_conv_stack,
-                quantized_forward,
-            )
-
-            skip = default_skip_blocks(model.defn, model.input_channels)
-            n_scales = len(model.defn.blocks) - 1
-            all_skip = len(skip) == n_scales
-
-            def build_qp(calib, scales=None):
-                return quantize_conv_stack(
-                    model, variables, calib, skip_blocks=skip, act_scales=scales
-                )
-
-            fwd_quant = quantized_forward
+        build_qp, fwd_quant, n_scales, all_skip = family_quant_plan(
+            model, variables
+        )
 
         if n_images == 0:
             raise ValueError("--quantize needs at least one image to calibrate")
@@ -357,7 +329,7 @@ def predict(
             )
             # pid 0 already holds the identical qp - don't quantize every
             # weight tensor a second time just to rebuild it from scales
-            qp = qp0 if qp0 is not None else build_qp([], scales=scales)
+            qp = qp0 if qp0 is not None else build_qp([], act_scales=scales)
         else:
             qp = build_qp(calib_batches)
 

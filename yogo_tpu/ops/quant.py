@@ -210,6 +210,61 @@ def default_skip_blocks(defn, input_channels: int = 1) -> Tuple[int, ...]:
     return tuple(skip)
 
 
+def family_quant_forward(model):
+    """The quantized-forward function for this model's family - signature
+    `fwd(model, qp, x, *, inference=True, ...)` for both families."""
+    if model.defn.family == "convnext":
+        from yogo_tpu.ops.quant_convnext import quantized_convnext_forward
+
+        return quantized_convnext_forward
+    return quantized_forward
+
+
+def family_quant_plan(model, variables):
+    """The ONE place the int8 family dispatch lives - shared by
+    `yogo infer --quantize`, `yogo serve --quantize`, and
+    `yogo test --quantize` so the three entry points provably run the
+    same program. Returns (build_qp, fwd_quant, n_scales, all_skip):
+
+      build_qp(calib_batches, act_scales=None) -> qp pytree
+      fwd_quant(model, qp, x, *, inference=True, ...) -> decoded preds
+      n_scales: length of qp["scales"] (the multi-host broadcast layout)
+      all_skip: True iff the program contains no int8 convs (conv stacks
+          whose every block is below the int8 payoff width - calibration
+          can be skipped entirely)
+
+    Raises ValueError for a family with no int8 path.
+    """
+    if model.defn.family == "convnext":
+        from yogo_tpu.ops.quant_convnext import quant_sites, quantize_convnext
+
+        def build_qp(calib_batches, act_scales=None):
+            return quantize_convnext(
+                model, variables, calib_batches, act_scales=act_scales
+            )
+
+        # convnext always has wide matmuls to quantize
+        return build_qp, family_quant_forward(model), len(quant_sites()), False
+    if model.defn.family == "conv_stack":
+        skip = default_skip_blocks(model.defn, model.input_channels)
+        n_scales = len(model.defn.blocks) - 1
+
+        def build_qp(calib_batches, act_scales=None):
+            return quantize_conv_stack(
+                model,
+                variables,
+                calib_batches,
+                skip_blocks=skip,
+                act_scales=act_scales,
+            )
+
+        return build_qp, quantized_forward, n_scales, len(skip) == n_scales
+    raise ValueError(
+        "--quantize supports conv-stack and convnext models only "
+        f"(got {model.defn.family})"
+    )
+
+
 def quantize_conv_stack(
     model,
     variables,

@@ -103,6 +103,10 @@ class _Batcher:
 
     def __init__(self, fwd, batch_size: int, img_chw: Tuple[int, int, int],
                  linger_s: float = 0.005):
+        # fwd: device batch -> (host candidate rows, host cell idx, device
+        # full-prediction handle); per-image futures resolve to
+        # (rows[i], idx[i], full_handle, i) - see build_server's
+        # _fwd_select / _pred_for pair
         self._fwd = fwd
         self.batch_size = int(batch_size)
         self.img_chw = tuple(img_chw)
@@ -177,9 +181,9 @@ class _Batcher:
                 imgs[i] = im
             t0 = time.monotonic()
             try:
-                preds = np.asarray(self._fwd(jnp.asarray(imgs)), np.float32)
+                rows, idx, full = self._fwd(jnp.asarray(imgs))
                 for i, (_, fut) in enumerate(take):
-                    fut.set_result(preds[i])
+                    fut.set_result((rows[i], idx[i], full, i))
             except Exception as e:  # surface device errors to every waiter
                 for _, fut in take:
                     if not fut.done():
@@ -207,6 +211,7 @@ def build_server(
     linger_ms: float = 5.0,
     data_parallel: bool = False,
     spatial_parallel: int = 1,
+    fetch_top_k: int = 512,
 ) -> ThreadingHTTPServer:
     """Load the model, compile the fixed-shape forward, and return a ready
     (not yet serving) ThreadingHTTPServer. Callers run serve_forever();
@@ -251,31 +256,11 @@ def build_server(
         return imgs.astype(jnp.float32) / 255.0 if normalize else imgs
 
     if quantize:
-        if model.defn.family == "convnext":
-            from yogo_tpu.ops.quant_convnext import (
-                quantize_convnext as _quantize,
-                quantized_convnext_forward as _q_forward,
-            )
+        from yogo_tpu.ops.quant import family_quant_plan
 
-            def build_qp(calib):
-                return _quantize(model, variables, calib)
-
-            all_skip = False  # convnext always has wide matmuls to quantize
-        else:
-            from yogo_tpu.ops.quant import (
-                default_skip_blocks,
-                quantize_conv_stack,
-                quantized_forward as _q_forward,
-            )
-
-            skip = default_skip_blocks(model.defn, model.input_channels)
-
-            def build_qp(calib):
-                return quantize_conv_stack(
-                    model, variables, calib, skip_blocks=skip
-                )
-
-            all_skip = len(skip) == len(model.defn.blocks) - 1
+        build_qp, _q_forward, _, all_skip = family_quant_plan(
+            model, variables
+        )
         if all_skip:
             calib = []  # no int8 convs -> no scales consumed (ops/quant.py)
         else:
@@ -306,6 +291,41 @@ def build_server(
 
         def _fwd(imgs):
             return model.apply(variables, _scale(imgs), inference=True)
+
+    # Device-side candidate selection: fetching the full (B, 5+C, Sy, Sx)
+    # prediction tensor is the server's D2H bandwidth hog (~600 KB/image
+    # f32 at 772x1032 - 38 MB per batch of 64). Production detectors emit
+    # a few hundred candidates at most, so the program returns only the
+    # top-K cells by objectness (rows + cell indices, ~25 KB/image at
+    # K=512) plus the UNFETCHED device handle of the full tensor. The
+    # host path stays provably exact: cells outside the top-K have
+    # objectness <= the K-th value, so when that value <= the request's
+    # obj_thresh the candidate set contains every passing cell and the
+    # response is bit-identical to full-tensor formatting; otherwise
+    # (saturated capacity, or a very low threshold) the handler fetches
+    # that image's full slice on demand. Cell indices ride along so the
+    # reconstructed grid preserves flat cell order - NMS tie-breaks
+    # (original cell index, host parity) are unaffected.
+    Sx, Sy = (int(g) for g in model.grid)
+    n_cells = Sy * Sx
+    pred_dim = 5 + num_classes
+    K = max(1, min(int(fetch_top_k), n_cells))
+
+    def _fwd_select(imgs):
+        out = _fwd(imgs)
+        flat = out.reshape(out.shape[0], out.shape[1], -1)  # (B, D, S)
+        # approx_max_k(recall_target=1.0) is EXACT (identity partial
+        # reduce, true top-k aggregation) and measured 1.9x faster than
+        # lax.top_k on v5e - same selection op as the fused count path
+        # (ops/postprocess.py, docs/perf-notes.md r3). Descending values,
+        # so rows[:, -1, 4] is the K-th highest objectness - tie ORDER may
+        # differ from lax.top_k but the K-th VALUE (the completeness
+        # proof) and the selected SET (scattered by cell index) don't.
+        _, idx = jax.lax.approx_max_k(
+            flat[:, 4, :].astype(jnp.float32), K, recall_target=1.0
+        )
+        rows = jnp.take_along_axis(flat, idx[:, None, :], axis=2)
+        return rows.transpose(0, 2, 1), idx, out  # (B,K,D), (B,K), handle
 
     if (data_parallel or spatial_parallel > 1) and jax.process_count() > 1:
         raise ValueError(
@@ -347,19 +367,59 @@ def build_server(
             space_sharded(mesh) if spatial_parallel > 1 else data_sharded(mesh)
         )
         jfwd = jax.jit(
-            _fwd, in_shardings=(in_shard,), out_shardings=replicated(mesh)
+            _fwd_select,
+            in_shardings=(in_shard,),
+            out_shardings=replicated(mesh),
         )
     else:
-        jfwd = jax.jit(_fwd)
-    # compile + warm NOW: the first request must not pay tracing/compile.
-    # FETCH the result rather than block_until_ready - on remote backends
-    # (the axon tunnel) block_until_ready can return before the program
-    # actually loaded+ran on the worker, leaving the first request to pay
-    # ~27 s of one-time load (measured; same gotcha as bench timing)
-    np.asarray(jfwd(jnp.zeros((batch_size, *img_chw), jnp.uint8)))
+        jfwd = jax.jit(_fwd_select)
 
-    batcher = _Batcher(jfwd, batch_size, img_chw, linger_s=linger_ms / 1e3)
+    def fwd_host(imgs_dev):
+        """One dispatch; fetch ONLY the candidate rows + indices (the full
+        tensor stays on device, sliced per image iff a request needs it)."""
+        rows, idx, full = jfwd(imgs_dev)
+        return np.asarray(rows, np.float32), np.asarray(idx), full
+
+    # the fallback's per-image slice as ONE jitted program with a traced
+    # slot index: `full[slot]` with a Python-int slot would compile a
+    # distinct executable per slot value (up to batch_size uncached remote
+    # compiles hiding in first low-threshold requests)
+    _slice_full = jax.jit(
+        lambda full, i: jax.lax.dynamic_index_in_dim(
+            full, i, axis=0, keepdims=False
+        )
+    )
+
+    # compile + warm NOW (the selection program AND the fallback slice):
+    # the first request must not pay tracing/compile. FETCH results rather
+    # than block_until_ready - on remote backends (the axon tunnel)
+    # block_until_ready can return before the program actually loaded+ran
+    # on the worker, leaving the first request to pay ~27 s of one-time
+    # load (measured; same gotcha as bench timing)
+    _, _, _full_w = fwd_host(jnp.zeros((batch_size, *img_chw), jnp.uint8))
+    np.asarray(_slice_full(_full_w, 0))
+    del _full_w
+
+    batcher = _Batcher(fwd_host, batch_size, img_chw,
+                       linger_s=linger_ms / 1e3)
     inflight = _Gauge()
+    fallback_lock = threading.Lock()
+    fallback_count = [0]  # full-tensor fetches (candidate set insufficient)
+
+    def _pred_for(cand_rows, cand_idx, full, slot, obj_t: float):
+        """Reconstruct the (D, Sy, Sx) grid this request's thresholds can
+        be served from. Fast path: scatter the K candidates into a zero
+        grid (zero rows have objectness 0 and are filtered exactly like
+        the cells they stand in for, PROVIDED no passing cell is missing -
+        guaranteed when the K-th candidate's objectness <= obj_thresh).
+        Otherwise fetch this image's full slice from the device handle."""
+        if K < n_cells and float(cand_rows[-1, 4]) > obj_t:
+            with fallback_lock:
+                fallback_count[0] += 1
+            return np.asarray(_slice_full(full, slot), np.float32)
+        flat = np.zeros((n_cells, pred_dim), np.float32)
+        flat[np.asarray(cand_idx)] = cand_rows
+        return flat.T.reshape(pred_dim, Sy, Sx)
     defaults = {
         "obj_thresh": obj_thresh,
         "iou_thresh": iou_thresh,
@@ -374,6 +434,7 @@ def build_server(
         "normalize_images": normalize,
         "batch_size": batch_size,
         "quantize": bool(quantize),
+        "fetch_top_k": K,
         "data_parallel_devices": (
             len(jax.devices())
             if data_parallel and len(jax.devices()) > 1
@@ -402,7 +463,10 @@ def build_server(
             if path in ("/", "/healthz"):
                 self._json(200, info)
             elif path == "/metrics":
-                self._json(200, batcher.stats())
+                stats = batcher.stats()
+                with fallback_lock:
+                    stats["full_fetch_fallbacks"] = fallback_count[0]
+                self._json(200, stats)
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 
@@ -488,7 +552,12 @@ def build_server(
                 return
 
             try:
-                pred = batcher.submit(img).result(timeout=60)
+                cand_rows, cand_idx, full, slot = batcher.submit(img).result(
+                    timeout=60
+                )
+                pred = _pred_for(
+                    cand_rows, cand_idx, full, slot, thr["obj_thresh"]
+                )
             except Exception as e:
                 self._json(503, {"error": f"inference failed: {e}"})
                 return
@@ -516,7 +585,14 @@ def build_server(
                 })
             self._json(200, {"detections": dets, "counts": counts})
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    class _Server(ThreadingHTTPServer):
+        # socketserver's default accept backlog is 5: a burst of
+        # concurrent clients overflows the listen queue and sees
+        # connection-refused/reset (measured at 64 clients,
+        # tools/serve_loadtest.py). 128 covers any sane client fan-in.
+        request_queue_size = 128
+
+    server = _Server((host, port), Handler)
     server.yogo_batcher = batcher  # for orderly shutdown
     server.yogo_inflight = inflight
     server.yogo_info = info
@@ -552,6 +628,7 @@ def do_serve(args) -> None:
         linger_ms=args.linger_ms,
         data_parallel=args.data_parallel,
         spatial_parallel=args.spatial_parallel,
+        fetch_top_k=args.fetch_top_k,
     )
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port} "

@@ -269,9 +269,9 @@ def make_eval_step(
 
     def step(params, batch_stats, imgs, labels, img_mask):
         if quant_params is not None:
-            from yogo_tpu.ops.quant import quantized_forward
+            from yogo_tpu.ops.quant import family_quant_forward
 
-            out_train = quantized_forward(
+            out_train = family_quant_forward(model)(
                 model, quant_params, imgs, inference=False
             )
         else:
@@ -933,25 +933,13 @@ class Trainer:
         )
         quant_params = None
         if quantize:
-            from yogo_tpu.ops.quant import (
-                default_skip_blocks,
-                quantize_conv_stack,
-            )
+            from yogo_tpu.ops.quant import family_quant_plan
 
-            if model.defn.family != "conv_stack":
-                raise ValueError(
-                    "--quantize supports conv-stack models only "
-                    f"(got {model.defn.family})"
-                )
+            # validates the family (ValueError on one with no int8 path)
+            # BEFORE a test batch is consumed for calibration
+            build_qp, _, _, _ = family_quant_plan(model, variables)
             calib = next(iter(test_dataloader))[0]  # len checked above
-            quant_params = quantize_conv_stack(
-                model,
-                variables,
-                [np.asarray(calib)],
-                skip_blocks=default_skip_blocks(
-                    model.defn, model.input_channels
-                ),
-            )
+            quant_params = build_qp([np.asarray(calib)])
         eval_fn = make_eval_step(model, loss_kwargs, quant_params=quant_params)
         rep = replicated(mesh)
         dat = data_sharded(mesh)

@@ -457,10 +457,11 @@ def infer_parser(parser=None):
     parser.add_argument(
         "--quantize", default=False, action=boolean_action,
         help=(
-            "int8 inference (extension): run the backbone's wide blocks as "
-            "s8xs8->s32 on the MXU, calibrating activation scales on this "
-            "run's first batch (~1.25x throughput on v5e at detection "
-            "parity; conv-stack models only)"
+            "int8 inference (extension): run the backbone's wide blocks "
+            "(conv stacks' cin>=128 convs; convnext's pointwise/downsample "
+            "matmuls) as s8xs8->s32 on the MXU, calibrating activation "
+            "scales on this run's first batch (~1.25x throughput on v5e "
+            "at detection parity)"
         ),
     )
     parser.add_argument(
@@ -565,6 +566,16 @@ def serve_parser(parser=None):
         ),
     )
     parser.add_argument(
+        "--fetch-top-k", type=positive_int, default=512,
+        help=(
+            "device->host candidate capacity: only the top-K cells by "
+            "objectness are fetched per image (responses stay exact - a "
+            "request whose threshold the capacity can't prove complete "
+            "falls back to fetching that image's full tensor; see "
+            "/metrics full_fetch_fallbacks) (default: 512)"
+        ),
+    )
+    parser.add_argument(
         "--device", type=str,
         help="JAX platform override (e.g. 'cpu', 'tpu')",
     )
@@ -575,9 +586,8 @@ def serve_parser(parser=None):
     parser.add_argument(
         "--quantize", default=False, action=boolean_action,
         help=(
-            "int8 serving (extension; conv-stack models only) - needs "
-            "--calibration-images unless every block is below the int8 "
-            "payoff width"
+            "int8 serving (extension) - needs --calibration-images unless "
+            "every block is below the int8 payoff width"
         ),
     )
     parser.add_argument(
