@@ -269,6 +269,40 @@ def test_fetch_topk_fallback_is_exact(goldens_dir):
         t.join(timeout=5)
 
 
+def test_scatter_candidates_exactness_fuzz():
+    """Property fuzz of the top-K candidate contract: for random grids,
+    random K, and any threshold t with (K-th candidate objectness) <= t,
+    format_preds on the scattered candidate grid must be BIT-identical to
+    format_preds on the full tensor - including NMS tie-breaks (original
+    cell order) and duplicate objectness values."""
+    from yogo_tpu.serve import scatter_candidates
+
+    D, Sy, Sx = 9, 7, 11  # 4 classes
+    S = Sy * Sx
+    for seed in range(40):
+        rng = np.random.default_rng(seed)
+        pred = rng.random((D, Sy, Sx), dtype=np.float32)
+        # clustered boxes + quantized objectness so NMS suppression and
+        # score ties actually occur
+        pred[2:4] *= 0.4
+        pred[4] = np.round(pred[4] * 8) / 8
+        K = int(rng.integers(1, S + 1))
+
+        flat = pred.reshape(D, S).T  # (S, D), the formatter's own order
+        order = np.argsort(-flat[:, 4], kind="stable")[:K]
+        cand_idx = order  # device order (objectness-desc); scatter restores
+        cand_rows = flat[cand_idx]
+        vK = cand_rows[-1, 4]
+
+        for t in (vK, min(vK + 0.1, 1.0), 0.6, 0.9):
+            if vK > t:
+                continue  # the server would take the full-fetch path
+            rec = scatter_candidates(cand_rows, cand_idx, D, Sy, Sx)
+            got = format_preds(rec, obj_thresh=float(t), iou_thresh=0.5)
+            want = format_preds(pred, obj_thresh=float(t), iou_thresh=0.5)
+            np.testing.assert_array_equal(got, want, err_msg=f"{seed}/{t}")
+
+
 def test_serve_sigterm_graceful_shutdown():
     """`yogo serve` + SIGTERM (the supervisor/pod grace signal): the
     server stops accepting, answers the in-flight request, prints the

@@ -57,6 +57,22 @@ from yogo_tpu.ops.postprocess import _cxcywh_to_xyxy_np, format_preds
 from yogo_tpu.utils.checkpoint import load_any
 
 
+def scatter_candidates(
+    cand_rows: np.ndarray, cand_idx: np.ndarray, pred_dim: int,
+    sy: int, sx: int,
+) -> np.ndarray:
+    """Top-K candidate rows + flat cell indices -> a (pred_dim, Sy, Sx)
+    grid equivalent to the full tensor for any objectness threshold the
+    candidate set is complete for: non-candidate cells become zero rows
+    (objectness 0), which the host formatter filters exactly like the
+    sub-threshold cells they stand in for, and candidates land at their
+    original flat positions so cell-order-dependent NMS tie-breaks are
+    preserved (exactness fuzz: tests/test_serve.py)."""
+    flat = np.zeros((sy * sx, pred_dim), np.float32)
+    flat[np.asarray(cand_idx)] = cand_rows
+    return flat.T.reshape(pred_dim, sy, sx)
+
+
 class _Gauge:
     """Count of in-flight /predict requests, waitable at shutdown: request
     handler threads are daemons (a hung keep-alive client must not block
@@ -417,9 +433,7 @@ def build_server(
             with fallback_lock:
                 fallback_count[0] += 1
             return np.asarray(_slice_full(full, slot), np.float32)
-        flat = np.zeros((n_cells, pred_dim), np.float32)
-        flat[np.asarray(cand_idx)] = cand_rows
-        return flat.T.reshape(pred_dim, Sy, Sx)
+        return scatter_candidates(cand_rows, cand_idx, pred_dim, Sy, Sx)
     defaults = {
         "obj_thresh": obj_thresh,
         "iou_thresh": iou_thresh,
