@@ -362,6 +362,106 @@ def test_serve_sigterm_graceful_shutdown():
     assert result["resp"][0] == 200  # the in-flight request was answered
 
 
+def test_batcher_pipelines_dispatch_ahead_of_fetch():
+    """The batcher must DISPATCH batch N+1 while batch N's fetch is still
+    blocked (that overlap is the point of the two-thread pipeline), bounded
+    by pipeline_depth, and still resolve every future with its own slot's
+    result in FIFO order."""
+    import time
+
+    from yogo_tpu.serve import _Batcher
+
+    dispatched = []
+    fetch_gate = threading.Event()
+    dispatch_seen = threading.Condition()
+
+    def fwd_dispatch(imgs):
+        with dispatch_seen:
+            dispatched.append(imgs.copy())
+            dispatch_seen.notify_all()
+        return len(dispatched) - 1  # handle = dispatch ordinal
+
+    def fwd_fetch(handle):
+        fetch_gate.wait(timeout=30)
+        imgs = dispatched[handle]
+        b = imgs.shape[0]
+        rows = imgs[:, 0, :1, :1].astype(np.float32).reshape(b, 1, 1)
+        idx = np.zeros((b, 1), np.int64)
+        return rows, idx, f"full-{handle}"
+
+    batcher = _Batcher(fwd_dispatch, fwd_fetch, batch_size=2,
+                       img_chw=(1, 1, 1), linger_s=0.0, pipeline_depth=2)
+    try:
+        futs = [
+            batcher.submit(np.full((1, 1, 1), v, np.uint8))
+            for v in (10, 11, 20, 21, 30, 31)
+        ]
+        # fetch is gated shut, yet dispatches must keep flowing until the
+        # pipeline is full: depth=2 in the queue + 1 the fetcher already
+        # popped (blocked inside fwd_fetch) = 3 dispatched batches
+        with dispatch_seen:
+            deadline = time.monotonic() + 30
+            while len(dispatched) < 3:
+                if not dispatch_seen.wait(deadline - time.monotonic()):
+                    break
+        assert len(dispatched) == 3, f"pipelining stalled: {len(dispatched)}"
+        assert not any(f.done() for f in futs)  # nothing fetched yet
+
+        fetch_gate.set()
+        results = [f.result(timeout=30) for f in futs]
+        # every request got ITS image's row back (slot mapping survived)
+        for want, (rows, _idx, full, slot) in zip((10, 11, 20, 21, 30, 31),
+                                                  results):
+            assert int(rows[0, 0]) == want
+        # FIFO: the i-th pair rode the i-th dispatch
+        assert [r[2] for r in results] == [
+            "full-0", "full-0", "full-1", "full-1", "full-2", "full-2"
+        ]
+    finally:
+        fetch_gate.set()
+        batcher.shutdown()
+
+
+def test_batcher_fetch_error_reaches_all_waiters():
+    """A device error surfacing at FETCH time (the common case under
+    pipelining - dispatch is async so errors materialize on the fetch)
+    must fail every future of that batch and leave the batcher alive for
+    the next one."""
+    from yogo_tpu.serve import _Batcher
+
+    fail_next = [True]
+
+    def fwd_dispatch(imgs):
+        return imgs.copy()
+
+    def fwd_fetch(imgs):
+        if fail_next[0]:
+            fail_next[0] = False
+            raise RuntimeError("worker fault")
+        b = imgs.shape[0]
+        return (imgs[:, 0, :1, :1].astype(np.float32).reshape(b, 1, 1),
+                np.zeros((b, 1), np.int64), "full")
+
+    batcher = _Batcher(fwd_dispatch, fwd_fetch, batch_size=2,
+                       img_chw=(1, 1, 1), linger_s=0.0, pipeline_depth=2)
+    try:
+        f1 = batcher.submit(np.zeros((1, 1, 1), np.uint8))
+        f2 = batcher.submit(np.zeros((1, 1, 1), np.uint8))
+        errs = 0
+        for f in (f1, f2):
+            try:
+                f.result(timeout=30)
+            except RuntimeError:
+                errs += 1
+        assert errs >= 1  # the failing dispatch's waiters all saw the error
+        # the batcher survives and serves the next batch
+        f3 = batcher.submit(np.full((1, 1, 1), 7, np.uint8))
+        rows, _idx, _full, _slot = f3.result(timeout=30)
+        assert int(rows[0, 0]) == 7
+    finally:
+        batcher.shutdown()
+
+
 def test_serve_rejects_duplicate_class_names():
     with pytest.raises(ValueError, match="unique"):
         build_server(CKPT_PATH, port=0, class_names=["cell", "cell"])

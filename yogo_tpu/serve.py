@@ -40,6 +40,7 @@ from __future__ import annotations
 import io
 import json
 import math
+import queue
 import sys
 import threading
 import time
@@ -108,22 +109,37 @@ class _Gauge:
 
 
 class _Batcher:
-    """Coalesce single-image requests into fixed-shape device dispatches.
+    """Coalesce single-image requests into fixed-shape device dispatches,
+    PIPELINED: dispatch and fetch run on separate threads.
 
-    Handler threads submit() an image and block on a Future; one worker
+    Handler threads submit() an image and block on a Future. The collector
     thread drains the queue every `linger_s` (or immediately once a full
-    batch is waiting), pads to the compiled batch size, runs the jitted
-    forward, and distributes per-image predictions. Padding rows are
-    discarded - identical masking contract to infer.predict's ragged tail.
+    batch is waiting), pads to the compiled batch size, and DISPATCHES the
+    jitted forward - jax dispatch is asynchronous, so the call returns
+    un-fetched device handles immediately. A second thread fetches each
+    dispatch's host results (the blocking D2H) and distributes per-image
+    predictions. While the fetcher blocks on batch N, the collector is
+    already assembling and uploading batch N+1 - host-side work and the
+    H2D transfer ride under the device's compute + D2H of the previous
+    batch (measured ~1.1x on the dev relay where H2D dominates; on PCIe
+    the same overlap hides host assembly entirely). `pipeline_depth`
+    bounds in-flight dispatches (backpressure: each holds one input batch
+    + one full-prediction tensor in HBM). Padding rows are discarded -
+    identical masking contract to infer.predict's ragged tail.
     """
 
-    def __init__(self, fwd, batch_size: int, img_chw: Tuple[int, int, int],
-                 linger_s: float = 0.005):
-        # fwd: device batch -> (host candidate rows, host cell idx, device
-        # full-prediction handle); per-image futures resolve to
+    _SENTINEL = None  # enqueued by the collector on shutdown
+
+    def __init__(self, fwd_dispatch, fwd_fetch, batch_size: int,
+                 img_chw: Tuple[int, int, int], linger_s: float = 0.005,
+                 pipeline_depth: int = 2):
+        # fwd_dispatch: np batch -> un-fetched device handles (async);
+        # fwd_fetch: handles -> (host candidate rows, host cell idx, device
+        # full-prediction handle). Per-image futures resolve to
         # (rows[i], idx[i], full_handle, i) - see build_server's
-        # _fwd_select / _pred_for pair
-        self._fwd = fwd
+        # _fwd_select / _pred_for pair.
+        self._fwd_dispatch = fwd_dispatch
+        self._fwd_fetch = fwd_fetch
         self.batch_size = int(batch_size)
         self.img_chw = tuple(img_chw)
         self.linger_s = float(linger_s)
@@ -131,12 +147,18 @@ class _Batcher:
         self._nonempty = threading.Condition(self._lock)
         self._queue: List[Tuple[np.ndarray, Future]] = []
         self._stop = False
+        # dispatched-but-unfetched batches: (handles, take, t_dispatch)
+        self._inflight: "queue.Queue" = queue.Queue(
+            maxsize=max(1, int(pipeline_depth))
+        )
         # observability counters (read under the same lock via stats())
         self._n_images = 0
         self._n_batches = 0
         self._dispatch_s = 0.0
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        self._collector = threading.Thread(target=self._collect, daemon=True)
+        self._fetcher = threading.Thread(target=self._fetch, daemon=True)
+        self._collector.start()
+        self._fetcher.start()
 
     def stats(self) -> Dict[str, Any]:
         with self._lock:
@@ -149,8 +171,12 @@ class _Batcher:
             # micro-batching health: 1.0 = every dispatch rode alone,
             # batch_size = perfectly coalesced
             "mean_batch_occupancy": (n_img / n_b) if n_b else 0.0,
+            # dispatch-to-results-ready per batch; under pipelining this
+            # INCLUDES time overlapped with the previous batch's fetch,
+            # so it can exceed the per-batch marginal cost
             "mean_dispatch_ms": (1e3 * disp / n_b) if n_b else 0.0,
             "queue_depth": depth,
+            "inflight_batches": self._inflight.qsize(),
         }
 
     def submit(self, img: np.ndarray) -> Future:
@@ -170,15 +196,28 @@ class _Batcher:
         with self._nonempty:
             self._stop = True
             self._nonempty.notify()
-        self._worker.join(timeout=5)
+        self._collector.join(timeout=5)
+        if self._collector.is_alive():
+            # the collector normally enqueues the sentinel on its way out;
+            # if it hung past the join timeout, enqueue one ourselves so
+            # the fetcher (blocked on _inflight.get) still terminates
+            try:
+                self._inflight.put_nowait(self._SENTINEL)
+            except queue.Full:
+                pass
+        self._fetcher.join(timeout=5)
 
-    # ------------------------------------------------------------- worker
-    def _run(self) -> None:
+    # ---------------------------------------------------- collector thread
+    def _collect(self) -> None:
+        """Assemble batches and dispatch them (async); never blocks on
+        device results - backpressure comes from the bounded _inflight
+        queue."""
         while True:
             with self._nonempty:
                 while not self._queue and not self._stop:
                     self._nonempty.wait()
                 if self._stop and not self._queue:
+                    self._inflight.put(self._SENTINEL)
                     return
                 # linger so concurrent requests share a dispatch: every
                 # submit() notifies, so loop on a monotonic deadline (a
@@ -197,7 +236,26 @@ class _Batcher:
                 imgs[i] = im
             t0 = time.monotonic()
             try:
-                rows, idx, full = self._fwd(jnp.asarray(imgs))
+                handles = self._fwd_dispatch(imgs)
+            except Exception as e:  # tracing/compile-time failure
+                for _, fut in take:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            # blocks when pipeline_depth dispatches are un-fetched
+            self._inflight.put((handles, take, t0))
+
+    # ------------------------------------------------------ fetcher thread
+    def _fetch(self) -> None:
+        """Fetch each dispatch's host results in FIFO order and resolve
+        the per-image futures."""
+        while True:
+            item = self._inflight.get()
+            if item is self._SENTINEL:
+                return
+            handles, take, t0 = item
+            try:
+                rows, idx, full = self._fwd_fetch(handles)
                 for i, (_, fut) in enumerate(take):
                     fut.set_result((rows[i], idx[i], full, i))
             except Exception as e:  # surface device errors to every waiter
@@ -228,6 +286,7 @@ def build_server(
     data_parallel: bool = False,
     spatial_parallel: int = 1,
     fetch_top_k: int = 512,
+    pipeline_depth: int = 2,
 ) -> ThreadingHTTPServer:
     """Load the model, compile the fixed-shape forward, and return a ready
     (not yet serving) ThreadingHTTPServer. Callers run serve_forever();
@@ -390,10 +449,18 @@ def build_server(
     else:
         jfwd = jax.jit(_fwd_select)
 
-    def fwd_host(imgs_dev):
-        """One dispatch; fetch ONLY the candidate rows + indices (the full
-        tensor stays on device, sliced per image iff a request needs it)."""
-        rows, idx, full = jfwd(imgs_dev)
+    def fwd_dispatch(imgs_np):
+        """Asynchronously dispatch one batch: device_put + jitted forward
+        both return un-fetched handles, so this never blocks on the device
+        - the batcher's collector thread keeps assembling/uploading the
+        next batch while this one computes (pipelining)."""
+        return jfwd(jnp.asarray(imgs_np))
+
+    def fwd_fetch(handles):
+        """Fetch ONLY the candidate rows + indices (the blocking D2H; the
+        full tensor stays on device, sliced per image iff a request needs
+        it)."""
+        rows, idx, full = handles
         return np.asarray(rows, np.float32), np.asarray(idx), full
 
     # the fallback's per-image slice as ONE jitted program with a traced
@@ -412,12 +479,15 @@ def build_server(
     # block_until_ready can return before the program actually loaded+ran
     # on the worker, leaving the first request to pay ~27 s of one-time
     # load (measured; same gotcha as bench timing)
-    _, _, _full_w = fwd_host(jnp.zeros((batch_size, *img_chw), jnp.uint8))
+    _, _, _full_w = fwd_fetch(
+        fwd_dispatch(np.zeros((batch_size, *img_chw), np.uint8))
+    )
     np.asarray(_slice_full(_full_w, 0))
     del _full_w
 
-    batcher = _Batcher(fwd_host, batch_size, img_chw,
-                       linger_s=linger_ms / 1e3)
+    batcher = _Batcher(fwd_dispatch, fwd_fetch, batch_size, img_chw,
+                       linger_s=linger_ms / 1e3,
+                       pipeline_depth=pipeline_depth)
     inflight = _Gauge()
     fallback_lock = threading.Lock()
     fallback_count = [0]  # full-tensor fetches (candidate set insufficient)
@@ -449,6 +519,7 @@ def build_server(
         "batch_size": batch_size,
         "quantize": bool(quantize),
         "fetch_top_k": K,
+        "pipeline_depth": max(1, int(pipeline_depth)),
         "data_parallel_devices": (
             len(jax.devices())
             if data_parallel and len(jax.devices()) > 1
@@ -643,6 +714,7 @@ def do_serve(args) -> None:
         data_parallel=args.data_parallel,
         spatial_parallel=args.spatial_parallel,
         fetch_top_k=args.fetch_top_k,
+        pipeline_depth=args.pipeline_depth,
     )
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port} "

@@ -576,6 +576,15 @@ def serve_parser(parser=None):
         ),
     )
     parser.add_argument(
+        "--pipeline-depth", type=positive_int, default=2,
+        help=(
+            "max dispatched-but-unfetched micro-batches: the batcher "
+            "assembles and uploads batch N+1 while batch N computes "
+            "(each in-flight batch holds one input + one prediction "
+            "tensor in device memory; 1 disables pipelining) (default: 2)"
+        ),
+    )
+    parser.add_argument(
         "--device", type=str,
         help="JAX platform override (e.g. 'cpu', 'tpu')",
     )
