@@ -54,6 +54,7 @@ def parse_args():
     p.add_argument("--linger-ms", type=float, default=5.0)
     p.add_argument("--modes", default="raw,png")
     p.add_argument("--model", default="base_model")
+    p.add_argument("--pipeline-depth", type=int, default=2)
     return p.parse_args()
 
 
@@ -107,7 +108,7 @@ def main():
     server = build_server(
         ckpt, port=0, batch_size=args.batch_size,
         quantize=args.quantize, calibration_images=calib_dir,
-        linger_ms=args.linger_ms,
+        linger_ms=args.linger_ms, pipeline_depth=args.pipeline_depth,
     )
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
@@ -189,6 +190,7 @@ def main():
             row = {
                 "mode": mode,
                 "concurrency": k,
+                "pipeline_depth": args.pipeline_depth,
                 "requests": len(lat),
                 "rps": round(len(lat) / wall, 1),
                 "p50_ms": round(float(lat[len(lat) // 2]), 1),
