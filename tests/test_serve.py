@@ -462,6 +462,92 @@ def test_batcher_fetch_error_reaches_all_waiters():
         batcher.shutdown()
 
 
+def test_batcher_sheds_load_at_max_queue():
+    """With max_queue set, submit() raises Overloaded once that many
+    images are WAITING (dispatched-but-unfetched batches don't count),
+    the shed is visible in stats(), and the batcher accepts again after
+    the backlog drains."""
+    import time
+
+    from yogo_tpu.serve import Overloaded, _Batcher
+
+    fetch_gate = threading.Event()
+
+    def fwd_dispatch(imgs):
+        return imgs.copy()
+
+    def fwd_fetch(imgs):
+        fetch_gate.wait(timeout=30)
+        b = imgs.shape[0]
+        return (imgs[:, 0, :1, :1].astype(np.float32).reshape(b, 1, 1),
+                np.zeros((b, 1), np.int64), "full")
+
+    batcher = _Batcher(fwd_dispatch, fwd_fetch, batch_size=2,
+                       img_chw=(1, 1, 1), linger_s=0.0, pipeline_depth=1,
+                       max_queue=3)
+    try:
+        futs = []
+        shed = 0
+        # the pipeline absorbs 2 batches (1 in-flight + 1 queued dispatch,
+        # 2 imgs each) before the waiting queue can even fill; keep
+        # submitting until 3 are waiting, then the next must shed
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            try:
+                futs.append(batcher.submit(np.zeros((1, 1, 1), np.uint8)))
+            except Overloaded:
+                shed += 1
+                break
+        assert shed == 1, "never shed despite a gated fetch + max_queue=3"
+        stats = batcher.stats()
+        assert stats["shed_requests"] == 1
+        # the queue was at max_queue at shed time; the collector may have
+        # started popping a batch since, but never past the cap
+        assert stats["queue_depth"] <= 3
+
+        fetch_gate.set()  # drain
+        for f in futs:
+            f.result(timeout=30)
+        f = batcher.submit(np.full((1, 1, 1), 9, np.uint8))  # accepts again
+        rows, _idx, _full, _slot = f.result(timeout=30)
+        assert int(rows[0, 0]) == 9
+    finally:
+        fetch_gate.set()
+        batcher.shutdown()
+
+
+def test_serve_overload_returns_503_with_retry_after(server):
+    """The HTTP mapping of Overloaded: 503, a Retry-After header, and a
+    JSON error body; the server keeps serving afterwards."""
+    from yogo_tpu.serve import Overloaded
+
+    port = server.server_address[1]
+    info = json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/healthz", timeout=30).read())
+    h, w = info["input_hw"]
+    assert info["max_queue"] == 8 * info["batch_size"]  # default shed point
+    body = np.zeros((1, h, w), np.uint8).tobytes()
+
+    orig_submit = server.yogo_batcher.submit
+    server.yogo_batcher.submit = lambda img: (_ for _ in ()).throw(
+        Overloaded("8 images already queued"))
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body, method="POST",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 503
+        assert ei.value.headers["Retry-After"] == "1"
+        assert "overloaded" in json.loads(ei.value.read())["error"]
+    finally:
+        server.yogo_batcher.submit = orig_submit
+
+    status, _ = _post(port, body, content_type="application/octet-stream")
+    assert status == 200  # back to normal service
+
+
 def test_serve_rejects_duplicate_class_names():
     with pytest.raises(ValueError, match="unique"):
         build_server(CKPT_PATH, port=0, class_names=["cell", "cell"])

@@ -74,6 +74,13 @@ def scatter_candidates(
     return flat.T.reshape(pred_dim, sy, sx)
 
 
+class Overloaded(RuntimeError):
+    """Raised by _Batcher.submit when the waiting queue is at --max-queue:
+    the device is saturated and accepting the frame would only grow an
+    unbounded backlog of ~H*W-byte buffers. HTTP maps it to 503 +
+    Retry-After so well-behaved clients back off."""
+
+
 class _Gauge:
     """Count of in-flight /predict requests, waitable at shutdown: request
     handler threads are daemons (a hung keep-alive client must not block
@@ -132,7 +139,7 @@ class _Batcher:
 
     def __init__(self, fwd_dispatch, fwd_fetch, batch_size: int,
                  img_chw: Tuple[int, int, int], linger_s: float = 0.005,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, max_queue: int = 0):
         # fwd_dispatch: np batch -> un-fetched device handles (async);
         # fwd_fetch: handles -> (host candidate rows, host cell idx, device
         # full-prediction handle). Per-image futures resolve to
@@ -143,6 +150,11 @@ class _Batcher:
         self.batch_size = int(batch_size)
         self.img_chw = tuple(img_chw)
         self.linger_s = float(linger_s)
+        # load shedding: cap images WAITING for a dispatch slot (beyond
+        # this the device is already saturated and every queued frame is
+        # ~H*W bytes of host memory a slow drain would hold for seconds);
+        # 0 = unbounded
+        self.max_queue = int(max_queue)
         self._lock = threading.Lock()
         self._nonempty = threading.Condition(self._lock)
         self._queue: List[Tuple[np.ndarray, Future]] = []
@@ -154,6 +166,7 @@ class _Batcher:
         # observability counters (read under the same lock via stats())
         self._n_images = 0
         self._n_batches = 0
+        self._n_shed = 0
         self._dispatch_s = 0.0
         self._collector = threading.Thread(target=self._collect, daemon=True)
         self._fetcher = threading.Thread(target=self._fetch, daemon=True)
@@ -177,6 +190,7 @@ class _Batcher:
             "mean_dispatch_ms": (1e3 * disp / n_b) if n_b else 0.0,
             "queue_depth": depth,
             "inflight_batches": self._inflight.qsize(),
+            "shed_requests": self._n_shed,
         }
 
     def submit(self, img: np.ndarray) -> Future:
@@ -188,6 +202,12 @@ class _Batcher:
         with self._nonempty:
             if self._stop:
                 raise RuntimeError("batcher is shut down")
+            if self.max_queue and len(self._queue) >= self.max_queue:
+                self._n_shed += 1
+                raise Overloaded(
+                    f"{len(self._queue)} images already queued "
+                    f"(--max-queue {self.max_queue}); retry later"
+                )
             self._queue.append((img, fut))
             self._nonempty.notify()
         return fut
@@ -287,6 +307,7 @@ def build_server(
     spatial_parallel: int = 1,
     fetch_top_k: int = 512,
     pipeline_depth: int = 2,
+    max_queue: Optional[int] = None,
 ) -> ThreadingHTTPServer:
     """Load the model, compile the fixed-shape forward, and return a ready
     (not yet serving) ThreadingHTTPServer. Callers run serve_forever();
@@ -485,9 +506,14 @@ def build_server(
     np.asarray(_slice_full(_full_w, 0))
     del _full_w
 
+    # default shed point: pipeline_depth batches can be in flight plus
+    # this many waiting = several seconds of device backlog already
+    if max_queue is None:
+        max_queue = 8 * batch_size
     batcher = _Batcher(fwd_dispatch, fwd_fetch, batch_size, img_chw,
                        linger_s=linger_ms / 1e3,
-                       pipeline_depth=pipeline_depth)
+                       pipeline_depth=pipeline_depth,
+                       max_queue=max_queue)
     inflight = _Gauge()
     fallback_lock = threading.Lock()
     fallback_count = [0]  # full-tensor fetches (candidate set insufficient)
@@ -520,6 +546,7 @@ def build_server(
         "quantize": bool(quantize),
         "fetch_top_k": K,
         "pipeline_depth": max(1, int(pipeline_depth)),
+        "max_queue": int(max_queue),
         "data_parallel_devices": (
             len(jax.devices())
             if data_parallel and len(jax.devices()) > 1
@@ -535,11 +562,14 @@ def build_server(
         def log_message(self, fmt, *args):  # noqa: N802 (stdlib name)
             pass
 
-        def _json(self, code: int, payload: Dict[str, Any]) -> None:
+        def _json(self, code: int, payload: Dict[str, Any],
+                  extra_headers: Optional[Dict[str, str]] = None) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra_headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -643,6 +673,12 @@ def build_server(
                 pred = _pred_for(
                     cand_rows, cand_idx, full, slot, thr["obj_thresh"]
                 )
+            except Overloaded as e:
+                # shed BEFORE holding the frame: tell clients when to retry
+                # (one batch's drain time, coarsely)
+                self._json(503, {"error": f"overloaded: {e}"},
+                           extra_headers={"Retry-After": "1"})
+                return
             except Exception as e:
                 self._json(503, {"error": f"inference failed: {e}"})
                 return
@@ -715,6 +751,7 @@ def do_serve(args) -> None:
         spatial_parallel=args.spatial_parallel,
         fetch_top_k=args.fetch_top_k,
         pipeline_depth=args.pipeline_depth,
+        max_queue=args.max_queue,
     )
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port} "

@@ -585,6 +585,15 @@ def serve_parser(parser=None):
         ),
     )
     parser.add_argument(
+        "--max-queue", type=uint, default=None,
+        help=(
+            "load shedding: max images waiting for a dispatch slot before "
+            "new requests get 503 + Retry-After (each queued frame holds "
+            "H*W bytes of host memory; 0 disables shedding) "
+            "(default: 8 * batch size)"
+        ),
+    )
+    parser.add_argument(
         "--device", type=str,
         help="JAX platform override (e.g. 'cpu', 'tpu')",
     )
