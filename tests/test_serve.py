@@ -218,6 +218,110 @@ def test_raw_frame_path_matches_png_path(server, goldens_dir):
     assert status == 200 and resp == png_resp
 
 
+def test_raw_batch_request_matches_singles(server, goldens_dir):
+    """N concatenated raw frames in ONE POST = a batch request: the
+    {"results": [...]} entries must be bit-identical (JSON-level) to N
+    single posts of the same frames, in input order; thresholds apply to
+    every frame; a non-multiple body length or N over the advertised
+    max_frames_per_request is a structured 400."""
+    port = server.server_address[1]
+    imgs = gen_test_images(goldens_dir, n=3, seed=5)
+    singles = [
+        _post(port, im[None].tobytes(),
+              content_type="application/octet-stream")[1]
+        for im in imgs
+    ]
+    body = b"".join(im[None].tobytes() for im in imgs)
+    status, resp = _post(port, body,
+                         content_type="application/octet-stream")
+    assert status == 200
+    assert set(resp) == {"results"} and len(resp["results"]) == 3
+    assert resp["results"] == singles
+
+    # threshold overrides apply to the whole group
+    status, strict = _post(port, body, path="/predict?obj_thresh=0.99",
+                           content_type="application/octet-stream")
+    assert status == 200
+    assert all(len(s["detections"]) <= len(r["detections"])
+               for s, r in zip(strict["results"], resp["results"]))
+
+    info = json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/healthz", timeout=30).read())
+    cap = info["max_frames_per_request"]
+    assert cap == 4 * info["batch_size"]  # the documented default
+    too_many = imgs[0][None].tobytes() * (cap + 1)
+    status, resp = _post(port, too_many,
+                         content_type="application/octet-stream")
+    assert status == 400 and str(cap) in resp["error"]
+
+
+def test_encoded_body_size_cap(server):
+    """Encoded-image bodies above the 32 MiB bound are rejected 413 before
+    the decode path buffers them (allocation-bound hardening; raw
+    octet-stream bodies are instead bounded by max_frames_per_request)."""
+    port = server.server_address[1]
+    status, resp = _post(port, b"\0" * (32 * 1024 * 1024 + 1))
+    assert status == 413 and "limit" in resp["error"]
+
+
+def test_batcher_submit_many_is_atomic_under_shedding():
+    """A group that would overflow max_queue is shed WHOLE - no partial
+    enqueue computing frames for a request that already got its 503 - and
+    a group that fits is accepted whole."""
+    from yogo_tpu.serve import Overloaded, _Batcher
+
+    fetch_gate = threading.Event()
+
+    def fwd_dispatch(imgs):
+        return imgs.copy()
+
+    def fwd_fetch(imgs):
+        fetch_gate.wait(timeout=30)
+        b = imgs.shape[0]
+        return (imgs[:, 0, :1, :1].astype(np.float32).reshape(b, 1, 1),
+                np.zeros((b, 1), np.int64), "full")
+
+    batcher = _Batcher(fwd_dispatch, fwd_fetch, batch_size=1,
+                       img_chw=(1, 1, 1), linger_s=0.0, pipeline_depth=1,
+                       max_queue=4)
+    try:
+        import time
+
+        # saturate the pipeline deterministically (batch_size=1): batch 1
+        # blocked inside the gated fetch, batch 2 queued in _inflight,
+        # batch 3 taken by the collector which is now blocked on the full
+        # _inflight.put - the waiting queue drains to 0 and STAYS there
+        first = [batcher.submit(np.zeros((1, 1, 1), np.uint8))
+                 for _ in range(3)]
+        deadline = time.monotonic() + 30
+        while batcher.stats()["queue_depth"] > 0:
+            assert time.monotonic() < deadline, "pipeline never saturated"
+        # a group of 3 fits the empty waiting queue (3 <= 4)...
+        group = batcher.submit_many(
+            [np.full((1, 1, 1), v, np.uint8) for v in (1, 2, 3)]
+        )
+        # ...but a further group of 2 would take it to 5 > 4: shed whole
+        try:
+            batcher.submit_many(
+                [np.zeros((1, 1, 1), np.uint8) for _ in range(2)]
+            )
+            raise AssertionError("expected Overloaded")
+        except Overloaded:
+            pass
+        stats = batcher.stats()
+        assert stats["shed_requests"] == 2  # counts FRAMES shed
+        assert stats["queue_depth"] == 3  # the accepted group is intact
+
+        fetch_gate.set()
+        got = [int(f.result(timeout=30)[0][0, 0]) for f in group]
+        assert got == [1, 2, 3]  # input order preserved across dispatches
+        for f in first:
+            f.result(timeout=30)
+    finally:
+        fetch_gate.set()
+        batcher.shutdown()
+
+
 def test_fetch_topk_fallback_is_exact(goldens_dir):
     """The device->host candidate fetch is capacity-K but responses must
     stay EXACT at any threshold: when the K-th candidate's objectness
@@ -528,8 +632,8 @@ def test_serve_overload_returns_503_with_retry_after(server):
     assert info["max_queue"] == 8 * info["batch_size"]  # default shed point
     body = np.zeros((1, h, w), np.uint8).tobytes()
 
-    orig_submit = server.yogo_batcher.submit
-    server.yogo_batcher.submit = lambda img: (_ for _ in ()).throw(
+    orig_submit = server.yogo_batcher.submit_many
+    server.yogo_batcher.submit_many = lambda imgs: (_ for _ in ()).throw(
         Overloaded("8 images already queued"))
     try:
         req = urllib.request.Request(
@@ -542,7 +646,7 @@ def test_serve_overload_returns_503_with_retry_after(server):
         assert ei.value.headers["Retry-After"] == "1"
         assert "overloaded" in json.loads(ei.value.read())["error"]
     finally:
-        server.yogo_batcher.submit = orig_submit
+        server.yogo_batcher.submit_many = orig_submit
 
     status, _ = _post(port, body, content_type="application/octet-stream")
     assert status == 200  # back to normal service

@@ -55,6 +55,11 @@ def parse_args():
     p.add_argument("--modes", default="raw,png")
     p.add_argument("--model", default="base_model")
     p.add_argument("--pipeline-depth", type=int, default=2)
+    p.add_argument(
+        "--frames-per-request", type=int, default=1,
+        help="raw mode only: concatenate N frames per POST (the batch "
+             "request path; png mode always sends 1)",
+    )
     return p.parse_args()
 
 
@@ -118,7 +123,8 @@ def main():
     frame = np.random.default_rng(1).integers(
         0, 256, (1, *IMG_HW), dtype=np.uint8
     )
-    raw_body = frame.tobytes()
+    fpr = max(1, args.frames_per_request)
+    raw_body = frame.tobytes() * fpr  # N concatenated frames = 1 batch POST
     from PIL import Image
 
     buf = io.BytesIO()
@@ -128,6 +134,7 @@ def main():
         "raw": (raw_body, "application/octet-stream"),
         "png": (png_body, "image/png"),
     }
+    frames_of = {"raw": fpr, "png": 1}
 
     def metrics():
         c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
@@ -191,8 +198,10 @@ def main():
                 "mode": mode,
                 "concurrency": k,
                 "pipeline_depth": args.pipeline_depth,
+                "frames_per_request": frames_of[mode],
                 "requests": len(lat),
                 "rps": round(len(lat) / wall, 1),
+                "img_per_s": round(len(lat) * frames_of[mode] / wall, 1),
                 "p50_ms": round(float(lat[len(lat) // 2]), 1),
                 "p95_ms": round(float(lat[int(len(lat) * 0.95)]), 1),
                 "p99_ms": round(float(lat[min(int(len(lat) * 0.99),

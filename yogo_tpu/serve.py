@@ -29,6 +29,14 @@ Protocol (JSON over HTTP):
       decode server-side (per-request cost measured in
       tools/serve_loadtest.py / docs/perf-notes.md). Responses are
       bit-identical to the encoded-image path for the same pixels.
+  POST /predict (octet-stream) with N concatenated frames (body length =
+      N x frame bytes, N <= /healthz's max_frames_per_request) -> BATCH
+      request: one HTTP round trip, N frames enter the batcher atomically
+      (all-or-nothing vs --max-queue shedding). Response is
+      {"results": [per-frame {detections, counts}...]} in input order.
+      Amortizes the per-request HTTP + queueing overhead for clients that
+      buffer short bursts (response schema stays the single-frame one when
+      N == 1).
 
 Detections come from the host-exact formatter (ops/postprocess.format_preds,
 reference semantics: yogo/utils/prediction_formatting.py:23-93), so a served
@@ -72,6 +80,13 @@ def scatter_candidates(
     flat = np.zeros((sy * sx, pred_dim), np.float32)
     flat[np.asarray(cand_idx)] = cand_rows
     return flat.T.reshape(pred_dim, sy, sx)
+
+
+# encoded-image uploads are buffered whole before decode; bound the
+# allocation so a misconfigured client (or an attacker) can't make every
+# handler thread hold an arbitrary-size body (a 772x1032 PNG is <1 MB;
+# 32 MiB covers any real microscope frame with headroom)
+_MAX_ENCODED_BODY = 32 * 1024 * 1024
 
 
 class Overloaded(RuntimeError):
@@ -194,23 +209,31 @@ class _Batcher:
         }
 
     def submit(self, img: np.ndarray) -> Future:
-        if img.shape != self.img_chw:
-            raise ValueError(
-                f"image shape {img.shape} != model input {self.img_chw}"
-            )
-        fut: Future = Future()
+        return self.submit_many([img])[0]
+
+    def submit_many(self, imgs: List[np.ndarray]) -> List[Future]:
+        """Enqueue N frames atomically: either all are accepted or the
+        whole group is shed (no partial work for a batch request that is
+        going to 503 anyway). Futures resolve independently, in input
+        order, possibly across several device dispatches."""
+        for img in imgs:
+            if img.shape != self.img_chw:
+                raise ValueError(
+                    f"image shape {img.shape} != model input {self.img_chw}"
+                )
+        futs: List[Future] = [Future() for _ in imgs]
         with self._nonempty:
             if self._stop:
                 raise RuntimeError("batcher is shut down")
-            if self.max_queue and len(self._queue) >= self.max_queue:
-                self._n_shed += 1
+            if self.max_queue and len(self._queue) + len(imgs) > self.max_queue:
+                self._n_shed += len(imgs)
                 raise Overloaded(
                     f"{len(self._queue)} images already queued "
                     f"(--max-queue {self.max_queue}); retry later"
                 )
-            self._queue.append((img, fut))
+            self._queue.extend(zip(imgs, futs))
             self._nonempty.notify()
-        return fut
+        return futs
 
     def shutdown(self) -> None:
         with self._nonempty:
@@ -308,6 +331,7 @@ def build_server(
     fetch_top_k: int = 512,
     pipeline_depth: int = 2,
     max_queue: Optional[int] = None,
+    max_frames_per_request: Optional[int] = None,
 ) -> ThreadingHTTPServer:
     """Load the model, compile the fixed-shape forward, and return a ready
     (not yet serving) ThreadingHTTPServer. Callers run serve_forever();
@@ -510,6 +534,11 @@ def build_server(
     # this many waiting = several seconds of device backlog already
     if max_queue is None:
         max_queue = 8 * batch_size
+    # raw batch requests: frames per POST (4 device batches fills the
+    # default pipeline nicely; also the implicit raw-path body bound)
+    if max_frames_per_request is None:
+        max_frames_per_request = 4 * batch_size
+    max_frames_per_request = max(1, int(max_frames_per_request))
     batcher = _Batcher(fwd_dispatch, fwd_fetch, batch_size, img_chw,
                        linger_s=linger_ms / 1e3,
                        pipeline_depth=pipeline_depth,
@@ -530,6 +559,31 @@ def build_server(
                 fallback_count[0] += 1
             return np.asarray(_slice_full(full, slot), np.float32)
         return scatter_candidates(cand_rows, cand_idx, pred_dim, Sy, Sx)
+
+    def _format_detections(pred, thr) -> Dict[str, Any]:
+        rows = format_preds(pred, box_format="cxcywh", **thr)
+        # derive xyxy from the single formatter pass: a second
+        # format_preds call would redo the filter + host NMS
+        xyxy = (
+            _cxcywh_to_xyxy_np(rows[:, :4])
+            if len(rows)
+            else np.zeros((0, 4), np.float32)
+        )
+        dets = []
+        counts = {name: 0 for name in class_names}
+        for r, bx in zip(rows, xyxy):
+            ci = int(np.argmax(r[5:]))
+            counts[class_names[ci]] += 1
+            dets.append({
+                "class_idx": ci,
+                "class": class_names[ci],
+                "objectness": float(r[4]),
+                "class_confidence": float(r[5 + ci]),
+                "bbox_cxcywh": [float(v) for v in r[:4]],
+                "bbox_xyxy": [float(v) for v in bx],
+            })
+        return {"detections": dets, "counts": counts}
+
     defaults = {
         "obj_thresh": obj_thresh,
         "iou_thresh": iou_thresh,
@@ -547,6 +601,7 @@ def build_server(
         "fetch_top_k": K,
         "pipeline_depth": max(1, int(pipeline_depth)),
         "max_queue": int(max_queue),
+        "max_frames_per_request": int(max_frames_per_request),
         "data_parallel_devices": (
             len(jax.devices())
             if data_parallel and len(jax.devices()) > 1
@@ -561,6 +616,23 @@ def build_server(
         # stderr lines from the stdlib handler
         def log_message(self, fmt, *args):  # noqa: N802 (stdlib name)
             pass
+
+        def _drain(self, length: int) -> None:
+            """Discard a rejected request's body in small chunks before
+            responding: answering while the client is still writing makes
+            it see EPIPE instead of our JSON error. Allocation stays one
+            chunk; bodies beyond 2x the encoded cap aren't worth the
+            bandwidth - close the connection instead."""
+            limit = 2 * _MAX_ENCODED_BODY
+            if length > limit:
+                self.close_connection = True
+                length = 0
+            while length > 0:
+                chunk = self.rfile.read(min(length, 1 << 20))
+                if not chunk:
+                    self.close_connection = True
+                    return
+                length -= len(chunk)
 
         def _json(self, code: int, payload: Dict[str, Any],
                   extra_headers: Optional[Dict[str, str]] = None) -> None:
@@ -616,13 +688,17 @@ def build_server(
                 # raw uint8 frame path: the body IS the (C, H, W) pixel
                 # buffer the model consumes - no decode, no crop (clients
                 # holding camera frames send them as-is; /healthz reports
-                # the expected input_hw)
+                # the expected input_hw). N concatenated frames = one
+                # BATCH request (see module docstring).
                 expected = int(np.prod(img_chw))
-                if length != expected:
+                n_frames, rem = divmod(length, expected)
+                if rem or not (1 <= n_frames <= max_frames_per_request):
+                    self._drain(length)
                     self._json(400, {
                         "error": (
-                            f"raw frame must be exactly {expected} bytes "
-                            f"(uint8, C-order {list(img_chw)} CHW), got "
+                            f"raw body must be N x {expected} bytes "
+                            f"(uint8, C-order {list(img_chw)} CHW frames, "
+                            f"1 <= N <= {max_frames_per_request}), got "
                             f"{length}"
                         )
                     })
@@ -633,25 +709,41 @@ def build_server(
                         "error": f"short body: {len(buf)}/{length} bytes"
                     })
                     return
-                img = np.frombuffer(buf, np.uint8).reshape(img_chw)
+                imgs = list(
+                    np.frombuffer(buf, np.uint8).reshape(-1, *img_chw)
+                )
             else:
+                if length > _MAX_ENCODED_BODY:
+                    # bound the decode path's allocation: an attacker (or
+                    # a misconfigured client) must not make the server
+                    # buffer an arbitrary-size body
+                    self._drain(length)
+                    self._json(413, {
+                        "error": (
+                            f"body of {length} bytes exceeds the "
+                            f"{_MAX_ENCODED_BODY}-byte limit for encoded "
+                            "images; send raw octet-stream frames instead"
+                        )
+                    })
+                    return
                 try:
                     raw = self.rfile.read(length)
-                    img = _decode_image_bytes(raw, rgb=rgb, crop_hw=crop_hw)
+                    imgs = [_decode_image_bytes(raw, rgb=rgb, crop_hw=crop_hw)]
                 except Exception as e:
                     self._json(
                         400, {"error": f"could not decode image: {e}"}
                     )
                     return
-            if img.shape != img_chw:
-                self._json(400, {
-                    "error": (
-                        f"image shape {list(img.shape)} != model input "
-                        f"{list(img_chw)} (CHW); resize/crop client-side or "
-                        "start the server with --crop-height"
-                    )
-                })
-                return
+            for img in imgs:
+                if img.shape != img_chw:
+                    self._json(400, {
+                        "error": (
+                            f"image shape {list(img.shape)} != model input "
+                            f"{list(img_chw)} (CHW); resize/crop client-side "
+                            "or start the server with --crop-height"
+                        )
+                    })
+                    return
 
             q = {k: v[-1] for k, v in parse_qs(url.query).items()}
             try:
@@ -667,14 +759,21 @@ def build_server(
                 return
 
             try:
-                cand_rows, cand_idx, full, slot = batcher.submit(img).result(
-                    timeout=60
-                )
-                pred = _pred_for(
-                    cand_rows, cand_idx, full, slot, thr["obj_thresh"]
-                )
+                futs = batcher.submit_many(imgs)
+                # shared deadline across the group: a hung device must not
+                # cost 60 s PER frame of a batch request
+                deadline = time.monotonic() + 120.0
+                results = []
+                for fut in futs:
+                    cand_rows, cand_idx, full, slot = fut.result(
+                        timeout=max(0.0, deadline - time.monotonic())
+                    )
+                    pred = _pred_for(
+                        cand_rows, cand_idx, full, slot, thr["obj_thresh"]
+                    )
+                    results.append(_format_detections(pred, thr))
             except Overloaded as e:
-                # shed BEFORE holding the frame: tell clients when to retry
+                # shed BEFORE holding the frames: tell clients when to retry
                 # (one batch's drain time, coarsely)
                 self._json(503, {"error": f"overloaded: {e}"},
                            extra_headers={"Retry-After": "1"})
@@ -682,29 +781,10 @@ def build_server(
             except Exception as e:
                 self._json(503, {"error": f"inference failed: {e}"})
                 return
-
-            rows = format_preds(pred, box_format="cxcywh", **thr)
-            # derive xyxy from the single formatter pass: a second
-            # format_preds call would redo the filter + host NMS
-            xyxy = (
-                _cxcywh_to_xyxy_np(rows[:, :4])
-                if len(rows)
-                else np.zeros((0, 4), np.float32)
-            )
-            dets = []
-            counts = {name: 0 for name in class_names}
-            for r, bx in zip(rows, xyxy):
-                ci = int(np.argmax(r[5:]))
-                counts[class_names[ci]] += 1
-                dets.append({
-                    "class_idx": ci,
-                    "class": class_names[ci],
-                    "objectness": float(r[4]),
-                    "class_confidence": float(r[5 + ci]),
-                    "bbox_cxcywh": [float(v) for v in r[:4]],
-                    "bbox_xyxy": [float(v) for v in bx],
-                })
-            self._json(200, {"detections": dets, "counts": counts})
+            if len(results) == 1:
+                self._json(200, results[0])
+            else:
+                self._json(200, {"results": results})
 
     class _Server(ThreadingHTTPServer):
         # socketserver's default accept backlog is 5: a burst of
@@ -712,6 +792,16 @@ def build_server(
         # connection-refused/reset (measured at 64 clients,
         # tools/serve_loadtest.py). 128 covers any sane client fan-in.
         request_queue_size = 128
+
+        def handle_error(self, request, client_address):
+            # a client that disconnects mid-response (curl timeout, LB
+            # reset) raises ConnectionError in its handler thread;
+            # socketserver's default prints a full traceback per event -
+            # pure noise under load. Anything else still gets reported.
+            exc = sys.exc_info()[1]
+            if isinstance(exc, (ConnectionError, TimeoutError)):
+                return
+            super().handle_error(request, client_address)
 
     server = _Server((host, port), Handler)
     server.yogo_batcher = batcher  # for orderly shutdown
@@ -752,6 +842,7 @@ def do_serve(args) -> None:
         fetch_top_k=args.fetch_top_k,
         pipeline_depth=args.pipeline_depth,
         max_queue=args.max_queue,
+        max_frames_per_request=args.max_frames_per_request,
     )
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port} "

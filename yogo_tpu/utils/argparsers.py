@@ -594,6 +594,14 @@ def serve_parser(parser=None):
         ),
     )
     parser.add_argument(
+        "--max-frames-per-request", type=uint, default=None,
+        help=(
+            "cap on N for raw octet-stream BATCH requests (body = N "
+            "concatenated frames -> one HTTP round trip; also bounds the "
+            "raw path's body size) (default: 4 * batch size)"
+        ),
+    )
+    parser.add_argument(
         "--device", type=str,
         help="JAX platform override (e.g. 'cpu', 'tpu')",
     )
