@@ -276,8 +276,9 @@ def main() -> None:
     # train step (fwd+bwd+adamw+paired flips, bf16, bs=128 = the measured
     # v5e-1 throughput peak): donated chained dispatches fenced by one
     # scalar fetch (block_until_ready lies on this backend). No baseline
-    # target exists for training; vs_baseline reports against the 5k
-    # inference north star's train-side shadow only informationally.
+    # target exists for training (the reference publishes none; BASELINE.md),
+    # so vs_baseline is null rather than a misleading ratio against the
+    # 5k INFERENCE north star.
     try:
         train_ips = measure_train(model, batch_size=128, n_steps=16)
         print(
@@ -286,7 +287,9 @@ def main() -> None:
                     "metric": "train_step_throughput_772x1032_base_model_bf16",
                     "value": round(train_ips, 1),
                     "unit": "img/s/chip",
-                    "vs_baseline": round(train_ips / BASELINE_IMG_PER_S, 3),
+                    "vs_baseline": None,
+                    "note": "no published train baseline (BASELINE.md); "
+                            "the 5k target is inference-only",
                 }
             )
         )
