@@ -56,9 +56,11 @@ def parse_args():
     p.add_argument("--model", default="base_model")
     p.add_argument("--pipeline-depth", type=int, default=2)
     p.add_argument(
-        "--frames-per-request", type=int, default=1,
-        help="raw mode only: concatenate N frames per POST (the batch "
-             "request path; png mode always sends 1)",
+        "--frames-per-request", default="1",
+        help="raw mode only: comma list of N values - concatenate N frames "
+             "per POST (the batch request path; png mode always sends 1). "
+             "All values run within ONE server session so relay drift "
+             "cancels across the sweep.",
     )
     return p.parse_args()
 
@@ -123,18 +125,25 @@ def main():
     frame = np.random.default_rng(1).integers(
         0, 256, (1, *IMG_HW), dtype=np.uint8
     )
-    fpr = max(1, args.frames_per_request)
-    raw_body = frame.tobytes() * fpr  # N concatenated frames = 1 batch POST
+    fprs = [max(1, int(x)) for x in
+            str(args.frames_per_request).split(",")]
     from PIL import Image
 
     buf = io.BytesIO()
     Image.fromarray(frame[0]).save(buf, format="PNG")
     png_body = buf.getvalue()
-    bodies = {
-        "raw": (raw_body, "application/octet-stream"),
-        "png": (png_body, "image/png"),
-    }
-    frames_of = {"raw": fpr, "png": 1}
+    # (mode, frames_per_request) combos: raw sweeps the batch-request
+    # sizes, png is always single-frame (no encoded batch wire format)
+    combos = []
+    for mode in args.modes.split(","):
+        if mode == "raw":
+            combos += [
+                ("raw", fpr, frame.tobytes() * fpr,
+                 "application/octet-stream")
+                for fpr in fprs
+            ]
+        else:
+            combos.append((mode, 1, png_body, "image/png"))
 
     def metrics():
         c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
@@ -143,8 +152,7 @@ def main():
         c.close()
         return r
 
-    def client_loop(mode, stop_t, latencies, errors):
-        body, ctype = bodies[mode]
+    def client_loop(body, ctype, stop_t, latencies, errors):
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
         try:
             while time.perf_counter() < stop_t:
@@ -163,12 +171,13 @@ def main():
             conn.close()
 
     results = []
-    for mode in args.modes.split(","):
+    for mode, fpr, body, ctype in combos:
         # warmup: fill every compiled shape / code path once
         lat0, err0 = [], []
-        client_loop(mode, time.perf_counter() + 2.0, lat0, err0)
+        client_loop(body, ctype, time.perf_counter() + 2.0, lat0, err0)
         if err0:
-            print(f"warmup errors ({mode}): {err0[:3]}", file=sys.stderr)
+            print(f"warmup errors ({mode}/fpr={fpr}): {err0[:3]}",
+                  file=sys.stderr)
             continue
         for k in (int(x) for x in args.levels.split(",")):
             m0 = metrics()
@@ -176,7 +185,8 @@ def main():
             stop_t = time.perf_counter() + args.duration
             threads = [
                 threading.Thread(
-                    target=client_loop, args=(mode, stop_t, latencies, errors)
+                    target=client_loop,
+                    args=(body, ctype, stop_t, latencies, errors),
                 )
                 for _ in range(k)
             ]
@@ -198,10 +208,10 @@ def main():
                 "mode": mode,
                 "concurrency": k,
                 "pipeline_depth": args.pipeline_depth,
-                "frames_per_request": frames_of[mode],
+                "frames_per_request": fpr,
                 "requests": len(lat),
                 "rps": round(len(lat) / wall, 1),
-                "img_per_s": round(len(lat) * frames_of[mode] / wall, 1),
+                "img_per_s": round(len(lat) * fpr / wall, 1),
                 "p50_ms": round(float(lat[len(lat) // 2]), 1),
                 "p95_ms": round(float(lat[int(len(lat) * 0.95)]), 1),
                 "p99_ms": round(float(lat[min(int(len(lat) * 0.99),
