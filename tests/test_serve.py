@@ -309,7 +309,7 @@ def test_batcher_submit_many_is_atomic_under_shedding():
         except Overloaded:
             pass
         stats = batcher.stats()
-        assert stats["shed_requests"] == 2  # counts FRAMES shed
+        assert stats["shed_frames"] == 2
         assert stats["queue_depth"] == 3  # the accepted group is intact
 
         fetch_gate.set()
@@ -604,7 +604,7 @@ def test_batcher_sheds_load_at_max_queue():
                 break
         assert shed == 1, "never shed despite a gated fetch + max_queue=3"
         stats = batcher.stats()
-        assert stats["shed_requests"] == 1
+        assert stats["shed_frames"] == 1
         # the queue was at max_queue at shed time; the collector may have
         # started popping a batch since, but never past the cap
         assert stats["queue_depth"] <= 3
@@ -650,6 +650,25 @@ def test_serve_overload_returns_503_with_retry_after(server):
 
     status, _ = _post(port, body, content_type="application/octet-stream")
     assert status == 200  # back to normal service
+
+
+def test_unknown_query_param_is_400(server, goldens_dir):
+    """A typo'd override (obj_tresh=0.9) must fail loudly, not silently
+    serve the default threshold."""
+    port = server.server_address[1]
+    img = gen_test_images(goldens_dir, n=1, seed=5)[0]
+    status, resp = _post(port, _png_bytes(img), path="/predict?obj_tresh=0.9")
+    assert status == 400
+    assert "obj_tresh" in resp["error"] and "obj_thresh" in resp["error"]
+
+
+def test_frame_cap_over_queue_cap_is_a_build_error():
+    """A batch request sheds whole, so --max-frames-per-request above
+    --max-queue means a full-size batch request could NEVER be accepted:
+    reject the configuration at startup, not request-by-request."""
+    with pytest.raises(ValueError, match="max-queue"):
+        build_server(CKPT_PATH, port=0, batch_size=2, max_queue=4,
+                     max_frames_per_request=8)
 
 
 def test_serve_rejects_duplicate_class_names():

@@ -205,7 +205,7 @@ class _Batcher:
             "mean_dispatch_ms": (1e3 * disp / n_b) if n_b else 0.0,
             "queue_depth": depth,
             "inflight_batches": self._inflight.qsize(),
-            "shed_requests": self._n_shed,
+            "shed_frames": self._n_shed,
         }
 
     def submit(self, img: np.ndarray) -> Future:
@@ -539,6 +539,14 @@ def build_server(
     if max_frames_per_request is None:
         max_frames_per_request = 4 * batch_size
     max_frames_per_request = max(1, int(max_frames_per_request))
+    if max_queue and max_frames_per_request > max_queue:
+        # a batch request sheds whole: one bigger than the queue bound
+        # could NEVER be accepted, even on an idle server
+        raise ValueError(
+            f"--max-frames-per-request {max_frames_per_request} exceeds "
+            f"--max-queue {max_queue}: a full-size batch request would "
+            "always be shed; raise --max-queue or lower the frame cap"
+        )
     batcher = _Batcher(fwd_dispatch, fwd_fetch, batch_size, img_chw,
                        linger_s=linger_ms / 1e3,
                        pipeline_depth=pipeline_depth,
@@ -746,6 +754,18 @@ def build_server(
                     return
 
             q = {k: v[-1] for k, v in parse_qs(url.query).items()}
+            unknown = sorted(set(q) - set(defaults))
+            if unknown:
+                # a typo'd override (obj_tresh=0.9) silently serving the
+                # DEFAULT threshold is a debugging trap; fail loudly like
+                # the CLI does for unknown flags
+                self._json(400, {
+                    "error": (
+                        f"unknown query parameter(s) {unknown}; "
+                        f"supported: {sorted(defaults)}"
+                    )
+                })
+                return
             try:
                 thr = {k: float(q.get(k, defaults[k])) for k in defaults}
                 # same bounds the CLI validators enforce: a negative or
