@@ -1,0 +1,125 @@
+"""ServeClient (yogo_tpu/serve_client.py) against a live server: chunking
+to max_frames_per_request, input-order preservation, threshold overrides,
+input validation, and 503 backoff semantics."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tests.test_golden_detections import gen_test_images
+from tests.test_serve import CKPT_PATH, _post
+from yogo_tpu.serve import build_server
+from yogo_tpu.serve_client import ServeClient, ServerOverloaded
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = build_server(CKPT_PATH, port=0, batch_size=4, linger_ms=20.0,
+                       max_frames_per_request=16)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.yogo_batcher.shutdown()
+    srv.server_close()
+    t.join(timeout=5)
+
+
+@pytest.fixture(scope="module")
+def client(server):
+    c = ServeClient("127.0.0.1", server.server_address[1])
+    yield c
+    c.close()
+
+
+@pytest.fixture(scope="module")
+def frames(tmp_path_factory):
+    d = tmp_path_factory.mktemp("client_imgs")
+    return [im[None] for im in gen_test_images(d, n=4, seed=5)]
+
+
+def test_discovery_and_single_predict_parity(server, client, frames):
+    """The client discovers the wire contract from /healthz, and
+    predict() returns exactly what a hand-rolled raw POST returns."""
+    assert client.img_chw == (1, *server.yogo_info["input_hw"])
+    assert client.max_frames == 16
+    port = server.server_address[1]
+    for f in frames:
+        _, want = _post(port, f.tobytes(),
+                        content_type="application/octet-stream")
+        assert client.predict(f) == want
+
+
+def test_predict_many_chunks_and_preserves_order(client, frames):
+    """35 frames through a max_frames=16 server: 3 batch requests
+    (16+16+3), results in input order - each frame's result equals its
+    single-predict result."""
+    singles = [client.predict(f) for f in frames]
+    seq = [frames[i % 4] for i in range(35)]
+    results = client.predict_many(np.stack(seq))
+    assert len(results) == 35
+    for i, r in enumerate(results):
+        assert r == singles[i % 4]
+
+
+def test_threshold_kwargs(client, frames):
+    loose = client.predict(frames[0], obj_thresh=0.1)
+    strict = client.predict(frames[0], obj_thresh=0.99)
+    assert len(strict["detections"]) <= len(loose["detections"])
+    with pytest.raises(RuntimeError, match="unknown query"):
+        client.predict(frames[0], obj_tresh=0.5)  # typo'd name -> 400
+
+
+def test_input_validation_is_local(client):
+    """Wrong shapes are rejected before any upload."""
+    with pytest.raises(ValueError, match="frames must be"):
+        client.predict(np.zeros((1, 8, 8), np.uint8))
+    with pytest.raises(ValueError, match="frames must be"):
+        client.predict_many(np.zeros((2, 3, 4), np.uint8))
+
+
+def test_503_backoff_then_success(client, frames, monkeypatch):
+    """A shed (503 + Retry-After) is retried with the server's hint; a
+    persistent shed surfaces as ServerOverloaded after max_retries."""
+    real = ServeClient._request
+    sheds = {"n": 0}
+
+    def flaky(self, method, path, body, ctype):
+        if method == "POST" and sheds["n"] < 2:
+            sheds["n"] += 1
+            return (503, {"Retry-After": "0"},
+                    json.dumps({"error": "overloaded: test"}).encode())
+        return real(self, method, path, body, ctype)
+
+    monkeypatch.setattr(ServeClient, "_request", flaky)
+    want = client.predict(frames[0])
+    sheds["n"] = 0
+    assert client.predict(frames[0]) == want  # 2 sheds then success
+    assert sheds["n"] == 2
+
+    def always_shed(self, method, path, body, ctype):
+        return (503, {"Retry-After": "0"},
+                json.dumps({"error": "overloaded: always"}).encode())
+
+    monkeypatch.setattr(ServeClient, "_request", always_shed)
+    with pytest.raises(ServerOverloaded, match="always"):
+        client.predict(frames[0])
+
+
+def test_reconnects_after_server_side_close(server, client, frames):
+    """A dropped keep-alive socket (idle reset) is transparently
+    reconnected once rather than failing the request."""
+    client._connection().connect()  # ensure a live socket
+    client._conn.sock.close()  # simulate the server/LB dropping it
+    assert client.predict(frames[0]) == client.predict(frames[0])
+
+
+def test_metrics_passthrough(server, client):
+    port = server.server_address[1]
+    want = json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/metrics", timeout=30).read())
+    got = client.metrics()
+    assert set(got) == set(want)
