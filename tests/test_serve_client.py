@@ -117,6 +117,44 @@ def test_reconnects_after_server_side_close(server, client, frames):
     assert client.predict(frames[0]) == client.predict(frames[0])
 
 
+def test_serve_from_pth_checkpoint(tmp_path, frames):
+    """A reference-format .pth checkpoint serves identically to the native
+    .ckpt it was exported from - the first thing a reference user migrating
+    their trained model would do."""
+    from yogo_tpu.utils.checkpoint import load_any
+    from yogo_tpu.utils.torch_bridge import save_pth
+
+    model, variables, cfg = load_any(CKPT_PATH)
+    pth = tmp_path / "exported.pth"
+    save_pth(pth, model, variables, classes=["cell", "parasite"],
+             model_name=model.defn.name)
+    srv = build_server(pth, port=0, batch_size=2, linger_ms=1.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with ServeClient("127.0.0.1", srv.server_address[1]) as c:
+            assert c.info["classes"] == ["cell", "parasite"]
+            got = c.predict(frames[0])
+    finally:
+        srv.shutdown()
+        srv.yogo_batcher.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
+
+    srv2 = build_server(CKPT_PATH, port=0, batch_size=2, linger_ms=1.0)
+    t2 = threading.Thread(target=srv2.serve_forever, daemon=True)
+    t2.start()
+    try:
+        with ServeClient("127.0.0.1", srv2.server_address[1]) as c:
+            want = c.predict(frames[0])
+    finally:
+        srv2.shutdown()
+        srv2.yogo_batcher.shutdown()
+        srv2.server_close()
+        t2.join(timeout=5)
+    assert got == want
+
+
 def test_metrics_passthrough(server, client):
     port = server.server_address[1]
     want = json.loads(urllib.request.urlopen(
