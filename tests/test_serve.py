@@ -669,6 +669,14 @@ def test_frame_cap_over_queue_cap_is_a_build_error():
     with pytest.raises(ValueError, match="max-queue"):
         build_server(CKPT_PATH, port=0, batch_size=2, max_queue=4,
                      max_frames_per_request=8)
+    # ...but a small user-set --max-queue with the DEFAULT frame cap must
+    # clamp, not refuse to start (the default is derived, not chosen)
+    srv = build_server(CKPT_PATH, port=0, batch_size=8, max_queue=16)
+    try:
+        assert srv.yogo_info["max_frames_per_request"] == 16
+    finally:
+        srv.yogo_batcher.shutdown()
+        srv.server_close()
 
 
 def test_serve_rejects_duplicate_class_names():

@@ -74,11 +74,35 @@ def test_threshold_kwargs(client, frames):
 
 
 def test_input_validation_is_local(client):
-    """Wrong shapes are rejected before any upload."""
+    """Wrong shapes/dtypes are rejected before any upload."""
     with pytest.raises(ValueError, match="frames must be"):
         client.predict(np.zeros((1, 8, 8), np.uint8))
     with pytest.raises(ValueError, match="frames must be"):
         client.predict_many(np.zeros((2, 3, 4), np.uint8))
+    # float frames would unsafe-cast to all-black images: loud error
+    with pytest.raises(ValueError, match="uint8"):
+        client.predict_many(np.zeros((1, *client.img_chw), np.float32))
+    # predict() with a 4-D batch would silently drop N-1 results
+    with pytest.raises(ValueError, match="predict_many"):
+        client.predict(np.zeros((2, *client.img_chw), np.uint8))
+
+
+def test_retry_after_http_date_does_not_crash(client, frames, monkeypatch):
+    """A proxy may rewrite Retry-After to the RFC HTTP-date form; the
+    backoff must fall back to its default, not crash on float()."""
+    real = ServeClient._request
+    state = {"n": 0}
+
+    def proxy_shed(self, method, path, body, ctype):
+        if method == "POST" and state["n"] < 1:
+            state["n"] += 1
+            return (503, {"Retry-After": "Wed, 21 Oct 2026 07:28:00 GMT"},
+                    json.dumps({"error": "overloaded: proxy"}).encode())
+        return real(self, method, path, body, ctype)
+
+    monkeypatch.setattr(ServeClient, "_request", proxy_shed)
+    assert client.predict(frames[0]) == client.predict(frames[0])
+    assert state["n"] == 1
 
 
 def test_503_backoff_then_success(client, frames, monkeypatch):
@@ -112,8 +136,13 @@ def test_503_backoff_then_success(client, frames, monkeypatch):
 def test_reconnects_after_server_side_close(server, client, frames):
     """A dropped keep-alive socket (idle reset) is transparently
     reconnected once rather than failing the request."""
+    import socket
+
     client._connection().connect()  # ensure a live socket
-    client._conn.sock.close()  # simulate the server/LB dropping it
+    # simulate the server/LB dropping the keep-alive: FIN both directions
+    # (a locally-closed fd would raise EBADF, which is NOT what a dropped
+    # remote looks like and is deliberately not retried)
+    client._conn.sock.shutdown(socket.SHUT_RDWR)
     assert client.predict(frames[0]) == client.predict(frames[0])
 
 

@@ -142,8 +142,10 @@ def main():
                  "application/octet-stream")
                 for fpr in fprs
             ]
-        else:
+        elif mode == "png":
             combos.append((mode, 1, png_body, "image/png"))
+        else:
+            sys.exit(f"unknown mode {mode!r}: --modes takes raw,png")
 
     def metrics():
         c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)

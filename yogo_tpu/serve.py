@@ -53,6 +53,7 @@ import sys
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
@@ -537,7 +538,9 @@ def build_server(
     # raw batch requests: frames per POST (4 device batches fills the
     # default pipeline nicely; also the implicit raw-path body bound)
     if max_frames_per_request is None:
-        max_frames_per_request = 4 * batch_size
+        # derived default must respect a user-set --max-queue (a batch
+        # request sheds whole, so the cap can never usefully exceed it)
+        max_frames_per_request = min(4 * batch_size, max_queue or 10**9)
     max_frames_per_request = max(1, int(max_frames_per_request))
     if max_queue and max_frames_per_request > max_queue:
         # a batch request sheds whole: one bigger than the queue bound
@@ -784,13 +787,22 @@ def build_server(
                 # cost 60 s PER frame of a batch request
                 deadline = time.monotonic() + 120.0
                 results = []
-                for fut in futs:
+                for i in range(len(futs)):
+                    # release each future (and its result tuple's full-
+                    # prediction DEVICE handle) as soon as it's formatted:
+                    # holding the whole group's handles until the loop
+                    # ends would pin ~n_dispatches full tensors in HBM
+                    # per concurrent batch request, beyond the
+                    # pipeline_depth backpressure
+                    fut, futs[i] = futs[i], None
                     cand_rows, cand_idx, full, slot = fut.result(
                         timeout=max(0.0, deadline - time.monotonic())
                     )
+                    del fut
                     pred = _pred_for(
                         cand_rows, cand_idx, full, slot, thr["obj_thresh"]
                     )
+                    del cand_rows, cand_idx, full
                     results.append(_format_detections(pred, thr))
             except Overloaded as e:
                 # shed BEFORE holding the frames: tell clients when to retry
@@ -798,8 +810,16 @@ def build_server(
                 self._json(503, {"error": f"overloaded: {e}"},
                            extra_headers={"Retry-After": "1"})
                 return
+            except FuturesTimeoutError:
+                # str(TimeoutError()) is "" - name the deadline so logs
+                # and clients can tell a hung device from other failures
+                self._json(503, {
+                    "error": "inference timed out (120 s group deadline); "
+                             "device hung or severely backlogged"
+                }, extra_headers={"Retry-After": "30"})
+                return
             except Exception as e:
-                self._json(503, {"error": f"inference failed: {e}"})
+                self._json(503, {"error": f"inference failed: {e!r}"})
                 return
             if len(results) == 1:
                 self._json(200, results[0])

@@ -94,7 +94,15 @@ class ServeClient:
                 resp = conn.getresponse()
                 payload = resp.read()
                 return resp.status, dict(resp.headers), payload
-            except (ConnectionError, http.client.HTTPException, OSError):
+            except TimeoutError:
+                # a timeout is NOT a dropped socket: re-sending would make
+                # the server process the frames twice, amplifying load
+                # exactly when it is saturated
+                self.close()
+                raise
+            except (ConnectionError, http.client.RemoteDisconnected):
+                # dropped keep-alive (server restart, idle LB reset):
+                # one transparent reconnect
                 self.close()
                 if attempt:
                     raise
@@ -127,9 +135,14 @@ class ServeClient:
                 "POST", path, body, "application/octet-stream"
             )
             if status == 503 and retry < self.max_retries:
-                # the server names its drain horizon; respect it (bounded)
-                delay = min(float(headers.get("Retry-After", 1) or 1), 30.0)
-                time.sleep(delay * (retry + 1))
+                # the server names its drain horizon; respect it (bounded).
+                # Retry-After may be the RFC HTTP-date form behind a
+                # proxy - fall back to 1 s rather than crash the backoff
+                try:
+                    delay = float(headers.get("Retry-After", 1) or 1)
+                except (TypeError, ValueError):
+                    delay = 1.0
+                time.sleep(min(delay, 30.0) * (retry + 1))
                 continue
             resp = json.loads(payload)
             if status == 503:
@@ -144,9 +157,14 @@ class ServeClient:
         raise AssertionError("unreachable")
 
     def _validate(self, frames: Sequence[np.ndarray]) -> np.ndarray:
-        arr = np.ascontiguousarray(frames, dtype=np.uint8) if not isinstance(
-            frames, np.ndarray
-        ) else np.ascontiguousarray(frames.astype(np.uint8, copy=False))
+        arr = np.ascontiguousarray(frames)
+        if arr.dtype != np.uint8:
+            # an unsafe cast would silently truncate float [0,1] frames
+            # to all-black inputs; the server normalizes uint8 itself
+            raise ValueError(
+                f"frames must be uint8 (raw pixel bytes; the server "
+                f"normalizes), got dtype {arr.dtype}"
+            )
         if arr.ndim == 3:
             arr = arr[None]
         if arr.ndim != 4 or arr.shape[1:] != self.img_chw:
@@ -162,8 +180,15 @@ class ServeClient:
         Keyword thresholds (obj_thresh, iou_thresh,
         min_class_confidence_threshold) override the server defaults for
         this request only."""
-        return self.predict_many(frame[None] if frame.ndim == 3 else frame,
-                                 **thresholds)[0]
+        frame = np.asarray(frame)
+        if frame.ndim != 3:
+            # a 4-D array here would upload N frames and silently return
+            # only frame 0's result - that's predict_many's job
+            raise ValueError(
+                f"predict() takes ONE (C, H, W) frame, got shape "
+                f"{frame.shape}; use predict_many() for batches"
+            )
+        return self.predict_many(frame[None], **thresholds)[0]
 
     def predict_many(
         self, frames: Sequence[np.ndarray], **thresholds: float
