@@ -184,6 +184,37 @@ def test_serve_from_pth_checkpoint(tmp_path, frames):
     assert got == want
 
 
+def test_gzip_negotiation(server, client, frames):
+    """A client advertising Accept-Encoding: gzip gets a compressed body
+    (smaller on the wire) that decodes to exactly the plain response;
+    clients that don't ask still get identity."""
+    import gzip as _gzip
+    import http.client as hc
+
+    port = server.server_address[1]
+    body = np.concatenate([f for f in frames[0:1]] * 8).tobytes()
+
+    def post(hdrs):
+        conn = hc.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/predict?obj_thresh=0.1", body=body,
+                     headers={"Content-Type": "application/octet-stream",
+                              **hdrs})
+        r = conn.getresponse()
+        payload, enc = r.read(), r.headers.get("Content-Encoding")
+        conn.close()
+        return payload, enc
+
+    plain, enc0 = post({})
+    assert enc0 is None
+    zipped, enc1 = post({"Accept-Encoding": "gzip"})
+    assert enc1 == "gzip" and len(zipped) < len(plain)
+    assert _gzip.decompress(zipped) == plain
+    # the ServeClient transparently negotiates + decompresses (its parity
+    # tests vs urllib already pin content equality; this pins the wiring)
+    got = client.predict_many(np.stack([frames[0]] * 8), obj_thresh=0.1)
+    assert json.dumps({"results": got}).encode() == plain
+
+
 def test_metrics_passthrough(server, client):
     port = server.server_address[1]
     want = json.loads(urllib.request.urlopen(

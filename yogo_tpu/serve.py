@@ -45,6 +45,7 @@ response matches `yogo infer --save-preds` on the same image bit-for-bit.
 
 from __future__ import annotations
 
+import gzip
 import io
 import json
 import math
@@ -648,9 +649,19 @@ def build_server(
         def _json(self, code: int, payload: Dict[str, Any],
                   extra_headers: Optional[Dict[str, str]] = None) -> None:
             body = json.dumps(payload).encode()
+            encoding = None
+            # a batch-request response is megabytes of JSON (hundreds of
+            # detections x hundreds of frames); gzip cuts it ~10x for any
+            # client that asks. Small bodies aren't worth the CPU.
+            accepts = self.headers.get("Accept-Encoding", "")
+            if len(body) >= 1024 and "gzip" in accepts.lower():
+                body = gzip.compress(body, compresslevel=1)
+                encoding = "gzip"
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if encoding:
+                self.send_header("Content-Encoding", encoding)
             for k, v in (extra_headers or {}).items():
                 self.send_header(k, v)
             self.end_headers()

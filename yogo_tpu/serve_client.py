@@ -27,6 +27,7 @@ still share device batches.
 
 from __future__ import annotations
 
+import gzip
 import http.client
 import json
 import time
@@ -86,13 +87,17 @@ class ServeClient:
         """One HTTP round trip on the persistent connection; a dropped
         keep-alive socket (server restart, idle LB reset) gets ONE
         transparent reconnect."""
-        headers = {"Content-Type": content_type} if content_type else {}
+        headers = {"Accept-Encoding": "gzip"}
+        if content_type:
+            headers["Content-Type"] = content_type
         for attempt in (0, 1):
             conn = self._connection()
             try:
                 conn.request(method, path, body=body, headers=headers)
                 resp = conn.getresponse()
                 payload = resp.read()
+                if resp.headers.get("Content-Encoding") == "gzip":
+                    payload = gzip.decompress(payload)
                 return resp.status, dict(resp.headers), payload
             except TimeoutError:
                 # a timeout is NOT a dropped socket: re-sending would make
