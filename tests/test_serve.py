@@ -652,6 +652,28 @@ def test_serve_overload_returns_503_with_retry_after(server):
     assert status == 200  # back to normal service
 
 
+def test_metrics_prometheus_format(server):
+    """GET /metrics?format=prometheus returns the exposition format with
+    one yogo_-prefixed sample per JSON counter, numerically equal."""
+    port = server.server_address[1]
+    stats = json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/metrics", timeout=30).read())
+    resp = urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/metrics?format=prometheus", timeout=30)
+    assert resp.headers["Content-Type"].startswith("text/plain")
+    text = resp.read().decode()
+    samples = {}
+    for line in text.strip().splitlines():
+        if not line.startswith("#"):
+            name, val = line.split()
+            samples[name] = float(val)
+    assert set(samples) == {f"yogo_{k}" for k in stats}
+    for k, v in stats.items():
+        assert samples[f"yogo_{k}"] == pytest.approx(float(v))
+    assert "# TYPE yogo_queue_depth gauge" in text
+    assert "# TYPE yogo_images counter" in text
+
+
 def test_unknown_query_param_is_400(server, goldens_dir):
     """A typo'd override (obj_tresh=0.9) must fail loudly, not silently
     serve the default threshold."""

@@ -668,14 +668,37 @@ def build_server(
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802 (stdlib name)
-            path = urlparse(self.path).path
+            url = urlparse(self.path)
+            path = url.path
             if path in ("/", "/healthz"):
                 self._json(200, info)
             elif path == "/metrics":
                 stats = batcher.stats()
                 with fallback_lock:
                     stats["full_fetch_fallbacks"] = fallback_count[0]
-                self._json(200, stats)
+                q = {k: v[-1] for k, v in parse_qs(url.query).items()}
+                if q.get("format") == "prometheus":
+                    # the exposition format every scraper speaks; gauges
+                    # (queue_depth, inflight) and counters (the rest) are
+                    # all numeric already
+                    lines = []
+                    for k, v in sorted(stats.items()):
+                        kind = ("gauge" if k in
+                                ("queue_depth", "inflight_batches",
+                                 "mean_batch_occupancy", "mean_dispatch_ms")
+                                else "counter")
+                        lines.append(f"# TYPE yogo_{k} {kind}")
+                        lines.append(f"yogo_{k} {float(v)!r}")
+                    body = ("\n".join(lines) + "\n").encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/plain; version=0.0.4"
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self._json(200, stats)
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 
