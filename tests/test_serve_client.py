@@ -215,6 +215,58 @@ def test_gzip_negotiation(server, client, frames):
     assert json.dumps({"results": got}).encode() == plain
 
 
+def test_hot_reload_swaps_weights_without_recompile(tmp_path, frames):
+    """reload_checkpoint: new weights serve on the next dispatch with the
+    SAME compiled program (weights are a jit argument - the TPU serving
+    pattern); incompatible checkpoints are rejected and the old weights
+    keep serving."""
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.utils.checkpoint import load_any, save_checkpoint
+
+    model, variables, _ = load_any(CKPT_PATH)
+    ckpt = tmp_path / "serving.ckpt"
+    save_checkpoint(ckpt, model, variables, classes=["cell", "parasite"])
+
+    srv = build_server(ckpt, port=0, batch_size=2, linger_ms=1.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with ServeClient("127.0.0.1", srv.server_address[1]) as c:
+            before = c.predict(frames[0])
+
+            # overwrite the ckpt with perturbed weights, SIGHUP-equivalent
+            bumped = __import__("jax").tree.map(
+                lambda a: a * 1.1 if hasattr(a, "dtype") else a, variables
+            )
+            save_checkpoint(ckpt, model, bumped,
+                            classes=["cell", "parasite"])
+            n_compiles = srv.yogo_jfwd._cache_size()
+            out = srv.reload_checkpoint()
+            assert out["ok"], out
+            after = c.predict(frames[0])
+            assert after != before  # new weights actually serve
+            assert srv.yogo_jfwd._cache_size() == n_compiles  # no recompile
+            assert c.metrics() is not None  # server healthy
+
+            # incompatible arch: rejected, old (bumped) weights keep serving
+            other = YOGO.create(model.img_size, 0.04, 0.05, num_classes=5)
+            save_checkpoint(ckpt, other,
+                            other.init(__import__("jax").random.key(0)),
+                            classes=[f"c{i}" for i in range(5)])
+            out = srv.reload_checkpoint()
+            assert not out["ok"] and "incompatible" in out["error"]
+            assert c.predict(frames[0]) == after
+            info = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.server_address[1]}/healthz",
+                timeout=30).read())
+            assert info["reloads"] == 1
+    finally:
+        srv.shutdown()
+        srv.yogo_batcher.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
+
+
 def test_metrics_passthrough(server, client):
     port = server.server_address[1]
     want = json.loads(urllib.request.urlopen(

@@ -405,14 +405,17 @@ def build_server(
                 raise ValueError("--calibration-images directory is empty")
             calib = [np.stack([ds[i][0] for i in range(n)])]
         qp = build_qp(calib)
+        weights = qp
 
-        def _fwd(imgs):
-            return _q_forward(model, qp, _scale(imgs))
+        def _fwd(w, imgs):
+            return _q_forward(model, w, _scale(imgs))
 
     else:
+        calib = None
+        weights = variables
 
-        def _fwd(imgs):
-            return model.apply(variables, _scale(imgs), inference=True)
+        def _fwd(w, imgs):
+            return model.apply(w, _scale(imgs), inference=True)
 
     # Device-side candidate selection: fetching the full (B, 5+C, Sy, Sx)
     # prediction tensor is the server's D2H bandwidth hog (~600 KB/image
@@ -433,8 +436,8 @@ def build_server(
     pred_dim = 5 + num_classes
     K = max(1, min(int(fetch_top_k), n_cells))
 
-    def _fwd_select(imgs):
-        out = _fwd(imgs)
+    def _fwd_select(w, imgs):
+        out = _fwd(w, imgs)
         flat = out.reshape(out.shape[0], out.shape[1], -1)  # (B, D, S)
         # approx_max_k(recall_target=1.0) is EXACT (identity partial
         # reduce, true top-k aggregation) and measured 1.9x faster than
@@ -482,26 +485,37 @@ def build_server(
         nd = n_data(mesh)
         if batch_size % nd:
             batch_size = ((batch_size + nd - 1) // nd) * nd
-        variables = jax.device_put(variables, replicated(mesh))
-        if quantize:
-            qp = jax.device_put(qp, replicated(mesh))
+        weights_sharding = replicated(mesh)
+        weights = jax.device_put(weights, weights_sharding)
         in_shard = (
             space_sharded(mesh) if spatial_parallel > 1 else data_sharded(mesh)
         )
         jfwd = jax.jit(
             _fwd_select,
-            in_shardings=(in_shard,),
+            in_shardings=(weights_sharding, in_shard),
             out_shardings=replicated(mesh),
         )
     else:
+        weights_sharding = None
+        # commit the weights to the device ONCE: as a jit argument, host
+        # numpy leaves would re-upload the whole tree every dispatch (and
+        # a reload's committed tree would miss the jit cache)
+        weights = jax.device_put(weights)
         jfwd = jax.jit(_fwd_select)
+
+    # weights are a jit ARGUMENT, not a closure constant: a hot reload
+    # (SIGHUP / reload_checkpoint) swaps this reference and the next
+    # dispatch runs the SAME compiled program with the new weights - same
+    # avals, zero recompile. The dict swap is atomic under the GIL; an
+    # in-flight dispatch keeps the handles it already read.
+    state = {"weights": weights}
 
     def fwd_dispatch(imgs_np):
         """Asynchronously dispatch one batch: device_put + jitted forward
         both return un-fetched handles, so this never blocks on the device
         - the batcher's collector thread keeps assembling/uploading the
         next batch while this one computes (pipelining)."""
-        return jfwd(jnp.asarray(imgs_np))
+        return jfwd(state["weights"], jnp.asarray(imgs_np))
 
     def fwd_fetch(handles):
         """Fetch ONLY the candidate rows + indices (the blocking D2H; the
@@ -621,7 +635,70 @@ def build_server(
         ),
         "spatial_parallel": int(spatial_parallel),
         "defaults": defaults,
+        "reloads": 0,
     }
+
+    reload_lock = threading.Lock()
+
+    def reload_checkpoint(path=None) -> Dict[str, Any]:
+        """Hot-swap the served weights from `path` (default: the checkpoint
+        path given at startup, re-read from disk) WITHOUT recompiling:
+        weights are a jit argument, so same avals -> the same warm
+        executable runs the new values on the next dispatch. The swap is
+        atomic; in-flight dispatches finish on the old weights. A
+        quantized server recalibrates its int8 plan on the retained
+        calibration batches. On any failure the old weights keep serving
+        and {"ok": False, "error": ...} is returned. Triggered by SIGHUP
+        under `yogo serve` (the standard reload signal - no network
+        surface), or called directly on the server object."""
+        src = path if path is not None else ckpt_path
+        with reload_lock:
+            try:
+                model2, variables2, _cfg2 = load_any(src)
+                for what, got, want in (
+                    ("model", model2.defn.name, model.defn.name),
+                    ("num_classes", model2.num_classes, num_classes),
+                    ("input_channels", model2.input_channels,
+                     model.input_channels),
+                    ("normalize_images", bool(model2.normalize_images),
+                     normalize),
+                ):
+                    if got != want:
+                        raise ValueError(
+                            f"incompatible reload: {what} {got!r} != "
+                            f"serving {want!r}"
+                        )
+                if quantize:
+                    build_qp2 = family_quant_plan(model, variables2)[0]
+                    new_w = build_qp2(calib)
+                else:
+                    new_w = variables2
+
+                # aval parity is the no-recompile guarantee (and catches
+                # e.g. a width-mismatched checkpoint before it serves)
+                def avals(tree):
+                    return jax.tree.map(
+                        lambda a: (tuple(np.shape(a)),
+                                   np.result_type(a).name), tree
+                    )
+
+                if avals(state["weights"]) != avals(new_w):
+                    raise ValueError(
+                        "incompatible reload: weight shapes/dtypes differ "
+                        "from the serving program's"
+                    )
+                new_w = (
+                    jax.device_put(new_w, weights_sharding)
+                    if weights_sharding is not None
+                    else jax.device_put(new_w)
+                )
+                jax.block_until_ready(new_w)  # upload off the hot path
+                state["weights"] = new_w
+                info["reloads"] += 1
+                return {"ok": True, "reloads": info["reloads"],
+                        "path": str(src)}
+            except Exception as e:
+                return {"ok": False, "error": repr(e), "path": str(src)}
 
     class Handler(BaseHTTPRequestHandler):
         # quiet by default; tests and production logs don't want per-request
@@ -881,6 +958,8 @@ def build_server(
     server.yogo_batcher = batcher  # for orderly shutdown
     server.yogo_inflight = inflight
     server.yogo_info = info
+    server.reload_checkpoint = reload_checkpoint
+    server.yogo_jfwd = jfwd  # tests pin the no-recompile reload contract
     return server
 
 
@@ -933,10 +1012,19 @@ def do_serve(args) -> None:
     def _term(signum, frame):
         threading.Thread(target=server.shutdown, daemon=True).start()
 
+    def _hup(signum, frame):
+        # reload off the signal frame; report the outcome to stderr
+        def run():
+            print(f"SIGHUP reload: {server.reload_checkpoint()}",
+                  file=sys.stderr)
+
+        threading.Thread(target=run, daemon=True).start()
+
     not_installed = object()  # a None prev disposition is legitimate
-    prev = not_installed
+    prev = prev_hup = not_installed
     try:
         prev = _signal.signal(_signal.SIGTERM, _term)
+        prev_hup = _signal.signal(_signal.SIGHUP, _hup)
     except ValueError:  # not the main thread (embedded use)
         pass
     try:
@@ -958,5 +1046,7 @@ def do_serve(args) -> None:
     finally:
         if prev is not not_installed:
             _signal.signal(_signal.SIGTERM, prev)
+        if prev_hup is not not_installed:
+            _signal.signal(_signal.SIGHUP, prev_hup)
         server.yogo_batcher.shutdown()
         server.server_close()
