@@ -267,6 +267,41 @@ def test_hot_reload_swaps_weights_without_recompile(tmp_path, frames):
         t.join(timeout=5)
 
 
+def test_hot_reload_quantized_server(tmp_path, frames):
+    """Reload under --quantize rebuilds the quant plan from the new
+    variables (the jit argument is the PLAN, not raw variables) - same
+    avals, no recompile, new predictions."""
+    import jax
+
+    from yogo_tpu.utils.checkpoint import load_any, save_checkpoint
+
+    model, variables, _ = load_any(CKPT_PATH)
+    ckpt = tmp_path / "serving_q.ckpt"
+    save_checkpoint(ckpt, model, variables, classes=["cell", "parasite"])
+    srv = build_server(ckpt, port=0, batch_size=2, linger_ms=1.0,
+                       quantize=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with ServeClient("127.0.0.1", srv.server_address[1]) as c:
+            before = c.predict(frames[0])
+            bumped = jax.tree.map(
+                lambda a: a * 1.1 if hasattr(a, "dtype") else a, variables
+            )
+            save_checkpoint(ckpt, model, bumped,
+                            classes=["cell", "parasite"])
+            n_compiles = srv.yogo_jfwd._cache_size()
+            out = srv.reload_checkpoint()
+            assert out["ok"], out
+            assert srv.yogo_jfwd._cache_size() == n_compiles
+            assert c.predict(frames[0]) != before
+    finally:
+        srv.shutdown()
+        srv.yogo_batcher.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
+
+
 def test_metrics_passthrough(server, client):
     port = server.server_address[1]
     want = json.loads(urllib.request.urlopen(
