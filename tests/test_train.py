@@ -745,6 +745,36 @@ def test_resume_requires_pretrained(tmp_path):
         t.init()
 
 
+def test_resume_without_name_continues_in_place(tmp_path):
+    """--resume with neither --name nor a save dir must continue IN the
+    interrupted run's directory: a fresh timestamped dir would inherit the
+    min_val_loss watermark, never write best.ckpt there, and the final
+    test pass would score last-epoch params instead of the best ones."""
+    from pathlib import Path
+
+    base = _resume_base_config(tmp_path)
+    t = Trainer(dict(base, epochs=1))
+    t.init()
+    t.train()
+    run_dir = Path(base["model_save_dir"])
+    latest = run_dir / "latest.ckpt"
+    assert latest.exists()
+
+    cfgR = dict(base, epochs=2, pretrained_path=str(latest), resume=True,
+                model_save_dir=None, name=None)
+    tR = Trainer(cfgR)
+    tR.init()
+    assert Path(tR.model_save_dir).resolve() == run_dir.resolve()
+    # an explicit redirect still wins
+    cfgE = dict(base, epochs=2, pretrained_path=str(latest), resume=True,
+                model_save_dir=str(tmp_path / "elsewhere"))
+    tE = Trainer(cfgE)
+    tE.init()
+    assert Path(tE.model_save_dir).resolve() == (
+        tmp_path / "elsewhere"
+    ).resolve()
+
+
 def test_resume_exact_continuation(tmp_path):
     """An epoch-boundary SIGTERM stop + --resume replays the uninterrupted
     run bit-for-bit: params, BN stats, optimizer count, min-val-loss

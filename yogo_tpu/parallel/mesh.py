@@ -184,17 +184,12 @@ def put_with_shardings(tree: Any, shardings: Any) -> Any:
     state without any process ever holding more than it must on device."""
     if jax.process_count() == 1:
         return jax.device_put(tree, shardings)
-    shd_leaves = (
-        shardings
-        if isinstance(shardings, NamedSharding)
-        else None
-    )
 
     def leaf(x, s):
         a = np.asarray(x)
         return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
 
-    if shd_leaves is not None:  # one sharding for the whole tree
+    if isinstance(shardings, NamedSharding):  # one sharding, whole tree
         return jax.tree.map(lambda x: leaf(x, shardings), tree)
     return jax.tree.map(leaf, tree, shardings)
 
@@ -211,13 +206,11 @@ def _replicate_all_fn(mesh: Mesh):
     """One cached jitted identity per mesh: a stable function identity so
     repeated checkpoint saves reuse the compiled all-gather program instead
     of recompiling a fresh jit wrapper per leaf per call."""
-    from jax.sharding import PartitionSpec
-
     fn = _REPLICATE_JITS.get(mesh)
     if fn is None:
         fn = jax.jit(
             lambda xs: xs,
-            out_shardings=NamedSharding(mesh, PartitionSpec()),
+            out_shardings=NamedSharding(mesh, P()),
         )
         _REPLICATE_JITS[mesh] = fn
     return fn

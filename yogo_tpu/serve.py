@@ -1044,9 +1044,13 @@ def do_serve(args) -> None:
     except KeyboardInterrupt:
         pass
     finally:
+        # signal.signal rejects None as a handler even though it returns
+        # None for a C-installed one; restore the default in that case
         if prev is not not_installed:
-            _signal.signal(_signal.SIGTERM, prev)
+            _signal.signal(_signal.SIGTERM,
+                           _signal.SIG_DFL if prev is None else prev)
         if prev_hup is not not_installed:
-            _signal.signal(_signal.SIGHUP, prev_hup)
+            _signal.signal(_signal.SIGHUP,
+                           _signal.SIG_DFL if prev_hup is None else prev_hup)
         server.yogo_batcher.shutdown()
         server.server_close()

@@ -227,9 +227,15 @@ def make_train_step(
                 gacc = jax.tree.map(lambda a, b: a + w * b, gacc, g)
                 lacc = lacc + w * loss
                 cacc = jax.tree.map(lambda a, b: a + w * b, cacc, comps)
-                return (
-                    new_ms["batch_stats"], gacc, lacc, cacc, wacc + w
-                ), None
+                # an all-pad micro (final short group) has zero loss weight
+                # but live BN would still fold its duplicated rows into the
+                # running stats - keep the previous stats for those
+                carried_bstats = jax.tree.map(
+                    lambda new, old: jnp.where(w > 0, new, old),
+                    new_ms["batch_stats"],
+                    bstats,
+                )
+                return (carried_bstats, gacc, lacc, cacc, wacc + w), None
 
             (new_bstats, gsum, lsum, csum, wsum), _ = jax.lax.scan(
                 micro,
@@ -401,6 +407,16 @@ class Trainer:
                 )
                 if meta.get("min_val_loss") is not None:
                     self.min_val_loss = float(meta["min_val_loss"])
+                if not cfg.get("model_save_dir") and not cfg.get("name"):
+                    # continue IN the interrupted run's directory rather
+                    # than forking a fresh timestamped one: the restored
+                    # min_val_loss watermark would suppress best.ckpt in a
+                    # new dir (no post-resume val beats it), and the final
+                    # test pass would then score last-epoch params while
+                    # the real best sat unread in the old dir
+                    cfg["model_save_dir"] = str(
+                        Path(pretrained).resolve().parent
+                    )
         self.Sx, self.Sy = self.model.grid
 
     def _init_dataset(self) -> None:
@@ -652,7 +668,13 @@ class Trainer:
             # the interrupted-path grace-window checkpoint inside, so a
             # repeated SIGTERM during that save stays absorbed
             if prev_sigterm is not not_installed:
-                signal.signal(signal.SIGTERM, prev_sigterm)
+                # signal.signal REJECTS None as a handler even though it
+                # RETURNS None for a C-installed one (verified: TypeError);
+                # the closest restorable disposition is the default
+                signal.signal(
+                    signal.SIGTERM,
+                    signal.SIG_DFL if prev_sigterm is None else prev_sigterm,
+                )
 
     def _train_epochs(
         self, profile_steps: int, profile_start: int, commit_interval: int
@@ -799,14 +821,19 @@ class Trainer:
 
         test_metrics = None
         if self.test_dataloader is not None:
+            # when best.ckpt was never written (e.g. no validation split),
+            # the params here are still the TRAINING mesh's device arrays -
+            # under --fsdp they are sharded, and test() jits against its
+            # own fresh mesh with replicated in_shardings; fetch to host so
+            # the final pass never feeds cross-mesh-committed arrays
             test_metrics = self.test(
                 self.test_dataloader,
                 self.config,
                 self.model,
-                {
+                fetch_replicated({
                     "params": self.state.params,
                     "batch_stats": self.state.batch_stats,
-                },
+                }),
             )
             if test_metrics is not None:
                 self._log_test_metrics(*test_metrics)
@@ -847,8 +874,9 @@ class Trainer:
         if self.validate_dataloader is None:
             return
         nd = n_data(self.mesh)
-        total = 0.0
-        n_batches = 0
+        losses = []  # device scalars: fetch ONCE after the loop (each
+        # float(loss) would serialize a full dispatch+fetch round trip
+        # per batch - ~28 ms each through the dev relay)
         last_batch = None
         for imgs, labels, mask in self.validate_dataloader:
             imgs, labels, mask = pad_batch_to_multiple(
@@ -861,12 +889,11 @@ class Trainer:
             loss, preds = self._eval_step(
                 self.state.params, self.state.batch_stats, imgs_d, labels_d, mask_d
             )
-            total += float(loss)
-            n_batches += 1
+            losses.append(loss)
             last_batch = (imgs, preds)
-        if n_batches == 0:
+        if not losses:
             return
-        mean_val_loss = total / n_batches
+        mean_val_loss = float(np.mean(jax.device_get(losses)))
 
         log: Dict[str, Any] = {"val loss": mean_val_loss}
         if jax.process_index() == 0 and last_batch is not None:
