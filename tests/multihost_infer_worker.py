@@ -56,6 +56,7 @@ def main() -> None:
         path_to_images=img_dir,
         output_dir=out_dir,
         save_preds=True,
+        save_npy=True,  # each rank must write its OWN .p{pid}.npy file
         count_predictions=True,
         data_parallel=True,
         batch_size=2,

@@ -407,6 +407,12 @@ def test_multi_process_inference_matches_single_process(tmp_path, capsys):
     assert [p.name for p in mh_txts] == [p.name for p in single_txts]
     for s, m in zip(single_txts, mh_txts):
         assert m.read_text() == s.read_text(), m.name
+    # each rank writes its OWN .npy (a with_suffix on 'name.p1' used to
+    # strip the rank tag - both ranks then clobbered one 'name.npy')
+    mh_npys = sorted(p.name for p in out_mh.glob("*.npy"))
+    assert len(mh_npys) == 2 and all(
+        f".p{r}.npy" in n for r, n in enumerate(mh_npys)
+    ), mh_npys
 
 
 def test_multi_process_preemption_resume(tmp_path):

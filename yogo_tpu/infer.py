@@ -269,7 +269,11 @@ def predict(
             nd_local = max(n_data(mesh) // nproc, 1)
             if batch_size % nd_local:
                 batch_size = ((batch_size + nd_local - 1) // nd_local) * nd_local
-            variables = replicate_to_mesh(variables, mesh)
+            # float variables replicate later, and only on the float path:
+            # the quantized program consumes qp alone, and building qp from
+            # already-replicated variables would fetch every kernel straight
+            # back off-device (np.asarray in the fold) while the replicated
+            # tree sat as dead HBM weight for the whole run
 
     # multi-host image ownership: process p takes the p-th contiguous chunk
     # of the sorted image list (counts/artifacts stay deterministic)
@@ -340,6 +344,8 @@ def predict(
             return fwd_quant(model, qp, imgs)
 
     else:
+        if mesh is not None:
+            variables = replicate_to_mesh(variables, mesh)
 
         def _fwd(imgs):
             return model.apply(variables, imgs, inference=True)
@@ -367,10 +373,12 @@ def predict(
         (batch_size, model.input_channels, *model.img_size), jnp.uint8
     )
     stem_mode = model._stem_pallas_mode(probe, train=False, mutable=False)
-    if stem_mode is not None and mesh is not None:
+    if stem_mode is not None and (mesh is not None or quantize):
+        # the stem path runs the FLOAT variables - silently serving an
+        # unquantized model under --quantize would be worse than refusing
         raise ValueError(
-            "YOGO_PALLAS_STEM is a single-device experimental path; unset "
-            "it to use data_parallel inference"
+            "YOGO_PALLAS_STEM is a single-device float-only experimental "
+            "path; unset it to use data_parallel or --quantize inference"
         )
     if stem_mode is not None:
 
@@ -535,11 +543,11 @@ def predict(
                         images_are_normalized=bool(model.normalize_images),
                     )
                     if output_dir is not None:
-                        out = (
+                        out_path = (
                             Path(output_dir)
                             / Path(names[j]).with_suffix(output_img_ftype).name
                         )
-                        bbox_img.save(out)
+                        bbox_img.save(out_path)
                     else:
                         bbox_img.show()
             if save_preds:
@@ -603,7 +611,10 @@ def predict(
             # index) - concatenating them reproduces the single-process file
             filename = f"{filename}.p{pid}"
         base = Path(output_dir).resolve() if output_dir else Path.cwd().resolve()
-        fp = base / Path(filename).with_suffix(".npy")
+        # append rather than with_suffix: the multi-host rank tag makes the
+        # name 'scope.p1', whose '.p1' with_suffix would REPLACE - every
+        # rank would then write the same 'scope.npy'
+        fp = base / f"{filename}.npy"
         np.save(fp, pred_tensors)
         write_metadata(
             fp.with_suffix(".json"),

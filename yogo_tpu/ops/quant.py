@@ -149,13 +149,17 @@ def folded_float_forward(folded, x_f32: Array, upto: int | None = None) -> Array
 
 
 def calibrate_act_scales(
-    folded, calib_batches: Iterable[np.ndarray], first_quant_block: int = 1
+    folded, calib_batches: Iterable[np.ndarray], first_quant_block: int = 1,
+    consumed=None,
 ) -> np.ndarray:
     """Per-block input absmax over the calibration set -> symmetric int8
     scales. calib_batches yields NHWC float input batches (uint8 images cast
     to f32, NOT normalized - matching YOGO.apply's input handling,
     models/yogo.py:497-499). Returns scales[i] for blocks
-    first_quant_block..N-1 (scale of the activation ENTERING block i)."""
+    first_quant_block..N-1 (scale of the activation ENTERING block i).
+    `consumed` (optional block-index set) restricts the zero-range check to
+    scales the quantized program actually reads - a dead bf16-skipped
+    block's zero absmax must not abort quantization."""
     n = len(folded)
     absmax = np.zeros(n, np.float64)
     specs_only = [(s, None, None) for s, _, _ in folded]
@@ -179,8 +183,16 @@ def calibrate_act_scales(
         seen += 1
     if seen == 0:
         raise ValueError("calibration requires at least one batch")
-    if not np.all(absmax[first_quant_block:] > 0):
-        raise ValueError("calibration produced a zero activation range")
+    bad = [
+        i
+        for i in range(first_quant_block, n)
+        if (consumed is None or i in consumed) and absmax[i] <= 0
+    ]
+    if bad:
+        raise ValueError(
+            f"calibration produced a zero activation range entering "
+            f"quantized block(s) {bad}"
+        )
     return (absmax[first_quant_block:] / 127.0).astype(np.float32)
 
 
@@ -324,7 +336,9 @@ def quantize_conv_stack(
         scales = np.zeros(len(folded) - 1, np.float32)
     else:
         scales = calibrate_act_scales(
-            folded, (to_nhwc_f32(b) for b in calib_batches), first_quant_block=1
+            folded, (to_nhwc_f32(b) for b in calib_batches),
+            first_quant_block=1,
+            consumed=set(range(1, len(folded))) - set(skip),
         )
 
     spec0, w0, b0 = folded[0]

@@ -81,8 +81,24 @@ def save_checkpoint(
     # pid-unique tmp name: even if two processes ever write the same
     # checkpoint path, neither renames a torn interleaved file into place
     tmp = path.with_suffix(path.suffix + f".tmp.{os.getpid()}")
-    tmp.write_bytes(data)
+    # fsync BEFORE the rename: the rename alone can be journaled durable
+    # while the tmp file's data blocks are not, leaving a truncated file at
+    # the final path after power loss - the exact torn state the atomic
+    # rename is supposed to rule out. (Directory fsync afterwards makes the
+    # rename itself durable.)
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
     tmp.replace(path)  # atomic: never leave a torn checkpoint
+    try:
+        dfd = os.open(path.parent, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # e.g. a filesystem that can't fsync directories
 
 
 def load_checkpoint(
