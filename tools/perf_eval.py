@@ -63,14 +63,15 @@ def main():
               label_smoothing=0.01)
     jeval = jax.jit(make_eval_step(model, lk))
 
-    for k in (1024, 256):
-        metrics = Metrics(classes=[str(i) for i in range(7)],
-                          max_detections=k, obj_thresh=0.5)
+    from yogo_tpu.metrics import DeviceMetrics
+
+    def run(metrics, fetch):
         loss, preds = jeval(
             variables["params"], variables.get("batch_stats", {}),
             imgs, labels_j, mask,
         )
-        metrics.update(np.asarray(preds, np.float32), labels, mask)  # warmup
+        p = np.asarray(preds, np.float32) if fetch else preds
+        metrics.update(p, labels if fetch else labels_j, mask)  # warmup
         metrics.reset()
         t0 = time.perf_counter()
         for _ in range(n_batches):
@@ -78,12 +79,29 @@ def main():
                 variables["params"], variables.get("batch_stats", {}),
                 imgs, labels_j, mask,
             )
-            metrics.update(np.asarray(preds, np.float32), labels, mask)
-        dt = time.perf_counter() - t0
-        metrics.compute()
+            p = np.asarray(preds, np.float32) if fetch else preds
+            metrics.update(p, labels if fetch else labels_j, mask)
+        metrics.compute()  # device engine: forces the state fetch
+        return time.perf_counter() - t0
+
+    classes = [str(i) for i in range(7)]
+    for k in (1024, 256):
+        dt = run(Metrics(classes, max_detections=k, obj_thresh=0.5), True)
         print(
-            f"bs={bs} K={k}: {n_batches * bs / dt:.1f} img/s eval "
+            f"host  bs={bs} K={k}: {n_batches * bs / dt:.1f} img/s eval "
             f"({dt / n_batches * 1000:.0f} ms/batch incl. host matching)",
+            flush=True,
+        )
+    for k in (1024, 256):
+        dt = run(
+            DeviceMetrics(
+                classes, max_detections=k, max_labels=k, obj_thresh=0.5
+            ),
+            False,
+        )
+        print(
+            f"device bs={bs} K={k}: {n_batches * bs / dt:.1f} img/s eval "
+            f"({dt / n_batches * 1000:.0f} ms/batch, jitted accumulate)",
             flush=True,
         )
 

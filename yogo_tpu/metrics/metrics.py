@@ -39,6 +39,67 @@ NUM_ROC_THRESHOLDS = 500
 NUM_ECE_BINS = 30
 
 
+def finish_metrics(
+    confusion: np.ndarray,  # (ncb, ncb) int
+    roc_counts: np.ndarray,  # (ncb, T, 4) int [tp fp fn tn]
+    roc_thresholds: np.ndarray,  # (T,) ascending
+    ece_counts: np.ndarray,  # (NUM_ECE_BINS,) int
+    ece_conf: np.ndarray,  # (NUM_ECE_BINS,) float sums
+    ece_correct: np.ndarray,  # (NUM_ECE_BINS,) float sums
+    mAP: dict,
+    missed_by_class: np.ndarray,
+    extra_by_class: np.ndarray,
+    total_true_objects: int,
+) -> Tuple:
+    """Finish accumulated state into the reference's 10-tuple. Shared by the
+    host engine below and the device-accumulated engine
+    (metrics/device_metrics.py), so both paths report identical derived
+    quantities from identical counts."""
+    diag = np.diag(confusion).astype(np.float64)
+    row = confusion.sum(axis=1).astype(np.float64)
+    col = confusion.sum(axis=0).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        accuracy = np.where(row > 0, diag / row, 0.0)
+        recall = np.where(row > 0, diag / row, 0.0)
+        precision = np.where(col > 0, diag / col, 0.0)
+
+    tp = roc_counts[..., 0].astype(np.float64)
+    fp = roc_counts[..., 1].astype(np.float64)
+    fn = roc_counts[..., 2].astype(np.float64)
+    tn = roc_counts[..., 3].astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        tpr = np.where(tp + fn > 0, tp / (tp + fn), 0.0)
+        fpr = np.where(fp + tn > 0, fp / (fp + tn), 0.0)
+    # torchmetrics' binned MulticlassROC flips its curves so thresholds
+    # DESCEND and fpr/tpr ascend (torchmetrics _binary_roc_compute);
+    # consumers ported from the reference (AUC via trapezoid over fpr,
+    # left-to-right ROC plots) assume that orientation
+    tpr = tpr[..., ::-1]
+    fpr = fpr[..., ::-1]
+
+    total = ece_counts.sum()
+    if total > 0:
+        nz = ece_counts > 0
+        acc_b = np.where(nz, ece_correct / np.maximum(ece_counts, 1), 0)
+        conf_b = np.where(nz, ece_conf / np.maximum(ece_counts, 1), 0)
+        ece = float((np.abs(acc_b - conf_b) * ece_counts / total).sum())
+    else:
+        ece = 0.0
+
+    return (
+        mAP,
+        np.array(confusion, np.int64, copy=True),
+        accuracy,
+        (fpr, tpr, np.broadcast_to(np.asarray(roc_thresholds)[::-1], tpr.shape)),
+        precision,
+        recall,
+        ece,
+        np.array(missed_by_class, np.int64, copy=True),
+        np.array(extra_by_class, np.int64, copy=True),
+        np.array([total_true_objects]),
+    )
+
+
 class Metrics:
     def __init__(
         self,
@@ -231,51 +292,17 @@ class Metrics:
         # the reference returns map=0.0 when mAP is disabled
         # (yogo/metrics.py:167-172), not a -1 sentinel
         mAP = self.mAP.compute() if self.include_mAP else {"map": 0.0}
-
-        diag = np.diag(self.confusion).astype(np.float64)
-        row = self.confusion.sum(axis=1).astype(np.float64)
-        col = self.confusion.sum(axis=0).astype(np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            accuracy = np.where(row > 0, diag / row, 0.0)
-            recall = np.where(row > 0, diag / row, 0.0)
-            precision = np.where(col > 0, diag / col, 0.0)
-
-        tp = self.roc_counts[..., 0].astype(np.float64)
-        fp = self.roc_counts[..., 1].astype(np.float64)
-        fn = self.roc_counts[..., 2].astype(np.float64)
-        tn = self.roc_counts[..., 3].astype(np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            tpr = np.where(tp + fn > 0, tp / (tp + fn), 0.0)
-            fpr = np.where(fp + tn > 0, fp / (fp + tn), 0.0)
-        # torchmetrics' binned MulticlassROC flips its curves so thresholds
-        # DESCEND and fpr/tpr ascend (torchmetrics _binary_roc_compute);
-        # consumers ported from the reference (AUC via trapezoid over fpr,
-        # left-to-right ROC plots) assume that orientation
-        tpr = tpr[..., ::-1]
-        fpr = fpr[..., ::-1]
-
-        total = self.ece_counts.sum()
-        if total > 0:
-            nz = self.ece_counts > 0
-            acc_b = np.where(nz, self.ece_correct / np.maximum(self.ece_counts, 1), 0)
-            conf_b = np.where(nz, self.ece_conf / np.maximum(self.ece_counts, 1), 0)
-            ece = float(
-                (np.abs(acc_b - conf_b) * self.ece_counts / total).sum()
-            )
-        else:
-            ece = 0.0
-
-        return (
-            mAP,
-            self.confusion.copy(),
-            accuracy,
-            (fpr, tpr, np.broadcast_to(self.roc_thresholds[::-1], tpr.shape)),
-            precision,
-            recall,
-            ece,
-            self.num_obj_missed_by_class.copy(),
-            self.num_obj_extra_by_class.copy(),
-            np.array([self.total_num_true_objects]),
+        return finish_metrics(
+            confusion=self.confusion,
+            roc_counts=self.roc_counts,
+            roc_thresholds=self.roc_thresholds,
+            ece_counts=self.ece_counts,
+            ece_conf=self.ece_conf,
+            ece_correct=self.ece_correct,
+            mAP=mAP,
+            missed_by_class=self.num_obj_missed_by_class,
+            extra_by_class=self.num_obj_extra_by_class,
+            total_true_objects=self.total_num_true_objects,
         )
 
     def forward(self, preds, labels) -> Tuple:

@@ -40,7 +40,7 @@ from yogo_tpu.data.definition import DatasetDefinition
 from yogo_tpu.data.loader import DataLoader, get_dataloader
 from yogo_tpu.data.transforms import random_flips
 from yogo_tpu.losses import yogo_loss
-from yogo_tpu.metrics import Metrics
+from yogo_tpu.metrics import DeviceMetrics, Metrics
 from yogo_tpu.models.yogo import YOGO
 from yogo_tpu.parallel.mesh import (
     data_sharded,
@@ -834,6 +834,7 @@ class Trainer:
                     "params": self.state.params,
                     "batch_stats": self.state.batch_stats,
                 }),
+                fast_eval=self.config.get("fast_eval", False),
             )
             if test_metrics is not None:
                 self._log_test_metrics(*test_metrics)
@@ -935,19 +936,28 @@ class Trainer:
         include_mAP: bool = True,
         include_background: bool = False,
         quantize: bool = False,
+        fast_eval: bool = False,
     ) -> Optional[Tuple]:
         """Full test pass: loss + Metrics over the test loader. Returns the
         reference's metric tuple (reference: yogo/train.py:446-528).
 
         quantize=True (extension) evaluates the int8 PTQ inference path
         (the `yogo infer --quantize` program), calibrated on the first test
-        batch - so PTQ accuracy can be measured on a real dataset."""
+        batch - so PTQ accuracy can be measured on a real dataset.
+
+        fast_eval=True (extension) accumulates metrics ON DEVICE
+        (metrics/device_metrics.py): the whole per-batch update is one
+        jitted program and predictions are never fetched to the host, so
+        eval tracks the forward pass instead of the per-image Hungarian
+        loop. Greedy matching + 1/4096-binned mAP scores; the integer
+        counters are exact (see the module docstring)."""
         Trainer._check_keys(config)
         if test_dataloader is None or len(test_dataloader) == 0:
             return None
 
         mesh = get_mesh()
-        metrics = Metrics(
+        engine = DeviceMetrics if fast_eval else Metrics
+        metrics = engine(
             classes=config["class_names"],
             include_mAP=include_mAP,
             include_background=include_background,
@@ -1001,8 +1011,18 @@ class Trainer:
             # rows - the reference's post-train test on rank 0 likewise
             # scores that rank's DistributedSampler shard (reference:
             # yogo/train.py:356-361, yogo_dataloader.py:249-253)
-            preds_np = local_rows(np.asarray(preds), labels.shape[0])
-            metrics.update(preds_np, labels, image_mask=mask)
+            if fast_eval:
+                # keep predictions on device: local_rows is a static slice
+                # of the replicated array, and DeviceMetrics.update is one
+                # jitted program - no D2H of the prediction tensor at all
+                metrics.update(
+                    local_rows(preds, labels.shape[0]),
+                    labels,
+                    image_mask=mask,
+                )
+            else:
+                preds_np = local_rows(np.asarray(preds), labels.shape[0])
+                metrics.update(preds_np, labels, image_mask=mask)
 
         (
             mAP,
@@ -1129,6 +1149,7 @@ def do_training(args) -> None:
         "spatial_parallel": getattr(args, "spatial_parallel", 1),
         "fsdp": getattr(args, "fsdp", False),
         "accumulate_grad_batches": getattr(args, "accumulate_grad_batches", 1),
+        "fast_eval": getattr(args, "fast_eval", False),
     }
     trainer = Trainer(config)
     trainer.init()

@@ -308,6 +308,13 @@ def train_parser(parser=None):
             "the LR schedule ticks per optimizer step) (default: 1)"
         ),
     )
+    parser.add_argument(
+        "--fast-eval", action=boolean_action, default=False,
+        help=(
+            "accumulate the post-training test metrics on device "
+            "(extension; see `yogo test --fast-eval`)"
+        ),
+    )
     return parser
 
 
@@ -360,6 +367,15 @@ def test_parser(parser=None):
             "evaluate the int8 quantized inference path (extension; the "
             "same program `yogo infer --quantize` serves, calibrated on "
             "the first test batch) - measures PTQ accuracy on this split"
+        ),
+    )
+    parser.add_argument(
+        "--fast-eval", action=boolean_action, default=False,
+        help=(
+            "accumulate metrics on device (extension): greedy-matched, "
+            "fixed-capacity jitted accumulation instead of per-image host "
+            "Hungarian matching - eval tracks the forward pass; exact for "
+            "the integer counters, mAP scores are binned to 1/4096"
         ),
     )
     parser.add_argument("--note", type=str, default=None,

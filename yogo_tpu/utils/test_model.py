@@ -65,6 +65,7 @@ def test_model(args) -> None:
         include_mAP=args.include_mAP,
         include_background=args.include_background,
         quantize=getattr(args, "quantize", False),
+        fast_eval=getattr(args, "fast_eval", False),
     )
 
     log_to_wandb = args.wandb or (args.wandb_resume_id is not None)
