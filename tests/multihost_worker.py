@@ -141,6 +141,37 @@ def main() -> None:
     assert n_objects == hi - lo, (n_objects, hi - lo)
     print(f"MHEVAL {pid} {n_objects}", flush=True)
 
+    # SPMD fast-eval over the multi-process mesh (Trainer.test fast_eval
+    # path): the eval step keeps predictions DATA-SHARDED (multi-process
+    # jit cannot reshard non-addressable args, so the producer must emit
+    # the sharding the update consumes - exactly what Trainer.test does
+    # with `out_shardings=(rep, dat)` under fast_eval), every device
+    # scatter-adds its shard, and the replicated accumulator state is
+    # addressable from all processes - so every rank computes the GLOBAL
+    # metrics (the documented fast-eval multihost semantics: the full
+    # 4-image batch, not this rank's slice)
+    from yogo_tpu.metrics.device_metrics import DeviceMetrics
+
+    jeval_fast = jax.jit(
+        make_eval_step(
+            model,
+            dict(no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+                 label_smoothing=0.01),
+        ),
+        in_shardings=(rep, rep, dat, dat, msk),
+        out_shardings=(rep, dat),
+    )
+    _, preds_sh = jeval_fast(
+        state.params, state.batch_stats, imgs_d, labels_d, mask_d
+    )
+    dm = DeviceMetrics(
+        ["a", "b", "c"], obj_thresh=0.3, max_detections=16, mesh=mesh
+    )
+    dm.update(preds_sh, labels_d, image_mask=mask_d)
+    dout = dm.compute()
+    d_n = int(np.asarray(dout[9]).ravel()[0]) + int(dout[7].sum())
+    print(f"MHFAST {pid} {d_n}", flush=True)
+
     # process-0-gated checkpointing of the replicated global state, exactly
     # as Trainer.checkpoint does it (device_get on replicated arrays is
     # fully addressable from every process)

@@ -294,3 +294,46 @@ def test_trainer_test_fast_eval_matches_host(tmp_path):
     assert abs(slow[0] - fast[0]) < 1e-6
     assert slow[2].sum() == fast[2].sum()  # confusion total mass
     assert int(slow[10][0]) == int(fast[10][0])
+
+
+def test_mesh_sharded_update_matches_unsharded():
+    """DeviceMetrics(mesh=...) SPMD update over 8 devices == single-device.
+
+    The accumulators are integer scatter-adds (order-independent), so the
+    sharded state must be BIT-identical; ece_conf (the lone f32 sum) may
+    carry reduction-order noise, bounded by assert_tuple_equal's ece check.
+    """
+    from yogo_tpu.parallel.mesh import get_mesh, shard_batch
+
+    mesh = get_mesh()
+    rng = np.random.default_rng(11)
+    scores = iter(rng.permutation(np.arange(2100, 4090)))
+    batch = [
+        make_scene(rng, p_missed=0.3 * (k % 2), p_extra=0.3 * (1 - k % 2),
+                   score_iter=scores)
+        for k in range(mesh.size)
+    ]
+    preds = np.stack([p for p, _ in batch])
+    labels = np.stack([l for _, l in batch])
+    mask = np.ones(mesh.size, np.float32)
+    mask[-1] = 0.0  # a padded row, to prove masking survives sharding
+
+    plain = DeviceMetrics(CLASSES)
+    sharded = DeviceMetrics(CLASSES, mesh=mesh)
+    preds_d, labels_d, mask_d = shard_batch(mesh, preds, labels, mask)
+    plain.update(preds, labels, image_mask=mask)
+    sharded.update(preds_d, labels_d, image_mask=mask_d)
+    assert_tuple_equal(plain.compute(), sharded.compute())
+
+    # raw integer states bit-match (scatter-adds commute exactly)
+    for key, val in plain._state.items():
+        if np.asarray(val).dtype == np.int32:
+            np.testing.assert_array_equal(
+                np.asarray(val), np.asarray(sharded._state[key]),
+                err_msg=f"state[{key}]",
+            )
+
+    # the host engine agrees too on these unambiguous scenes
+    host = Metrics(CLASSES)
+    host.update(preds, labels, image_mask=mask)
+    assert_tuple_equal(host.compute(), sharded.compute())

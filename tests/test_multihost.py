@@ -84,6 +84,7 @@ def test_multi_process_training_matches_single_process(tmp_path, nproc):
 
     rows = {}
     eval_counts = {}
+    fast_counts = {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("MH "):
@@ -92,12 +93,19 @@ def test_multi_process_training_matches_single_process(tmp_path, nproc):
             elif line.startswith("MHEVAL "):
                 _, pid, n = line.split()
                 eval_counts[int(pid)] = int(n)
+            elif line.startswith("MHFAST "):
+                _, pid, n = line.split()
+                fast_counts[int(pid)] = int(n)
     assert set(rows) == set(range(nproc)), f"missing worker output: {outs}"
     # the multihost eval path (sharded eval step -> local_rows slice ->
     # Metrics) accounted for every true object: each process its shard,
     # summing to the 4-image global batch (1 object per image)
     assert set(eval_counts) == set(range(nproc))
     assert sum(eval_counts.values()) == 4, eval_counts
+    # SPMD fast-eval scores the GLOBAL batch: every rank reports all 4
+    # objects (replicated accumulator state), not just its local shard
+    assert set(fast_counts) == set(range(nproc))
+    assert all(n == 4 for n in fast_counts.values()), fast_counts
     # every process observes the same (replicated) global loss
     for pid in range(1, nproc):
         np.testing.assert_allclose(rows[0], rows[pid], rtol=1e-6)

@@ -161,3 +161,53 @@ def test_test_model_requires_test_split(tmp_path):
     )
     with pytest.raises(ValueError, match="no test split"):
         run_test_model(args)
+
+
+def test_test_model_quantize_fast_eval_composition(tmp_path):
+    """`yogo test --quantize --fast-eval`: the int8 PTQ eval program with
+    SPMD device-accumulated metrics. The quantized forward's predictions
+    stay batch-sharded into the DeviceMetrics update; loss must bit-match
+    the quantized host-engine run (same eval program, only the metrics
+    engine differs) and the stable aggregates must agree."""
+    from yogo_tpu.data.definition import DatasetDefinition
+    from yogo_tpu.data.loader import get_dataloader
+    from yogo_tpu.train import Trainer
+
+    image_hw = (40, 56)
+    model = YOGO.create(
+        image_hw, 0.15, 0.2, len(CLASSES), model_version="quarter_filters"
+    )
+    variables = model.init(jax.random.key(0))
+    pairs = [make_pair_dirs(tmp_path, "tr", n_images=4)]
+    tpairs = [make_pair_dirs(tmp_path, "te", n_images=3, seed=5)]
+    defn_path = write_defn(
+        tmp_path / "d.yml",
+        dataset_pairs=pairs,
+        test_pairs=tpairs,
+        split={"train": 0.75, "val": 0.25},
+    )
+    data_defn = DatasetDefinition.from_yaml(defn_path)
+    Sx, Sy = model.grid
+    config = {
+        "class_names": data_defn.classes,
+        "no_classify": False,
+        "iou_weight": 1,
+        "no_obj_weight": 0.5,
+        "label_smoothing": 0.0001,
+        "half": False,
+        "model": "m",
+        "test_set": str(defn_path),
+    }
+
+    def loader():
+        return get_dataloader(
+            data_defn, 4, Sx=Sx, Sy=Sy, image_hw=image_hw
+        )["test"]
+
+    q_host = Trainer.test(loader(), config, model, variables,
+                          include_mAP=False, quantize=True)
+    q_fast = Trainer.test(loader(), config, model, variables,
+                          include_mAP=False, quantize=True, fast_eval=True)
+    assert abs(q_host[0] - q_fast[0]) < 1e-6  # identical eval program
+    assert q_host[2].sum() == q_fast[2].sum()  # confusion total mass
+    assert int(q_host[10][0]) == int(q_fast[10][0])  # total true objects

@@ -313,6 +313,14 @@ class DeviceMetrics:
     state is fixed-shape): `max_detections` detections and `max_labels`
     ground-truth boxes per image. Overflow is counted and warned about at
     compute() - fall back to the host engine if a dataset exceeds them.
+
+    mesh (optional): a jax Mesh with a "data" axis. update() is then jitted
+    SPMD over it - predictions/labels/mask stay batch-sharded (no all-gather
+    of the 38 MB/batch prediction tensor), each device scatter-adds its
+    shard's rows, and GSPMD all-reduces into the replicated accumulator
+    state. Integer counters are order-independent, so the sharded state is
+    bit-identical to the single-device one (the lone f32 accumulator,
+    ece_conf, picks up reduction-order noise only).
     """
 
     def __init__(
@@ -326,6 +334,7 @@ class DeviceMetrics:
         max_detections: int = 256,
         max_labels: int = 256,
         map_score_bins: int = DEFAULT_MAP_SCORE_BINS,
+        mesh=None,
     ):
         self.class_names = classes + (
             ["background"] if include_background else []
@@ -339,21 +348,39 @@ class DeviceMetrics:
         self.max_detections = max_detections
         self.max_labels = max_labels
         self.map_score_bins = map_score_bins
-        self._update = jax.jit(
-            partial(
-                _update_batch,
-                num_classes=self.num_classes,
-                include_background=include_background,
-                include_mAP=include_mAP,
-                obj_thresh=obj_thresh,
-                iou_thresh=iou_thresh,
-                min_class_confidence_threshold=min_class_confidence_threshold,
-                max_detections=max_detections,
-                max_labels=max_labels,
-                map_score_bins=map_score_bins,
-            ),
-            donate_argnums=0,
+        self.mesh = mesh
+        update = partial(
+            _update_batch,
+            num_classes=self.num_classes,
+            include_background=include_background,
+            include_mAP=include_mAP,
+            obj_thresh=obj_thresh,
+            iou_thresh=iou_thresh,
+            min_class_confidence_threshold=min_class_confidence_threshold,
+            max_detections=max_detections,
+            max_labels=max_labels,
+            map_score_bins=map_score_bins,
         )
+        if mesh is None:
+            self._update = jax.jit(update, donate_argnums=0)
+            self._rep = None
+        else:
+            from yogo_tpu.parallel.mesh import data_sharded, replicated
+
+            self._rep = replicated(mesh)
+            self._update = jax.jit(
+                update,
+                donate_argnums=0,
+                # the replicated spec is a pytree prefix covering the whole
+                # state dict; batch inputs shard on the data axis
+                in_shardings=(
+                    self._rep,
+                    data_sharded(mesh),
+                    data_sharded(mesh),
+                    data_sharded(mesh, ndim=1),
+                ),
+                out_shardings=self._rep,
+            )
         self.reset()
 
     def reset(self) -> None:
@@ -381,6 +408,10 @@ class DeviceMetrics:
                 (nc, 10, self.map_score_bins), jnp.int32
             )
             st["map_ngt"] = jnp.zeros((nc,), jnp.int32)
+        if self._rep is not None:
+            # commit the fresh state replicated so the donated buffers
+            # already live in the layout the SPMD update expects
+            st = jax.device_put(st, self._rep)
         self._state = st
 
     # ---------------------------------------------------------------- api

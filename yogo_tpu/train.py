@@ -956,12 +956,22 @@ class Trainer:
             return None
 
         mesh = get_mesh()
-        engine = DeviceMetrics if fast_eval else Metrics
-        metrics = engine(
-            classes=config["class_names"],
-            include_mAP=include_mAP,
-            include_background=include_background,
-        )
+        if fast_eval:
+            # SPMD metrics: predictions stay batch-sharded on the mesh (no
+            # all-gather of the prediction tensor) and every device
+            # scatter-adds its shard into the replicated accumulators
+            metrics: Any = DeviceMetrics(
+                classes=config["class_names"],
+                include_mAP=include_mAP,
+                include_background=include_background,
+                mesh=mesh,
+            )
+        else:
+            metrics = Metrics(
+                classes=config["class_names"],
+                include_mAP=include_mAP,
+                include_background=include_background,
+            )
         loss_kwargs = dict(
             no_obj_weight=config["no_obj_weight"],
             iou_weight=config["iou_weight"],
@@ -984,7 +994,9 @@ class Trainer:
         eval_step = jax.jit(
             eval_fn,
             in_shardings=(rep, rep, dat, dat, msk),
-            out_shardings=(rep, rep),
+            # fast-eval consumes predictions sharded in place; the host
+            # engine needs the replicated (gathered) tensor to slice rows
+            out_shardings=(rep, dat if fast_eval else rep),
         )
 
         total_loss = 0.0
@@ -1012,14 +1024,14 @@ class Trainer:
             # scores that rank's DistributedSampler shard (reference:
             # yogo/train.py:356-361, yogo_dataloader.py:249-253)
             if fast_eval:
-                # keep predictions on device: local_rows is a static slice
-                # of the replicated array, and DeviceMetrics.update is one
-                # jitted program - no D2H of the prediction tensor at all
-                metrics.update(
-                    local_rows(preds, labels.shape[0]),
-                    labels,
-                    image_mask=mask,
-                )
+                # keep predictions on device AND sharded: the SPMD update
+                # consumes the global batch-sharded arrays directly - no
+                # D2H and no all-gather of the prediction tensor at all.
+                # NOTE (multi-process): this scores the GLOBAL batch, i.e.
+                # the union of every rank's loader shard = the full test
+                # set, where the host engine (like the reference's rank-0
+                # test, yogo/train.py:356-361) scores only this rank's rows.
+                metrics.update(preds, labels_d, image_mask=mask_d)
             else:
                 preds_np = local_rows(np.asarray(preds), labels.shape[0])
                 metrics.update(preds_np, labels, image_mask=mask)
