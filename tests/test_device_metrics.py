@@ -337,3 +337,82 @@ def test_mesh_sharded_update_matches_unsharded():
     host = Metrics(CLASSES)
     host.update(preds, labels, image_mask=mask)
     assert_tuple_equal(host.compute(), sharded.compute())
+
+
+def test_ece_conf_survives_f32_saturation():
+    """A plain f32 running sum stops absorbing ~1.0-sized confidences once
+    a bin passes 2^24 (ulp >= 2); the (ece_conf, ece_conf_comp) Neumaier
+    pair must keep absorbing them. Simulates a huge prior test set by
+    pre-seeding the running sum at 2^25 (ulp = 4.0) and checks the next
+    batch's confidence mass still lands exactly."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    pred, label = make_scene(rng)
+
+    dev = DeviceMetrics(CLASSES)
+    dev.update(pred[None], label[None])
+    base = np.asarray(dev._state["ece_conf"], np.float64) + np.asarray(
+        dev._state["ece_conf_comp"], np.float64
+    )
+    assert base.sum() > 0
+
+    big = float(2**25)
+    dev2 = DeviceMetrics(CLASSES)
+    dev2._state["ece_conf"] = jnp.full_like(dev2._state["ece_conf"], big)
+    dev2.update(pred[None], label[None])
+    total = np.asarray(dev2._state["ece_conf"], np.float64) + np.asarray(
+        dev2._state["ece_conf_comp"], np.float64
+    )
+    # without compensation every per-bin batch contribution < 4.0 would
+    # round away entirely and total - big would be identically zero
+    np.testing.assert_allclose(total - big, base, atol=1e-3)
+
+
+def test_trainer_test_fast_eval_capacity_plumbing(monkeypatch):
+    """Trainer.test threads fast_eval_max_detections/_labels into the
+    DeviceMetrics engine (the CLI's --fast-eval-max-* flags end here)."""
+    import jax
+    import jax.numpy as jnp
+
+    import yogo_tpu.train as train_mod
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.train import Trainer
+    from yogo_tpu.utils.default_hyperparams import DefaultHyperparams as df
+
+    captured = {}
+    real = train_mod.DeviceMetrics
+
+    def spy(*args, **kwargs):
+        captured.update(kwargs)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(train_mod, "DeviceMetrics", spy)
+
+    rng = np.random.default_rng(0)
+    model = YOGO.create(
+        (96, 128), df.ANCHOR_W, df.ANCHOR_H, num_classes=3,
+        compute_dtype=jnp.float32,
+    )
+    variables = model.init(jax.random.key(0))
+    Sx, Sy = model.grid
+    imgs = rng.integers(0, 255, (4, 1, 96, 128)).astype(np.uint8)
+    labels = np.zeros((4, 6, Sy, Sx), np.float32)
+    labels[:, 0, 4, 5] = 1
+    labels[:, 1:5, 4, 5] = [0.3, 0.3, 0.4, 0.4]
+    mask = np.ones(4, np.float32)
+    config = {
+        "class_names": CLASSES,
+        "iou_weight": 1.0,
+        "no_obj_weight": 0.5,
+        "label_smoothing": 1e-4,
+        "half": False,
+    }
+    out = Trainer.test(
+        [(imgs, labels, mask)], config, model, variables,
+        include_mAP=False, fast_eval=True,
+        fast_eval_max_detections=64, fast_eval_max_labels=48,
+    )
+    assert out is not None
+    assert captured["max_detections"] == 64
+    assert captured["max_labels"] == 48

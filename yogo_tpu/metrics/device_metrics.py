@@ -253,9 +253,22 @@ def _update_batch(
     )
     correct = (pred_idx == rows_t).astype(jnp.int32) * rows_w
     new["ece_counts"] = state["ece_counts"].at[bins].add(rows_w)
-    new["ece_conf"] = state["ece_conf"].at[bins].add(
+    # the lone float accumulator: a plain f32 running sum stops absorbing
+    # ~1.0-sized confidences once a bin passes 2^24 (~100k dense images),
+    # so sum per batch into a fresh zero vector (exact at batch scale) and
+    # fold it in with Neumaier compensation - the (sum, comp) f32 pair
+    # carries ~f64 precision for unbounded test sets
+    batch_conf = jnp.zeros((NUM_ECE_BINS,), jnp.float32).at[bins].add(
         conf * rows_w.astype(jnp.float32)
     )
+    s = state["ece_conf"]
+    t = s + batch_conf
+    new["ece_conf_comp"] = state["ece_conf_comp"] + jnp.where(
+        jnp.abs(s) >= jnp.abs(batch_conf),
+        (s - t) + batch_conf,
+        (batch_conf - t) + s,
+    )
+    new["ece_conf"] = t
     new["ece_correct"] = state["ece_correct"].at[bins].add(correct)
 
     # ---- missed / extra per-class counters (always accumulated)
@@ -392,6 +405,7 @@ class DeviceMetrics:
             "roc_neg": jnp.zeros((ncb, NUM_ROC_THRESHOLDS + 1), jnp.int32),
             "ece_counts": jnp.zeros((NUM_ECE_BINS,), jnp.int32),
             "ece_conf": jnp.zeros((NUM_ECE_BINS,), jnp.float32),
+            "ece_conf_comp": jnp.zeros((NUM_ECE_BINS,), jnp.float32),
             "ece_correct": jnp.zeros((NUM_ECE_BINS,), jnp.int32),
             "missed_by_class": jnp.zeros((nc,), jnp.int32),
             "extra_by_class": jnp.zeros((nc,), jnp.int32),
@@ -460,7 +474,8 @@ class DeviceMetrics:
             roc_counts=roc_counts,
             roc_thresholds=np.linspace(0.0, 1.0, NUM_ROC_THRESHOLDS),
             ece_counts=st["ece_counts"].astype(np.int64),
-            ece_conf=st["ece_conf"].astype(np.float64),
+            ece_conf=st["ece_conf"].astype(np.float64)
+            + st["ece_conf_comp"].astype(np.float64),
             ece_correct=st["ece_correct"].astype(np.float64),
             mAP=mAP,
             missed_by_class=st["missed_by_class"].astype(np.int64),
@@ -497,14 +512,6 @@ class DeviceMetrics:
                     tp_desc, fp_desc, n_gt
                 )
 
-        def mean_valid(a: np.ndarray) -> float:
-            valid = a > -1
-            return float(a[valid].mean()) if valid.any() else -1.0
-
-        t50 = int(np.argmin(np.abs(IOU_THRESHOLDS - 0.50)))
-        t75 = int(np.argmin(np.abs(IOU_THRESHOLDS - 0.75)))
-        per_class = np.array([mean_valid(ap[:, c]) for c in range(nc)])
-
         recalls = []
         for c in range(nc):
             n_gt = int(ngt[c])
@@ -522,13 +529,6 @@ class DeviceMetrics:
                     )
                 )
             )
-        return {
-            "map": mean_valid(ap),
-            "map_50": mean_valid(ap[t50]),
-            "map_75": mean_valid(ap[t75]),
-            "map_small": mean_valid(ap),
-            "map_medium": -1.0,
-            "map_large": -1.0,
-            "map_per_class": per_class,
-            "mar_100": float(np.mean(recalls)) if recalls else -1.0,
-        }
+        return MeanAveragePrecision.assemble_result(
+            ap, float(np.mean(recalls)) if recalls else -1.0
+        )

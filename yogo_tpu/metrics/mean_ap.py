@@ -87,6 +87,35 @@ class MeanAveragePrecision:
         )
         return float(prec_at.mean())
 
+    @staticmethod
+    def assemble_result(ap: np.ndarray, mar_100: float) -> Dict[str, float]:
+        """Result dict from the (T, C) AP matrix (-1.0 = class with no GT).
+
+        Shared by the host engine and DeviceMetrics so the key set and
+        conventions (the -1 sentinel, map_small = all normalized boxes,
+        map_medium/large unsupported) cannot drift between the two.
+        """
+
+        def mean_valid(a: np.ndarray) -> float:
+            valid = a > -1
+            return float(a[valid].mean()) if valid.any() else -1.0
+
+        t50 = int(np.argmin(np.abs(IOU_THRESHOLDS - 0.50)))
+        t75 = int(np.argmin(np.abs(IOU_THRESHOLDS - 0.75)))
+        per_class = np.array(
+            [mean_valid(ap[:, c]) for c in range(ap.shape[1])]
+        )
+        return {
+            "map": mean_valid(ap),
+            "map_50": mean_valid(ap[t50]),
+            "map_75": mean_valid(ap[t75]),
+            "map_small": mean_valid(ap),  # all normalized boxes are "small"
+            "map_medium": -1.0,
+            "map_large": -1.0,
+            "map_per_class": per_class,
+            "mar_100": mar_100,
+        }
+
     def compute(self) -> Dict[str, float]:
         if not self._scores:
             return self._empty_result()
@@ -117,26 +146,7 @@ class MeanAveragePrecision:
                 fp_flags = 1.0 - tp_flags
                 ap[ti, c] = self._ap_from_pr(tp_flags, fp_flags, n_gt)
 
-        def mean_valid(a: np.ndarray) -> float:
-            valid = a > -1
-            return float(a[valid].mean()) if valid.any() else -1.0
-
-        t50 = int(np.argmin(np.abs(IOU_THRESHOLDS - 0.50)))
-        t75 = int(np.argmin(np.abs(IOU_THRESHOLDS - 0.75)))
-        per_class = np.array(
-            [mean_valid(ap[:, c]) for c in range(self.num_classes)]
-        )
-        result = {
-            "map": mean_valid(ap),
-            "map_50": mean_valid(ap[t50]),
-            "map_75": mean_valid(ap[t75]),
-            "map_small": mean_valid(ap),  # all normalized boxes are "small"
-            "map_medium": -1.0,
-            "map_large": -1.0,
-            "map_per_class": per_class,
-            "mar_100": self._mean_recall(),
-        }
-        return result
+        return self.assemble_result(ap, self._mean_recall())
 
     def _mean_recall(self) -> float:
         gt_cls = np.concatenate(self._gt_cls) if self._gt_cls else np.empty(0, np.int64)

@@ -835,6 +835,12 @@ class Trainer:
                     "batch_stats": self.state.batch_stats,
                 }),
                 fast_eval=self.config.get("fast_eval", False),
+                fast_eval_max_detections=self.config.get(
+                    "fast_eval_max_detections", 256
+                ),
+                fast_eval_max_labels=self.config.get(
+                    "fast_eval_max_labels", 256
+                ),
             )
             if test_metrics is not None:
                 self._log_test_metrics(*test_metrics)
@@ -937,6 +943,8 @@ class Trainer:
         include_background: bool = False,
         quantize: bool = False,
         fast_eval: bool = False,
+        fast_eval_max_detections: int = 256,
+        fast_eval_max_labels: int = 256,
     ) -> Optional[Tuple]:
         """Full test pass: loss + Metrics over the test loader. Returns the
         reference's metric tuple (reference: yogo/train.py:446-528).
@@ -950,7 +958,12 @@ class Trainer:
         jitted program and predictions are never fetched to the host, so
         eval tracks the forward pass instead of the per-image Hungarian
         loop. Greedy matching + 1/4096-binned mAP scores; the integer
-        counters are exact (see the module docstring)."""
+        counters are exact (see the module docstring). The device engine's
+        state is fixed-capacity: fast_eval_max_detections /
+        fast_eval_max_labels bound the per-image detections and GT boxes
+        (the host engine caps detections at 1024 and labels not at all) -
+        DeviceMetrics warns at compute() when a scene overflowed; raise
+        these (`--fast-eval-max-detections`) for denser datasets."""
         Trainer._check_keys(config)
         if test_dataloader is None or len(test_dataloader) == 0:
             return None
@@ -964,6 +977,8 @@ class Trainer:
                 classes=config["class_names"],
                 include_mAP=include_mAP,
                 include_background=include_background,
+                max_detections=fast_eval_max_detections,
+                max_labels=fast_eval_max_labels,
                 mesh=mesh,
             )
         else:
@@ -1162,6 +1177,10 @@ def do_training(args) -> None:
         "fsdp": getattr(args, "fsdp", False),
         "accumulate_grad_batches": getattr(args, "accumulate_grad_batches", 1),
         "fast_eval": getattr(args, "fast_eval", False),
+        "fast_eval_max_detections": getattr(
+            args, "fast_eval_max_detections", 256
+        ),
+        "fast_eval_max_labels": getattr(args, "fast_eval_max_labels", 256),
     }
     trainer = Trainer(config)
     trainer.init()

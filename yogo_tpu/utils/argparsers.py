@@ -116,6 +116,29 @@ def global_parser():
     return parser
 
 
+def _add_fast_eval_capacity_args(parser):
+    """Capacity knobs for the --fast-eval device metrics engine, shared by
+    the train (post-training test pass) and test parsers. The device
+    engine's state is fixed-shape, so per-image detections / ground-truth
+    boxes beyond these caps are dropped (with a warning at the end of the
+    run); the host engine caps detections at 1024 and labels not at all."""
+    parser.add_argument(
+        "--fast-eval-max-detections", type=positive_int, default=256,
+        help=(
+            "per-image detection capacity of the --fast-eval device "
+            "metrics engine (extension); raise for scenes denser than N "
+            "obj>thresh cells - cost grows ~quadratically (default: 256)"
+        ),
+    )
+    parser.add_argument(
+        "--fast-eval-max-labels", type=positive_int, default=256,
+        help=(
+            "per-image ground-truth box capacity of the --fast-eval "
+            "device metrics engine (extension) (default: 256)"
+        ),
+    )
+
+
 def train_parser(parser=None):
     from yogo_tpu.models.defns import MODELS
     from yogo_tpu.utils.default_hyperparams import DefaultHyperparams as df
@@ -315,6 +338,7 @@ def train_parser(parser=None):
             "(extension; see `yogo test --fast-eval`)"
         ),
     )
+    _add_fast_eval_capacity_args(parser)
     return parser
 
 
@@ -378,6 +402,7 @@ def test_parser(parser=None):
             "the integer counters, mAP scores are binned to 1/4096"
         ),
     )
+    _add_fast_eval_capacity_args(parser)
     parser.add_argument("--note", type=str, default=None,
                         help="note for the run")
     parser.add_argument("--tags", type=str, nargs="*", default=None,

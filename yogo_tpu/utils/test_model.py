@@ -66,6 +66,10 @@ def test_model(args) -> None:
         include_background=args.include_background,
         quantize=getattr(args, "quantize", False),
         fast_eval=getattr(args, "fast_eval", False),
+        fast_eval_max_detections=getattr(
+            args, "fast_eval_max_detections", 256
+        ),
+        fast_eval_max_labels=getattr(args, "fast_eval_max_labels", 256),
     )
 
     log_to_wandb = args.wandb or (args.wandb_resume_id is not None)
