@@ -97,6 +97,50 @@ def main() -> None:
         state, loss, _ = jstep(state, imgs_d, labels_d, mask_d, jax.random.key(1))
         losses.append(float(loss))
 
+    # FSDP over the REAL multi-process mesh: params/moments sharded on the
+    # data axis via put_with_shardings (each process assembles only its
+    # addressable shards from its identical host copy - no process ever
+    # device_puts the full state), same two steps from the same init. The
+    # parent test pins these losses against the replicated run's: XLA
+    # all-gathers weights at use and reduce-scatters grads, which must not
+    # change the training math (Trainer --fsdp takes exactly this path,
+    # train.py:506-517)
+    from yogo_tpu.parallel.mesh import fsdp_sharding_tree, put_with_shardings
+    from yogo_tpu.train import TrainState as TS
+
+    fstate = TS(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    # min_size=1: quarter_filters' leaves are all under the production
+    # 4096 cutoff - shard everything divisible so the test is not vacuous
+    fshd = TS(
+        params=fsdp_sharding_tree(mesh, fstate.params, min_size=1),
+        batch_stats=fsdp_sharding_tree(mesh, fstate.batch_stats, min_size=1),
+        opt_state=fsdp_sharding_tree(mesh, fstate.opt_state, min_size=1),
+        step=rep,
+    )
+    fstate = put_with_shardings(fstate, fshd)
+    n_sharded = sum(
+        1
+        for s in jax.tree.leaves(
+            fshd.params, is_leaf=lambda x: hasattr(x, "spec")
+        )
+        if any(ax is not None for ax in s.spec)
+    )
+    assert n_sharded > 0, "FSDP phase vacuous: no param leaf sharded"
+    jstep_f = jax.jit(step, in_shardings=(fshd, dat, dat, msk, rep),
+                      out_shardings=(fshd, rep, rep))
+    flosses = []
+    for _ in range(2):
+        fstate, floss, _ = jstep_f(
+            fstate, imgs_d, labels_d, mask_d, jax.random.key(1)
+        )
+        flosses.append(float(floss))
+    print(f"MHFSDP {pid} {flosses[0]:.9e} {flosses[1]:.9e}", flush=True)
+
     # validate the local_rows layout assumption Trainer.test relies on:
     # replicating the sharded global batch and slicing this process's rows
     # must recover exactly the local data this process contributed

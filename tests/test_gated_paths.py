@@ -298,3 +298,43 @@ def test_wandb_roc_accepts_ragged_curves(fake_wandb):
         classes=["a", "b"],
     )
     assert len(table2.data) == 6
+
+
+def test_openvino_mo_failure_not_reported_as_success(monkeypatch, tmp_path, capsys):
+    """A failing `mo` (nonzero exit) must not print .xml/.bin paths that
+    were never written; the .onnx export itself stays valid."""
+    import os
+    import stat
+    from types import SimpleNamespace
+
+    import jax
+
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.utils.checkpoint import save_checkpoint
+    from yogo_tpu.utils.export_model import do_export
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    mo = bindir / "mo"
+    mo.write_text(
+        "#!/usr/bin/env bash\n"
+        'echo "unsupported op: Futz" >&2\n'
+        "exit 3\n"
+    )
+    mo.chmod(mo.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    model = YOGO.create((48, 64), 0.1, 0.12, 3, model_version="quarter_filters")
+    variables = model.init(jax.random.key(0))
+    ckpt = tmp_path / "m.ckpt"
+    save_checkpoint(ckpt, model, variables, classes=["a", "b", "c"])
+
+    do_export(SimpleNamespace(input=str(ckpt), crop_height=None,
+                              output_filename=str(tmp_path / "exported"),
+                              simplify=False, format="onnx"))
+    out = capsys.readouterr().out
+    assert (tmp_path / "exported.onnx").exists()
+    assert not (tmp_path / "exported.xml").exists()
+    assert "exported.xml" not in out  # no phantom IR files in the message
+    assert "mo failed (exit 3)" in out
+    assert "unsupported op: Futz" in out  # mo's stderr surfaced

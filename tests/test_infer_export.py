@@ -387,3 +387,94 @@ def test_stablehlo_roundtrip_architectures(version, tmp_path):
 
     want = np.asarray(model.apply(variables, jnp.asarray(x), inference=True))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_onnx_interp_slice_optional_inputs():
+    """opset >= 10 Slice has OPTIONAL axes/steps inputs: torch and onnxsim
+    emit 3-input Slices after folding, and absent optionals may arrive as
+    '' placeholders - both forms must run (previously IndexError)."""
+    from yogo_tpu.utils import onnx_proto as op
+    from yogo_tpu.utils.onnx_interp import run_model
+
+    x = np.arange(48, dtype=np.float32).reshape(4, 3, 4)
+    inits = [
+        op.tensor_proto("starts", np.array([1], np.int64)),
+        op.tensor_proto("ends", np.array([3], np.int64)),
+    ]
+    for slice_inputs in (
+        ["x", "starts", "ends"],
+        ["x", "starts", "ends", "", ""],
+    ):
+        g = op.graph(
+            [op.node("Slice", slice_inputs, ["y"])],
+            "t",
+            [op.value_info("x", 1, x.shape)],
+            [op.value_info("y", 1, (2, 3, 4))],
+            inits,
+        )
+        (out,) = run_model(op.model(g), {"x": x})
+        np.testing.assert_array_equal(out, x[1:3])
+
+
+def test_onnx_attribute_accepts_numpy_floats():
+    """attribute() must take np.float32 the same as python float: emit
+    paths routinely read scalars straight out of numpy arrays."""
+    from yogo_tpu.utils import onnx_proto as op
+
+    a = op.attribute("alpha", np.float32(0.1))
+    b = op.attribute("alpha", 0.10000000149011612)  # f32(0.1) as py float
+    assert a == b
+
+
+def test_export_output_paths_keep_dotted_stems(tmp_path):
+    """'best.v2.ckpt' must export to 'best.v2.onnx', not 'best.onnx'
+    (Path.with_suffix truncates dotted stems, colliding v1/v2 exports)."""
+    from types import SimpleNamespace
+
+    from yogo_tpu.utils.export_model import do_export
+
+    model = YOGO.create((48, 64), 0.1, 0.12, 2, model_version="quarter_filters")
+    variables = model.init(jax.random.key(0))
+    ckpt = tmp_path / "best.v2.ckpt"
+    save_checkpoint(ckpt, model, variables, classes=["a", "b"])
+    do_export(
+        SimpleNamespace(
+            input=str(ckpt), crop_height=None, output_filename=None,
+            simplify=False, format="onnx",
+        )
+    )
+    assert (tmp_path / "best.v2.onnx").exists()
+    assert not (tmp_path / "best.onnx").exists()
+    # an explicit filename that already carries the extension is untouched
+    do_export(
+        SimpleNamespace(
+            input=str(ckpt), crop_height=None,
+            output_filename=str(tmp_path / "explicit.onnx"),
+            simplify=False, format="onnx",
+        )
+    )
+    assert (tmp_path / "explicit.onnx").exists()
+    assert not (tmp_path / "explicit.onnx.onnx").exists()
+
+
+def test_onnx_export_unknown_activation_fails_fast():
+    """A conv_stack spec with an activation the emitter lacks must raise
+    NotImplementedError, not silently export a graph missing activations
+    (which would only surface as an opaque parity-gate mismatch)."""
+    import dataclasses
+
+    from yogo_tpu.utils.export_model import _emit_conv_stack
+
+    model = YOGO.create((48, 64), 0.1, 0.12, 2, model_version="quarter_filters")
+    variables = model.init(jax.random.key(0))
+    defn = model.defn
+    blocks = tuple(
+        dataclasses.replace(s, act="gelu") if i == 0 else s
+        for i, s in enumerate(defn.blocks)
+    )
+    hacked = dataclasses.replace(defn, blocks=blocks)
+    with pytest.raises(NotImplementedError, match="gelu"):
+        _emit_conv_stack(
+            [], [], "x", hacked,
+            variables["params"], variables.get("batch_stats", {}),
+        )

@@ -85,6 +85,7 @@ def test_multi_process_training_matches_single_process(tmp_path, nproc):
     rows = {}
     eval_counts = {}
     fast_counts = {}
+    fsdp_rows = {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("MH "):
@@ -96,6 +97,9 @@ def test_multi_process_training_matches_single_process(tmp_path, nproc):
             elif line.startswith("MHFAST "):
                 _, pid, n = line.split()
                 fast_counts[int(pid)] = int(n)
+            elif line.startswith("MHFSDP "):
+                _, pid, l0, l1 = line.split()
+                fsdp_rows[int(pid)] = (float(l0), float(l1))
     assert set(rows) == set(range(nproc)), f"missing worker output: {outs}"
     # the multihost eval path (sharded eval step -> local_rows slice ->
     # Metrics) accounted for every true object: each process its shard,
@@ -109,6 +113,12 @@ def test_multi_process_training_matches_single_process(tmp_path, nproc):
     # every process observes the same (replicated) global loss
     for pid in range(1, nproc):
         np.testing.assert_allclose(rows[0], rows[pid], rtol=1e-6)
+    # FSDP over the multi-process mesh: sharding the state (weights
+    # all-gathered at use, grads reduce-scattered) must not change the
+    # training math - same losses as the replicated run, on every rank
+    assert set(fsdp_rows) == set(range(nproc)), f"missing MHFSDP: {outs}"
+    for pid in range(nproc):
+        np.testing.assert_allclose(fsdp_rows[pid], rows[0], rtol=1e-6)
 
     # single-process run over the same GLOBAL batch on a 4-device mesh
     from yogo_tpu.models.yogo import YOGO

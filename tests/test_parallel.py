@@ -574,3 +574,33 @@ def test_initialize_multihost_pod_autodetect(monkeypatch):
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0")
     assert initialize_multihost() is False
     assert calls == []
+
+
+def test_prefetch_accumulate_ragged_final_batches():
+    """accumulate > 1 with an iterator whose final batches have DIFFERENT
+    sizes (no drop_last): every micro in a group must be padded to the
+    group max before stacking (previously np.stack raised ValueError)."""
+    mesh = get_mesh()
+
+    def ragged():
+        yield (
+            np.full((4, 1, 8, 8), 0, np.uint8),
+            np.zeros((4, 6, 2, 2), np.float32),
+            np.ones(4, np.float32),
+        )
+        yield (
+            np.full((3, 1, 8, 8), 1, np.uint8),
+            np.zeros((3, 6, 2, 2), np.float32),
+            np.ones(3, np.float32),
+        )
+
+    out = list(prefetch_to_device(ragged(), mesh, accumulate=2))
+    assert len(out) == 1
+    imgs, labels, mask = out[0]
+    a, b = imgs.shape[:2]
+    assert a == 2 and b % mesh.size == 0
+    m = np.asarray(mask)
+    # 4 real rows in micro 0, 3 in micro 1; every padded row masked out
+    assert m[0].sum() == 4 and m[1].sum() == 3
+    assert np.asarray(imgs)[0, 0, 0, 0, 0] == 0
+    assert np.asarray(imgs)[1, 0, 0, 0, 0] == 1

@@ -256,6 +256,16 @@ def fetch_local_rows(arr: jax.Array) -> np.ndarray:
     Single-process: the whole array."""
     if jax.process_count() == 1:
         return np.asarray(arr)
+    # the slice-start dedup below keys on axis 0 only: an array sharded on
+    # any OTHER axis would collapse every shard to key 0 and silently
+    # return one partial shard - fail loudly instead
+    for s in arr.addressable_shards:
+        if tuple(s.data.shape[1:]) != tuple(arr.shape[1:]):
+            raise ValueError(
+                "fetch_local_rows expects an array replicated or sharded "
+                "on the leading (batch) axis only; got a shard of shape "
+                f"{s.data.shape} from a global array of shape {arr.shape}"
+            )
     seen = set()
     parts = []
     for s in sorted(
@@ -317,6 +327,12 @@ def prefetch_to_device(
 
     def put_group(group):
         padded = [pad_batch_to_multiple(*b, nd) for b in group]
+        # batches within one group may have different raw sizes (an
+        # iterator without drop_last at epoch end): pad every micro to the
+        # group max so the stack below is rectangular; the max of
+        # nd-multiples is an nd-multiple, and extra rows carry mask 0
+        tgt = max(b[0].shape[0] for b in padded)
+        padded = [pad_batch_to_size(*b, tgt) for b in padded]
         while len(padded) < accumulate:
             i0, l0, m0 = padded[0]
             padded.append((i0, l0, np.zeros_like(m0)))
@@ -357,12 +373,11 @@ def prefetch_to_device(
         yield out
 
 
-def pad_batch_to_multiple(
-    imgs: np.ndarray, labels: np.ndarray, mask: np.ndarray, multiple: int
+def pad_batch_to_size(
+    imgs: np.ndarray, labels: np.ndarray, mask: np.ndarray, target: int
 ):
-    """Pad the batch axis so it divides the mesh size; padded rows masked out."""
+    """Pad the batch axis to exactly `target` rows; padded rows masked out."""
     b = imgs.shape[0]
-    target = -(-b // multiple) * multiple
     if target == b:
         return imgs, labels, mask
     pad = target - b
@@ -370,3 +385,11 @@ def pad_batch_to_multiple(
     labels = np.concatenate([labels, np.repeat(labels[:1], pad, axis=0)])
     mask = np.concatenate([mask, np.zeros(pad, mask.dtype)])
     return imgs, labels, mask
+
+
+def pad_batch_to_multiple(
+    imgs: np.ndarray, labels: np.ndarray, mask: np.ndarray, multiple: int
+):
+    """Pad the batch axis so it divides the mesh size; padded rows masked out."""
+    target = -(-imgs.shape[0] // multiple) * multiple
+    return pad_batch_to_size(imgs, labels, mask, target)

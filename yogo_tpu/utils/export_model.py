@@ -71,6 +71,12 @@ def _emit_conv_stack(nodes, inits, cur, defn, params, stats) -> str:
             nodes.append(op.node("Sigmoid", [cur], [f"sig{i}"]))
             nodes.append(op.node("Mul", [cur, f"sig{i}"], [f"act{i}"]))
             cur = f"act{i}"
+        elif s.act is not None:
+            # fail fast: silently omitting an activation the flax side
+            # applies would only surface as an opaque parity-gate mismatch
+            raise NotImplementedError(
+                f"ONNX export has no emitter for activation '{s.act}'"
+            )
     return cur
 
 
@@ -423,15 +429,21 @@ def do_export(args) -> None:
         else input_path.with_suffix("")
     )
 
+    def _with_ext(p: Path, ext: str) -> Path:
+        # NOT Path.with_suffix: that truncates dotted stems ("best.v2" ->
+        # "best.onnx"), silently colliding exports of best.v1/best.v2.ckpt
+        name = p.name[: -len(ext)] if p.name.endswith(ext) else p.name
+        return p.parent / (name + ext)
+
     if fmt == "stablehlo":
-        target = out.with_suffix(".stablehlo")
+        target = _with_ext(out, ".stablehlo")
         export_stablehlo(model, variables, target)
         print(f"exported to {target}")
         return
     if fmt == "pth":
         from yogo_tpu.utils.torch_bridge import save_pth
 
-        target = out.with_suffix(".pth")
+        target = _with_ext(out, ".pth")
         save_pth(
             target,
             model,
@@ -444,8 +456,9 @@ def do_export(args) -> None:
         print(f"exported to {target}")
         return
 
-    onnx_filename = out.with_suffix(".onnx")
+    onnx_filename = _with_ext(out, ".onnx")
     model_bytes = build_onnx(model, variables)
+    verified_dev = None  # set when the simplify path already ran the gate
     # --simplify: the reference runs onnx-simplifier here (reference:
     # yogo/utils/export_model.py:111-117). Our writer already emits a
     # constant-folded graph with BatchNorm folded into convs (the main
@@ -466,7 +479,7 @@ def do_export(args) -> None:
                 # back to the already-valid unsimplified graph if not
                 candidate = simplified.SerializeToString()
                 try:
-                    verify_onnx(model, variables, candidate)
+                    verified_dev = verify_onnx(model, variables, candidate)
                     model_bytes = candidate
                 except Exception as e:
                     print(f"--simplify: simplified graph failed the parity "
@@ -483,7 +496,13 @@ def do_export(args) -> None:
             # the reference succeeded)
             print(f"--simplify: onnxsim failed ({e!r}); exporting the "
                   "unsimplified graph")
-    max_dev = verify_onnx(model, variables, model_bytes)
+    # the simplify path already verified these exact bytes - don't pay the
+    # reference forward + full interpreter execution a second time
+    max_dev = (
+        verified_dev
+        if verified_dev is not None
+        else verify_onnx(model, variables, model_bytes)
+    )
     onnx_filename.write_bytes(model_bytes)
     success_msg = (
         f"exported to {onnx_filename} (parity max dev {max_dev:.2e}, "
@@ -495,7 +514,7 @@ def do_export(args) -> None:
     import shutil
 
     if shutil.which("mo"):
-        subprocess.run(
+        mo_res = subprocess.run(
             [
                 "mo",
                 "--input_model",
@@ -505,10 +524,19 @@ def do_export(args) -> None:
                 "--compress_to_fp16",
                 "True",
             ],
-            stdout=subprocess.DEVNULL,
+            capture_output=True,
+            text=True,
         )
-        success_msg += (
-            f", {onnx_filename.with_suffix('.xml')}, "
-            f"{onnx_filename.with_suffix('.bin')}"
-        )
+        if mo_res.returncode == 0:
+            success_msg += (
+                f", {onnx_filename.with_suffix('.xml')}, "
+                f"{onnx_filename.with_suffix('.bin')}"
+            )
+        else:
+            # do NOT claim .xml/.bin files that were never written
+            tail = (mo_res.stderr or mo_res.stdout or "").strip()[-500:]
+            print(
+                f"OpenVINO mo failed (exit {mo_res.returncode}); the .onnx "
+                f"export above is still valid. mo output: {tail}"
+            )
     print(success_msg)

@@ -168,8 +168,20 @@ def run_model(model_bytes: bytes, feeds: Dict[str, np.ndarray]):
         elif op == "Concat":
             out = np.concatenate(ins, axis=a["axis"])
         elif op == "Slice":
-            starts, ends, axes = ins[1], ins[2], ins[3]
-            steps = ins[4] if len(ins) > 4 else np.ones_like(starts)
+            # axes and steps are OPTIONAL inputs (opset >= 10): independent
+            # producers (torch, onnxsim) emit 3-input Slices after folding,
+            # and absent optionals may also arrive as "" -> None
+            starts, ends = ins[1], ins[2]
+            axes = (
+                ins[3]
+                if len(ins) > 3 and ins[3] is not None
+                else np.arange(len(starts), dtype=np.int64)
+            )
+            steps = (
+                ins[4]
+                if len(ins) > 4 and ins[4] is not None
+                else np.ones_like(starts)
+            )
             sl = [slice(None)] * ins[0].ndim
             for s, e, ax, st in zip(starts, ends, axes, steps):
                 sl[int(ax)] = slice(int(s), None if e >= 2**31 else int(e), int(st))

@@ -115,8 +115,8 @@ def tensor_proto(name: str, array: np.ndarray) -> bytes:
 
 def attribute(name: str, value: Any) -> bytes:
     parts = [enc_str(1, name)]
-    if isinstance(value, float):
-        parts += [enc_float(2, value), enc_varint(20, ATTR_FLOAT)]
+    if isinstance(value, (float, np.floating)):
+        parts += [enc_float(2, float(value)), enc_varint(20, ATTR_FLOAT)]
     elif isinstance(value, bool) or isinstance(value, (int, np.integer)):
         parts += [enc_varint(3, int(value)), enc_varint(20, ATTR_INT)]
     elif isinstance(value, str):
