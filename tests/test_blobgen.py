@@ -134,6 +134,13 @@ def test_blobdataset_index_bounds(thumb_dirs):
     )
     with pytest.raises(IndexError):
         bd[2]
+    with pytest.raises(IndexError):
+        bd[-3]
+    # python sequence semantics: dataset[-1] is the last item
+    img_neg, grid_neg = bd[-1]
+    img_pos, grid_pos = bd[1]
+    np.testing.assert_array_equal(img_neg, img_pos)
+    np.testing.assert_array_equal(grid_neg, grid_pos)
 
 
 def test_blobdataset_drops_small_thumbnails(tmp_path):
@@ -174,6 +181,21 @@ def test_thumbnail_augmentation_extends_train_split(tmp_path, thumb_dirs):
     blob_img, blob_grid = split["train"][len(split["train"]) - 1]
     assert blob_img.shape == (1, 48, 64)
     assert blob_grid.shape == (6, 6, 8)
+
+
+def test_thumbnail_augmentation_rejects_rgb(tmp_path, thumb_dirs):
+    """BlobDataset emits (1, H, W) images; combining it with an RGB train
+    split must fail at build time, not as a collate shape mismatch."""
+    pairs = [make_pair_dirs(tmp_path, "0", n_images=4, seed=0)]
+    defn_path = write_defn(
+        tmp_path / "d.yml",
+        dataset_pairs=pairs,
+        split={"train": 0.75, "val": 0.25},
+        thumbs={k: [str(p) for p in v] for k, v in thumb_dirs.items()},
+    )
+    defn = DatasetDefinition.from_yaml(defn_path)
+    with pytest.raises(ValueError, match="single-channel"):
+        get_datasets(defn, Sx=8, Sy=6, image_hw=(48, 64), rgb=True)
 
 
 def test_blobdataset_epoch_resampling_reproducible(thumb_dirs):

@@ -63,6 +63,19 @@ def fake_zarr(monkeypatch, tmp_path):
     return mod, tmp_path
 
 
+def test_zarr_source_rejects_rgb(fake_zarr):
+    """zarr stacks are single-channel; an RGB checkpoint must be rejected
+    upfront instead of failing inside the jitted forward."""
+    from yogo_tpu.data.image_source import get_dataset
+
+    mod, tmp_path = fake_zarr
+    zp = tmp_path / "imgs.zip"
+    zp.write_bytes(b"")
+    mod._stores[str(zp)] = _FakeZarrArray(np.zeros((8, 8, 2), np.uint8))
+    with pytest.raises(ValueError, match="single-channel"):
+        get_dataset(path_to_zarr=zp, rgb=True)
+
+
 def test_zarr_dataset_array_mode(fake_zarr):
     mod, tmp_path = fake_zarr
     from yogo_tpu.data.image_source import ZarrDataset

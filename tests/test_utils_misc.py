@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import yaml
 
 from tests.data_fixtures import CLASSES, make_label_file, make_pair_dirs, write_defn
@@ -52,6 +53,21 @@ def test_best_anchor_from_label_dirs(tmp_path):
     make_label_file(d / "b.txt", [[0, 0.7, 0.7, 0.1, 0.2]])
     w, h = best_anchor([d])
     assert abs(w - 0.1) < 0.02 and abs(h - 0.2) < 0.02
+
+
+def test_best_anchor_tolerates_empty_dirs(tmp_path):
+    """A dir with no labels contributes a (0, 4) block (not a shape-(0,)
+    vstack crash); all-empty input raises instead of returning the k-means
+    random init."""
+    full = tmp_path / "labels"
+    full.mkdir()
+    make_label_file(full / "a.txt", [[0, 0.5, 0.5, 0.1, 0.2]])
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    w, h = best_anchor([full, empty])
+    assert abs(w - 0.1) < 0.02 and abs(h - 0.2) < 0.02
+    with pytest.raises(ValueError, match="no bounding boxes"):
+        best_anchor([empty])
 
 
 # ------------------------------------------------------------------ drawing

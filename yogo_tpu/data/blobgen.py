@@ -182,7 +182,9 @@ class BlobDataset:
         return None
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        if idx >= self.length:
+        if idx < 0:  # python sequence semantics; also keeps the negative
+            idx += self.length  # value out of SeedSequence.spawn_key below
+        if not 0 <= idx < self.length:
             raise IndexError(f"index {idx} is out of bounds for length {self.length}")
 
         rng = np.random.default_rng(

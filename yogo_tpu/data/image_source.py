@@ -148,6 +148,14 @@ def get_dataset(
             rgb=rgb,
         )
     if path_to_zarr is not None:
+        if rgb:
+            # zarr stacks are (H, W, N) single-channel; silently feeding
+            # 1-channel batches to a 3-channel model would only fail as an
+            # opaque conv channel mismatch inside the jitted forward.
+            raise ValueError(
+                "zarr sources are single-channel; an RGB checkpoint cannot "
+                "be used with --path-to-zarr"
+            )
         return ZarrDataset(
             path_to_zarr, crop_hw=crop_hw, normalize_images=normalize_images
         )

@@ -245,6 +245,15 @@ def get_datasets(
         )
 
     if dataset_definition.thumbnail_augmentation is not None:
+        if rgb:
+            # BlobDataset emits (1, H, W) images (as does the reference's,
+            # reference: yogo/data/blobgen.py:263); mixing them into an RGB
+            # train split would only surface as a shape mismatch deep in
+            # batch collation mid-epoch - fail fast instead.
+            raise ValueError(
+                "thumbnail_augmentation produces single-channel images and "
+                "cannot be combined with an RGB model"
+            )
         bd = BlobDataset(
             dataset_definition.thumbnail_augmentation,
             Sx=Sx,

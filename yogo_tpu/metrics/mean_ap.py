@@ -129,13 +129,13 @@ class MeanAveragePrecision:
 
         ap = np.full((len(IOU_THRESHOLDS), self.num_classes), -1.0)
         for c in range(self.num_classes):
+            n_gt = int((gt_cls == c).sum() + (missed_cls == c).sum())
+            if n_gt == 0:
+                continue
             m_sel = pred_cls == c
             e_sel = extra_cls == c
             det_scores = np.concatenate([scores[m_sel], extra_scores[e_sel]])
             order = np.argsort(-det_scores, kind="stable")
-            n_gt = int((gt_cls == c).sum() + (missed_cls == c).sum())
-            if n_gt == 0:
-                continue
             correct_gt = (gt_cls[m_sel] == c).astype(np.float64)
             pair_iou = ious[m_sel]
             n_extra = int(e_sel.sum())
@@ -146,15 +146,17 @@ class MeanAveragePrecision:
                 fp_flags = 1.0 - tp_flags
                 ap[ti, c] = self._ap_from_pr(tp_flags, fp_flags, n_gt)
 
-        return self.assemble_result(ap, self._mean_recall())
-
-    def _mean_recall(self) -> float:
-        gt_cls = np.concatenate(self._gt_cls) if self._gt_cls else np.empty(0, np.int64)
-        missed = (
-            np.concatenate(self._missed_cls) if self._missed_cls else np.empty(0, np.int64)
+        return self.assemble_result(
+            ap, self._mean_recall(gt_cls, missed_cls, ious, pred_cls)
         )
-        ious = np.concatenate(self._ious) if self._ious else np.empty(0)
-        pred_cls = np.concatenate(self._pred_cls) if self._pred_cls else np.empty(0, np.int64)
+
+    def _mean_recall(
+        self,
+        gt_cls: np.ndarray,
+        missed: np.ndarray,
+        ious: np.ndarray,
+        pred_cls: np.ndarray,
+    ) -> float:
         recalls = []
         for c in range(self.num_classes):
             n_gt = int((gt_cls == c).sum() + (missed == c).sum())

@@ -544,6 +544,9 @@ def infer_parser(parser=None):
             f"(default: {INFER_COUNT_MAX_DETECTIONS})"
         ),
     )
+    # accepted-but-unused in the reference too: no code outside its parser
+    # ever reads heatmap_mask_path (reference: yogo/utils/argparsers.py:478
+    # is its only occurrence). Kept for CLI-compatibility only.
     parser.add_argument(
         "--heatmap-mask-path", type=Path, default=None,
         help="path to heatmap mask for the run (default: None)",

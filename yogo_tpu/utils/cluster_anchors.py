@@ -79,6 +79,9 @@ def get_bounding_boxes(bb_dir: str, center_box: bool = False) -> np.ndarray:
                 bbs.append(vs if center_box else centers_to_corners(vs))
     if not bbs:
         print(bb_dir, "is empty!")
+        # shape (0, 4), not (0,): np.vstack in get_dataset_bounding_boxes
+        # needs matching trailing dims to combine with non-empty dirs
+        return np.empty((0, 4))
     return np.array(bbs)
 
 
@@ -119,4 +122,7 @@ def best_anchor(label_paths: List[Union[Path, str]]) -> Tuple[float, float]:
     """label dirs -> single best (anchor_w, anchor_h)
     (reference: yogo/utils/cluster_anchors.py:143-146)."""
     bbs = get_dataset_bounding_boxes(label_paths, center_box=True)
+    if len(bbs) == 0:
+        # with zero boxes k-means would silently return its random init
+        raise ValueError(f"no bounding boxes found in any of {label_paths}")
     return _calculate_best_anchor(bbs)

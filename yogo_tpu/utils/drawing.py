@@ -100,9 +100,11 @@ def draw_yogo_prediction(
             f"(1 or 3 channels) but has {img.ndim} dimensions"
         )
     if img.ndim == 3:
-        if img.shape[0] in (1, 3):
-            img = img.transpose(1, 2, 0).squeeze()
-        elif img.shape[2] not in (1, 3):
+        # the squeeze above removed all size-1 dims, so a 3-dim img here
+        # is 3-channel in either CHW or HWC layout
+        if img.shape[0] == 3:
+            img = img.transpose(1, 2, 0)
+        elif img.shape[2] != 3:
             raise ValueError(f"invalid image shape {img.shape}")
     if prediction.ndim != 3:
         raise ValueError(
