@@ -62,6 +62,85 @@ def test_predict_counts_and_npy(ckpt_and_images, tmp_path):
     assert meta["vertical_crop_height_px"] == HW[0]
 
 
+@pytest.mark.parametrize(
+    "obj_thresh",
+    [
+        0.0,  # K-th candidate obj > 0 always: every image full-fetch falls back
+        0.3,  # floor above this net's K-th candidate: pure scatter path
+        0.99,  # scatter path with almost everything filtered
+    ],
+)
+def test_predict_fetch_top_k_exact_equivalence(
+    ckpt_and_images, tmp_path, capsys, obj_thresh
+):
+    """The candidate-fetch artifact path (--fetch-top-k) is bit-identical
+    to full-tensor fetching at any threshold: complete candidate sets are
+    scattered back to an equivalent grid, incomplete ones fall back to a
+    full slice (ops/postprocess.py select_top_candidates)."""
+    from yogo_tpu.infer import predict
+
+    ckpt, img_dir, *_ = ckpt_and_images
+    outs = {}
+    counts = {}
+    for name, k in (("full", 0), ("cand", 8)):  # grid is 6x8 = 48 cells > 8
+        out_dir = tmp_path / name
+        predict(
+            ckpt,
+            path_to_images=img_dir,
+            output_dir=str(out_dir),
+            save_npy=True,
+            save_preds=True,
+            count_predictions=True,
+            batch_size=2,
+            obj_thresh=obj_thresh,
+            use_tqdm=False,
+            fetch_top_k=k,
+        )
+        counts[name] = capsys.readouterr().out
+        txts = {p.name: p.read_text() for p in out_dir.glob("*.txt")}
+        assert len(txts) == 5
+        npy = np.load(next(iter(out_dir.glob("*.npy"))))
+        outs[name] = (txts, npy)
+    assert outs["full"][0] == outs["cand"][0]
+    np.testing.assert_array_equal(outs["full"][1], outs["cand"][1])
+    assert counts["full"] == counts["cand"]
+
+
+@pytest.mark.parametrize("obj_thresh", [0.0, 0.3])  # fallback / scatter
+def test_predict_fetch_top_k_under_data_parallel(
+    ckpt_and_images, tmp_path, obj_thresh
+):
+    """Candidate fetch composes with --data-parallel: the select runs on
+    the batch-sharded output and the per-image fallback slice gathers
+    across the mesh (GSPMD); artifacts match the mesh full fetch. (Both
+    runs shard the forward: an untrained net's decode amplifies benign
+    mesh-vs-single reduction-order noise through exp(tw) into huge w/h
+    diffs, so single-vs-mesh raw outputs are never comparable - the
+    round-5 gotcha.)"""
+    from yogo_tpu.infer import predict
+
+    ckpt, img_dir, *_ = ckpt_and_images
+    txts = {}
+    for name, kwargs in (
+        ("full", dict(fetch_top_k=0, data_parallel=True)),
+        ("cand", dict(fetch_top_k=8, data_parallel=True)),
+    ):
+        out_dir = tmp_path / name
+        predict(
+            ckpt,
+            path_to_images=img_dir,
+            output_dir=str(out_dir),
+            save_preds=True,
+            batch_size=4,
+            obj_thresh=obj_thresh,
+            use_tqdm=False,
+            **kwargs,
+        )
+        txts[name] = {p.name: p.read_text() for p in out_dir.glob("*.txt")}
+        assert len(txts[name]) == 5
+    assert txts["full"] == txts["cand"]
+
+
 def test_predict_full_predictions_shape(ckpt_and_images):
     from yogo_tpu.infer import predict
 

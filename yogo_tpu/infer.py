@@ -108,6 +108,7 @@ def predict(
     max_detections: int = INFER_COUNT_MAX_DETECTIONS,
     data_parallel: bool = False,
     spatial_parallel: int = 1,
+    fetch_top_k: int = 512,
 ) -> Optional[np.ndarray]:
     """See `yogo infer --help`. Mirrors the reference predict() surface
     (reference: yogo/infer.py:140-192). `max_detections` (an extension -
@@ -140,7 +141,17 @@ def predict(
     chip's HBM). Alone it uses EXACTLY N devices with no batch sharding
     or rounding; combined with data_parallel it spans all local devices
     (8 with spatial_parallel=4 serve each batch as 2 data shards x 4 row
-    shards). N must divide the image height (772 allows 2 or 4)."""
+    shards). N must divide the image height (772 allows 2 or 4).
+    `fetch_top_k` (an extension, same knob as `yogo serve --fetch-top-k`):
+    the host-formatting artifact paths (--save-npy/--save-preds/
+    --draw-boxes and the host count that rides with them) fetch only the
+    top-K cells by objectness per image instead of the full
+    (5+C, Sy, Sx) tensor (~25x less D2H at K=512, 772x1032) - results
+    stay EXACT: an image whose K-th candidate objectness exceeds the
+    lowest consumer threshold falls back to fetching its full slice
+    (ops/postprocess.py select_top_candidates). 0 disables (always fetch
+    full tensors); return_full_predictions and multi-host runs always
+    fetch full tensors."""
     if save_preds and draw_boxes:
         raise ValueError(
             "cannot save predictions in YOGO format and draw_boxes at the "
@@ -407,6 +418,50 @@ def predict(
     needs_full = (
         return_full_predictions or save_npy or save_preds or draw_boxes
     )
+
+    # Candidate fetch for the host-formatting paths: every consumer below
+    # filters at an objectness threshold, so per image the top-K candidate
+    # set is provably complete whenever the K-th candidate's objectness is
+    # <= the LOWEST consumer threshold (select_top_candidates docstring);
+    # incomplete images fall back to fetching their full slice. Multi-host
+    # keeps the plain per-process row fetch (its D2H is already split
+    # across hosts, and a cross-process fallback slice would gather).
+    n_cells = int(Sy) * int(Sx)
+    _consumer_threshes = []
+    if draw_boxes or save_preds:
+        _consumer_threshes.append(obj_thresh)
+    if count_predictions:
+        _consumer_threshes.append(obj_thresh)
+    if save_npy:
+        # format_to_numpy filters at format_preds' DEFAULT thresholds
+        # (reference: yogo/utils/prediction_formatting.py:130-134), not
+        # this run's --obj-thresh
+        _consumer_threshes.append(0.5)
+    use_candidates = (
+        needs_full
+        and not return_full_predictions
+        and not mh
+        and 0 < fetch_top_k < n_cells
+    )
+    if use_candidates:
+        from yogo_tpu.ops.postprocess import (
+            scatter_candidates,
+            select_top_candidates,
+        )
+
+        thresh_floor = min(_consumer_threshes)
+        select_fn = jax.jit(
+            lambda out: select_top_candidates(out, fetch_top_k)
+        )
+        # traced slot index: a Python-int slot would compile one
+        # executable per slot value (same trick as serve.py)
+        slice_fn = jax.jit(
+            lambda full, i: jax.lax.dynamic_index_in_dim(
+                full, i, axis=0, keepdims=False
+            )
+        )
+        n_full_fallbacks = 0
+
     results = (
         np.zeros((n_images, pred_dim, Sy, Sx), np.float32)
         if return_full_predictions
@@ -525,9 +580,28 @@ def predict(
                 continue
 
             out = forward(imgs_j)
-            # multi-host: the output stays batch-sharded; fetch only this
-            # process's rows (the images it decoded)
-            res = (fetch_local_rows(out) if mh else np.asarray(out))[:real]
+            if use_candidates:
+                # fetch only the top-K candidate rows + cell indices (the
+                # full tensor stays an unfetched device handle, sliced per
+                # image iff its candidate set can't prove completeness)
+                rows, idx = select_fn(out)
+                rows_np = np.asarray(rows, np.float32)
+                idx_np = np.asarray(idx)
+                res = np.empty((real, pred_dim, Sy, Sx), np.float32)
+                for j in range(real):
+                    if float(rows_np[j, -1, 4]) > thresh_floor:
+                        n_full_fallbacks += 1
+                        res[j] = np.asarray(slice_fn(out, j), np.float32)
+                    else:
+                        res[j] = scatter_candidates(
+                            rows_np[j], idx_np[j], pred_dim, Sy, Sx
+                        )
+            else:
+                # multi-host: the output stays batch-sharded; fetch only
+                # this process's rows (the images it decoded)
+                res = (fetch_local_rows(out) if mh else np.asarray(out))[
+                    :real
+                ]
 
             if draw_boxes:
                 from yogo_tpu.utils.drawing import draw_yogo_prediction
@@ -654,4 +728,5 @@ def do_infer(args) -> None:
         max_detections=args.max_detections,
         data_parallel=args.data_parallel,
         spatial_parallel=args.spatial_parallel,
+        fetch_top_k=args.fetch_top_k,
     )

@@ -243,6 +243,47 @@ def count_class_predictions(
     return jnp.sum(onehot * f["valid"][..., None].astype(jnp.int32), axis=(0, 1))
 
 
+def select_top_candidates(out: Array, k: int):
+    """Device-side candidate selection for host-formatting consumers
+    (serve responses, `yogo infer --save-npy/--save-preds/--draw-boxes`):
+    (B, 5+C, Sy, Sx) decoded predictions -> top-k cells by objectness as
+    (rows (B, K, 5+C) f32, flat cell indices (B, K)).
+
+    Fetching these instead of the full tensor cuts D2H ~25x (~25 KB vs
+    ~600 KB per 772x1032 image at K=512) while staying PROVABLY exact:
+    cells outside the top-K have objectness <= the K-th candidate's value
+    (`rows[:, -1, 4]`), so whenever that value <= the consumer's
+    obj_thresh the candidate set contains every passing cell.
+    approx_max_k(recall_target=1.0) is EXACT (identity partial reduce,
+    true top-k aggregation) and measured 1.9x faster than lax.top_k on
+    v5e (docs/perf-notes.md round 3). Tie ORDER may differ from
+    lax.top_k, but the K-th VALUE (the completeness proof) and the
+    selected SET don't, and scatter_candidates restores original cell
+    order, preserving NMS tie-breaks."""
+    flat = out.reshape(out.shape[0], out.shape[1], -1)  # (B, D, S)
+    _, idx = jax.lax.approx_max_k(
+        flat[:, 4, :].astype(jnp.float32), k, recall_target=1.0
+    )
+    rows = jnp.take_along_axis(flat, idx[:, None, :], axis=2)
+    return rows.transpose(0, 2, 1), idx
+
+
+def scatter_candidates(
+    cand_rows: np.ndarray, cand_idx: np.ndarray, pred_dim: int,
+    sy: int, sx: int,
+) -> np.ndarray:
+    """Top-K candidate rows + flat cell indices -> a (pred_dim, Sy, Sx)
+    grid equivalent to the full tensor for any objectness threshold the
+    candidate set is complete for: non-candidate cells become zero rows
+    (objectness 0), which the host formatter filters exactly like the
+    sub-threshold cells they stand in for, and candidates land at their
+    original flat positions so cell-order-dependent NMS tie-breaks are
+    preserved (exactness fuzz: tests/test_serve.py)."""
+    flat = np.zeros((sy * sx, pred_dim), np.float32)
+    flat[np.asarray(cand_idx)] = cand_rows
+    return flat.T.reshape(pred_dim, sy, sx)
+
+
 def count_cells_for_formatted_preds(
     formatted_class_predictions: np.ndarray,
     min_confidence_threshold: Optional[float] = None,

@@ -64,24 +64,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yogo_tpu.ops.postprocess import _cxcywh_to_xyxy_np, format_preds
+from yogo_tpu.ops.postprocess import (  # noqa: F401  (scatter_candidates
+    _cxcywh_to_xyxy_np,  # re-exported: it grew up here and tests/users
+    format_preds,  # import it from yogo_tpu.serve)
+    scatter_candidates,
+    select_top_candidates,
+)
 from yogo_tpu.utils.checkpoint import load_any
-
-
-def scatter_candidates(
-    cand_rows: np.ndarray, cand_idx: np.ndarray, pred_dim: int,
-    sy: int, sx: int,
-) -> np.ndarray:
-    """Top-K candidate rows + flat cell indices -> a (pred_dim, Sy, Sx)
-    grid equivalent to the full tensor for any objectness threshold the
-    candidate set is complete for: non-candidate cells become zero rows
-    (objectness 0), which the host formatter filters exactly like the
-    sub-threshold cells they stand in for, and candidates land at their
-    original flat positions so cell-order-dependent NMS tie-breaks are
-    preserved (exactness fuzz: tests/test_serve.py)."""
-    flat = np.zeros((sy * sx, pred_dim), np.float32)
-    flat[np.asarray(cand_idx)] = cand_rows
-    return flat.T.reshape(pred_dim, sy, sx)
 
 
 # encoded-image uploads are buffered whole before decode; bound the
@@ -437,20 +426,11 @@ def build_server(
     K = max(1, min(int(fetch_top_k), n_cells))
 
     def _fwd_select(w, imgs):
+        # exactness argument + v5e numbers: ops/postprocess.py
+        # select_top_candidates docstring (shared with `yogo infer`)
         out = _fwd(w, imgs)
-        flat = out.reshape(out.shape[0], out.shape[1], -1)  # (B, D, S)
-        # approx_max_k(recall_target=1.0) is EXACT (identity partial
-        # reduce, true top-k aggregation) and measured 1.9x faster than
-        # lax.top_k on v5e - same selection op as the fused count path
-        # (ops/postprocess.py, docs/perf-notes.md r3). Descending values,
-        # so rows[:, -1, 4] is the K-th highest objectness - tie ORDER may
-        # differ from lax.top_k but the K-th VALUE (the completeness
-        # proof) and the selected SET (scattered by cell index) don't.
-        _, idx = jax.lax.approx_max_k(
-            flat[:, 4, :].astype(jnp.float32), K, recall_target=1.0
-        )
-        rows = jnp.take_along_axis(flat, idx[:, None, :], axis=2)
-        return rows.transpose(0, 2, 1), idx, out  # (B,K,D), (B,K), handle
+        rows, idx = select_top_candidates(out, K)
+        return rows, idx, out  # (B,K,D), (B,K), unfetched handle
 
     if (data_parallel or spatial_parallel > 1) and jax.process_count() > 1:
         raise ValueError(

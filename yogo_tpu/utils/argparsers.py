@@ -544,6 +544,17 @@ def infer_parser(parser=None):
             f"(default: {INFER_COUNT_MAX_DETECTIONS})"
         ),
     )
+    parser.add_argument(
+        "--fetch-top-k", type=uint, default=512,
+        help=(
+            "device->host candidate capacity for the artifact paths "
+            "(--save-npy/--save-preds/--draw-boxes): only the top-K cells "
+            "by objectness are fetched per image (~25x less transfer; "
+            "results stay exact - images the capacity can't prove "
+            "complete fall back to a full-tensor fetch; same knob as "
+            "yogo serve). 0 always fetches full tensors (default: 512)"
+        ),
+    )
     # accepted-but-unused in the reference too: no code outside its parser
     # ever reads heatmap_mask_path (reference: yogo/utils/argparsers.py:478
     # is its only occurrence). Kept for CLI-compatibility only.
