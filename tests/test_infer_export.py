@@ -106,6 +106,41 @@ def test_predict_fetch_top_k_exact_equivalence(
     assert counts["full"] == counts["cand"]
 
 
+@pytest.mark.parametrize(
+    "obj_thresh, expect_warning",
+    [(0.0, True), (0.3, False)],  # forced fallback / pure scatter
+)
+def test_predict_fetch_top_k_fallback_warning(
+    ckpt_and_images, tmp_path, obj_thresh, expect_warning
+):
+    """predict() surfaces a capacity diagnostic when >10% of images fall
+    back to full-tensor fetches (serve's /metrics full_fetch_fallbacks
+    analogue), and stays quiet on the pure scatter path."""
+    import warnings as _warnings
+
+    from yogo_tpu.infer import predict
+
+    ckpt, img_dir, *_ = ckpt_and_images
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        predict(
+            ckpt,
+            path_to_images=img_dir,
+            output_dir=str(tmp_path / "out"),
+            save_preds=True,
+            batch_size=2,
+            obj_thresh=obj_thresh,
+            use_tqdm=False,
+            fetch_top_k=8,
+        )
+    hits = [w for w in caught if "fetch-top-k" in str(w.message)]
+    if expect_warning:
+        (hit,) = hits
+        assert "5/5 images" in str(hit.message)
+    else:
+        assert not hits
+
+
 @pytest.mark.parametrize("obj_thresh", [0.0, 0.3])  # fallback / scatter
 def test_predict_fetch_top_k_under_data_parallel(
     ckpt_and_images, tmp_path, obj_thresh

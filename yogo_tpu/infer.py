@@ -658,6 +658,17 @@ def predict(
         if pbar:
             pbar.close()
 
+    if use_candidates and n_images and n_full_fallbacks > 0.1 * n_images:
+        # serve exposes the same counter as /metrics full_fetch_fallbacks;
+        # results are still exact - fallbacks only cost the full-tensor D2H
+        # the candidate fetch exists to avoid
+        warnings.warn(
+            f"{n_full_fallbacks}/{n_images} images exceeded the "
+            f"--fetch-top-k {fetch_top_k} candidate capacity and fell back "
+            "to full-tensor fetches (exact but slow); raise --fetch-top-k "
+            "to cover your detection density"
+        )
+
     if count_predictions:
         if mh and needs_full:
             # host-path counting accumulated only this process's images;
