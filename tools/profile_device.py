@@ -51,20 +51,30 @@ def _trace(fn) -> str:
     return max(paths, key=os.path.getmtime)
 
 
+def _int_stat(s) -> int:
+    """XStat value is a proto oneof; some producers emit int64, others
+    uint64 (ADVICE r3) - reading the wrong member silently returns 0."""
+    return s.int64_value or s.uint64_value
+
+
 def parse_xplane(path: str):
-    """xplane.pb -> list of per-op-execution dicts from the TPU device
-    plane's "XLA Ops" line."""
+    """xplane.pb -> (list of per-op-execution dicts from the TPU device
+    plane's "XLA Ops" line, total "XLA Modules" span in ps)."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     space = xplane_pb2.XSpace()
     with open(path, "rb") as f:
         space.ParseFromString(f.read())
     rows = []
+    modules_ps = 0
     for plane in space.planes:
         if not plane.name.startswith("/device:TPU"):
             continue
         stat_names = {k: m.name for k, m in plane.stat_metadata.items()}
         for line in plane.lines:
+            if line.name == "XLA Modules":
+                modules_ps += sum(e.duration_ps for e in line.events)
+                continue
             if line.name != "XLA Ops":
                 continue
             for e in line.events:
@@ -81,15 +91,15 @@ def parse_xplane(path: str):
                 }
                 for s in e.stats:
                     if stat_names.get(s.metadata_id) == "device_duration_ps":
-                        row["dur_ps"] = s.uint64_value
+                        row["dur_ps"] = _int_stat(s)
                 for s in m.stats:
                     n = stat_names.get(s.metadata_id)
                     if n == "hlo_category":
                         row["category"] = s.str_value
                     elif n == "flops":
-                        row["flops"] = s.int64_value
+                        row["flops"] = _int_stat(s)
                     elif n == "bytes_accessed":
-                        row["bytes"] = s.int64_value
+                        row["bytes"] = _int_stat(s)
                     elif n == "tf_op":
                         row["tf_op"] = s.str_value
                     elif n == "source":
@@ -101,18 +111,32 @@ def parse_xplane(path: str):
                     # fall back to the event's own duration (ps timebase)
                     row["dur_ps"] = e.duration_ps
                 rows.append(row)
-    return rows
+    return rows, modules_ps
 
 
 _CONTAINERS = ("while", "conditional", "call")  # time covers nested body ops
 
 
-def report(rows, top: int = 25) -> None:
+def report(rows, top: int = 25, modules_ps: int = 0) -> None:
     leaf = [r for r in rows if r["category"] not in _CONTAINERS]
     total_ps = sum(r["dur_ps"] for r in leaf)
     if not total_ps:
         print("no device op events (host-only trace?)", file=sys.stderr)
         return
+    if modules_ps:
+        # Container exclusion relies on hlo_category naming (ADVICE r3); if
+        # a producer labels control-flow wrappers differently, body op time
+        # double-counts. The XLA-Modules span is the ground-truth program
+        # total - warn when the leaf sum diverges from it.
+        ratio = total_ps / modules_ps
+        if not 0.75 <= ratio <= 1.05:
+            print(
+                f"WARNING: leaf-op sum {total_ps / 1e9:.1f} ms vs XLA-Modules "
+                f"span {modules_ps / 1e9:.1f} ms ({ratio:.2f}x) - container "
+                "exclusion may be double-counting (or ops idle-gapped); "
+                "trust the Modules span for program totals",
+                file=sys.stderr,
+            )
     agg = collections.defaultdict(
         lambda: {"dur_ps": 0, "n": 0, "flops": 0, "bytes": 0, "row": None}
     )
@@ -194,8 +218,10 @@ def main() -> None:
         label = f"{target} scan bs={bs} x{bench.NUM_BATCHES} batches"
 
     print(f"=== {label}; xplane: {path}")
-    rows = parse_xplane(path)
-    report(rows, top=int(os.environ.get("PROF_TOP", "25")))
+    rows, modules_ps = parse_xplane(path)
+    if modules_ps:
+        print(f"XLA Modules span (program total): {modules_ps / 1e9:.3f} ms")
+    report(rows, top=int(os.environ.get("PROF_TOP", "25")), modules_ps=modules_ps)
 
 
 if __name__ == "__main__":
