@@ -68,6 +68,68 @@ def write_defn(path: Path, dataset_pairs=None, test_pairs=None, defn_paths=None,
     return path
 
 
+def torch_reference_yogo_loss(
+    pred_batch,
+    label_batch,
+    no_obj_weight=0.5,
+    iou_weight=5.0,
+    classify_weight=1.0,
+    label_smoothing=0.01,
+):
+    """Differentiable torch twin of the reference YOGOLoss.forward control
+    flow (masked gather -> drop degenerate boxes -> clamped CIoU sum;
+    full-grid CE masked by objectness; objectness-weighted MSE; every term
+    / batch_size) - the single shared oracle for tests/test_loss.py and
+    tools/head_to_head.py (reference: yogo/yogo_loss.py:38-129).
+
+    pred_batch: (B, 5+C, Sy, Sx) decoded predictions (class logits);
+    label_batch: (B, 6, Sy, Sx) [mask, x1, y1, x2, y2, class].
+    Returns (total, components) - both still attached to the graph.
+    """
+    import torch
+
+    bs = pred_batch.shape[0]
+    flat_p = pred_batch[:, :4].permute(1, 0, 2, 3).reshape(4, -1)
+    flat_l = label_batch[:, 1:5].permute(1, 0, 2, 3).reshape(4, -1)
+    m = label_batch[:, 0:1].permute(1, 0, 2, 3).reshape(-1).bool()
+    pm = flat_p[:, m].T
+    lm = flat_l[:, m].T
+    pm_xyxy = torch.stack(
+        [
+            pm[:, 0] - pm[:, 2] / 2,
+            pm[:, 1] - pm[:, 3] / 2,
+            pm[:, 0] + pm[:, 2] / 2,
+            pm[:, 1] + pm[:, 3] / 2,
+        ],
+        dim=1,
+    )
+    ok = (pm_xyxy[:, 0] != pm_xyxy[:, 2]) & (pm_xyxy[:, 1] != pm_xyxy[:, 3])
+    iou_loss = (
+        iou_weight
+        * torch_ciou_oracle(pm_xyxy[ok].clamp(0, 1), lm[ok]).sum()
+        / bs
+    )
+    cel = torch.nn.CrossEntropyLoss(
+        reduction="none", label_smoothing=label_smoothing
+    )
+    cls_loss = (
+        classify_weight
+        * (label_batch[:, 0] * cel(pred_batch[:, 5:], label_batch[:, 5].long())).sum()
+        / bs
+    )
+    mse = torch.nn.MSELoss(reduction="none")
+    obj_loss = (
+        mse(pred_batch[:, 4], label_batch[:, 0])
+        * (label_batch[:, 0] * (1 - no_obj_weight) + no_obj_weight)
+    ).sum() / bs
+    total = obj_loss + iou_loss + cls_loss
+    return total, {
+        "iou_loss": iou_loss,
+        "objectness_loss": obj_loss,
+        "classification_loss": cls_loss,
+    }
+
+
 def torch_ciou_oracle(b1, b2, eps=1e-7):
     """Independent torch reimplementation of the published torchvision CIoU
     formula - the single shared oracle for tests/test_boxes.py and

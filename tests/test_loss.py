@@ -83,36 +83,15 @@ def test_loss_matches_reference_algorithm_in_torch():
     rng = np.random.default_rng(3)
     preds, labels = make_batch(rng, b=3, c=5, sy=5, sx=7, n_obj=6)
 
-    from tests.data_fixtures import torch_ciou_oracle as torch_ciou
+    from tests.data_fixtures import torch_reference_yogo_loss
 
-    p = torch.tensor(preds)
-    l = torch.tensor(labels)
-    bs, d, sy, sx = p.shape
-
-    flat_p = p[:, :4].permute(1, 0, 2, 3).reshape(4, -1)
-    flat_l = l[:, 1:5].permute(1, 0, 2, 3).reshape(4, -1)
-    m = l[:, 0:1].permute(1, 0, 2, 3).reshape(-1).bool()
-    pm = flat_p[:, m].T
-    lm = flat_l[:, m].T
-    pm_xyxy = torch.stack(
-        [
-            pm[:, 0] - pm[:, 2] / 2,
-            pm[:, 1] - pm[:, 3] / 2,
-            pm[:, 0] + pm[:, 2] / 2,
-            pm[:, 1] + pm[:, 3] / 2,
-        ],
-        dim=1,
+    want, want_comps = torch_reference_yogo_loss(
+        torch.tensor(preds), torch.tensor(labels)
     )
-    ok = (pm_xyxy[:, 0] != pm_xyxy[:, 2]) & (pm_xyxy[:, 1] != pm_xyxy[:, 3])
-    iou_loss = 5.0 * torch_ciou(pm_xyxy[ok].clamp(0, 1), lm[ok]).sum() / bs
-
-    cel = torch.nn.CrossEntropyLoss(reduction="none", label_smoothing=0.01)
-    cls_loss = (l[:, 0] * cel(p[:, 5:], l[:, 5].long())).sum() / bs
-
-    mse = torch.nn.MSELoss(reduction="none")
-    obj_loss = (mse(p[:, 4], l[:, 0]) * (l[:, 0] * 0.5 + 0.5)).sum() / bs
-
-    want_total = float(iou_loss + cls_loss + obj_loss)
+    iou_loss = want_comps["iou_loss"]
+    cls_loss = want_comps["classification_loss"]
+    obj_loss = want_comps["objectness_loss"]
+    want_total = float(want)
 
     total, comps = yogo_loss(jnp.asarray(preds), jnp.asarray(labels))
     np.testing.assert_allclose(float(comps["iou_loss"]), float(iou_loss), rtol=1e-4)

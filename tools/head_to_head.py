@@ -1,0 +1,374 @@
+"""Head-to-head cross-framework training parity: the torch REFERENCE model
+trained next to yogo_tpu from the SAME init on the SAME data.
+
+This closes the last transitively-argued BASELINE claim ("mAP parity with
+the PyTorch reference"): decode parity, loss value+gradient parity, and
+optimizer-trajectory parity are each oracle-pinned elsewhere
+(tests/test_reference_parity.py, tests/test_loss.py:75,
+tests/test_optimizer_parity.py) - this experiment runs the two FULL
+training loops side by side and compares what actually matters:
+
+  - per-step loss trajectories (identical batches, identical init,
+    dropout zeroed, flips off, f32 both sides, CPU), and
+  - detections of the two trained nets on a held-out set, matched
+    greedily by IoU.
+
+Torch side mirrors the reference's loop exactly (reference:
+yogo/train.py:295-341): forward in train mode -> YOGOLoss -> backward
+(per-parameter +-1 grad clamp hooks registered by the model,
+reference: yogo/model.py:75-77) -> AdamW step -> CosineAnnealingLR step.
+The loss is tests/data_fixtures.torch_reference_yogo_loss - the shared
+differentiable twin of yogo/yogo_loss.py:38-129 (torchvision, which the
+reference imports for complete_box_iou_loss, is absent in this env).
+Our side is the production make_train_step/make_optimizer path, not a
+test double.
+
+Known benign divergence sources (documented, measured by this tool):
+  - f32 conv summation order differs between frameworks; differences are
+    ~1e-6 per step and compound slowly through 2 BN layers + AdamW.
+  - torch BatchNorm stores the UNBIASED batch variance into running_var;
+    flax stores the biased one (factor n/(n-1), n = B*Sy*Sx ~ 1e5 here);
+    train-mode normalization (what the trajectory sees) is identical.
+
+Run (CPU, ~4 min warm):
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/head_to_head.py
+Env knobs: H2H_STEPS (default 150), H2H_BS (16), H2H_JSON (receipt path).
+Prints a JSON receipt; asserts trajectory + detection agreement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+from tests.data_fixtures import torch_reference_yogo_loss
+from tests.reference_helper import import_reference_model, reference_available
+
+from yogo_tpu.models import defns
+from yogo_tpu.models.yogo import YOGO
+from yogo_tpu.ops.grid import encode_label_grid_np
+from yogo_tpu.ops.postprocess import format_preds
+from yogo_tpu.train import TrainState, make_optimizer, make_train_step
+from yogo_tpu.utils.torch_bridge import state_dict_to_variables
+
+H, W = 64, 96
+N_CLASSES = 2
+ANCHOR_W, ANCHOR_H = 0.10, 0.12
+LR, WD, DECAY = 2e-3, 5e-2, 10.0
+STEPS = int(os.environ.get("H2H_STEPS", "150"))
+BS = int(os.environ.get("H2H_BS", "16"))
+N_TRAIN, N_HELD = 128, 24
+
+
+@defns.register_model
+def half_filters_nodrop(num_classes: int, rgb_input: bool = False):
+    """half_filters with every channel-dropout zeroed: the torch side zeroes
+    its Dropout2d p in place, so both forwards are deterministic and
+    identically scaled (train-mode dropout rescales by 1/(1-p))."""
+    d = defns.get_model_defn("half_filters")(num_classes, rgb_input)
+    return dataclasses.replace(
+        d,
+        name="half_filters_nodrop",
+        blocks=tuple(
+            dataclasses.replace(b, dropout=0.0) for b in d.blocks
+        ),
+    )
+
+
+def gen_split(n: int, seed: int, Sx: int, Sy: int):
+    """Synthetic blob images + label grids (same recipe as
+    tools/learning_validation.py, scaled to 64x96)."""
+    r = np.random.default_rng(seed)
+    imgs = np.empty((n, H, W), np.uint8)
+    grids = np.empty((n, 6, Sy, Sx), np.float32)
+    boxes = []  # per-image (k, 5) [cls, x1, y1, x2, y2] for the eval phase
+    for i in range(n):
+        arr = np.full((H, W), 225, np.uint8)
+        rows = []
+        for _ in range(int(r.integers(2, 5))):
+            cls = int(r.integers(0, N_CLASSES))
+            bh, bw = (10, 10) if cls == 0 else (7, 13)
+            y, x = int(r.integers(2, H - 2 - bh)), int(r.integers(2, W - 2 - bw))
+            arr[y : y + bh, x : x + bw] = 60 if cls == 0 else 130
+            rows.append(
+                [cls, x / W, y / H, (x + bw) / W, (y + bh) / H]
+            )
+        arr += r.integers(0, 12, arr.shape).astype(np.uint8)
+        imgs[i] = arr
+        rows_np = np.asarray(rows, np.float32)
+        grids[i] = encode_label_grid_np(rows_np, Sx, Sy)
+        boxes.append(rows_np)
+    return imgs, grids, boxes
+
+
+def match_detections(a: np.ndarray, b: np.ndarray, iou_thresh: float = 0.5):
+    """Greedy IoU matching of two (N, 5+C) cxcywh detection lists.
+    Returns (n_matched, mean_iou_of_matches, n_class_agree)."""
+
+    def xyxy(d):
+        out = d[:, :4].copy()
+        out[:, 0] = d[:, 0] - d[:, 2] / 2
+        out[:, 1] = d[:, 1] - d[:, 3] / 2
+        out[:, 2] = d[:, 0] + d[:, 2] / 2
+        out[:, 3] = d[:, 1] + d[:, 3] / 2
+        return out
+
+    if len(a) == 0 or len(b) == 0:
+        return 0, 0.0, 0
+    A, B = xyxy(a), xyxy(b)
+    lt = np.maximum(A[:, None, :2], B[None, :, :2])
+    rb = np.minimum(A[:, None, 2:], B[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (A[:, 2] - A[:, 0]) * (A[:, 3] - A[:, 1])
+    area_b = (B[:, 2] - B[:, 0]) * (B[:, 3] - B[:, 1])
+    iou = inter / (area_a[:, None] + area_b[None, :] - inter + 1e-9)
+    used_b = set()
+    matched, ious, cls_agree = 0, [], 0
+    for i in np.argsort(-iou.max(axis=1)):
+        j = int(np.argmax(np.where(
+            [jj not in used_b for jj in range(len(b))], iou[i], -1.0
+        )))
+        if iou[i, j] >= iou_thresh and j not in used_b:
+            used_b.add(j)
+            matched += 1
+            ious.append(float(iou[i, j]))
+            if np.argmax(a[i, 5:]) == np.argmax(b[j, 5:]):
+                cls_agree += 1
+    return matched, float(np.mean(ious)) if ious else 0.0, cls_agree
+
+
+def batch_indices(seed: int, steps: int) -> list:
+    """Shuffled epoch-concatenated batch index arrays (shared by every run
+    with the same seed)."""
+    order_rng = np.random.default_rng(seed)
+    out, idx_epoch = [], []
+    for _ in range(steps):
+        if not idx_epoch:
+            idx_epoch = list(
+                order_rng.permutation(N_TRAIN)[: (N_TRAIN // BS) * BS]
+            )
+        out.append(np.asarray(idx_epoch[:BS]))
+        idx_epoch = idx_epoch[BS:]
+    return out
+
+
+def run_ours(model, variables, imgs, grids, batches, loss_kwargs):
+    """Train our production step over the given batch sequence; returns
+    (per-step losses, final TrainState)."""
+    tx, _ = make_optimizer(LR, WD, DECAY, total_steps=len(batches))
+    step_fn = jax.jit(make_train_step(model, tx, loss_kwargs, augment=False))
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    img_mask = jnp.ones((BS,), jnp.float32)
+    rng = jax.random.key(0)  # flips off + dropout 0: consumed but inert
+    losses = []
+    for bi in batches:
+        x_np = imgs[bi].astype(np.float32)[:, None]
+        state, loss, _ = step_fn(
+            state, jnp.asarray(x_np), jnp.asarray(grids[bi]), img_mask, rng
+        )
+        losses.append(float(loss))
+    return losses, state
+
+
+def detections_of(preds: np.ndarray):
+    return [format_preds(p) for p in preds]
+
+
+def agreement(dets_a, dets_b):
+    """Jaccard of IoU-matched detections + class agreement across a
+    held-out set."""
+    n_a = n_b = n_match = n_cls = 0
+    iou_sum = 0.0
+    for da, db in zip(dets_a, dets_b):
+        m, miou, ca = match_detections(da, db)
+        n_a += len(da)
+        n_b += len(db)
+        n_match += m
+        n_cls += ca
+        iou_sum += miou * m
+    return {
+        "n_a": n_a,
+        "n_b": n_b,
+        "n_matched@0.5": n_match,
+        "match_jaccard": n_match / max(n_a + n_b - n_match, 1),
+        "mean_match_iou": iou_sum / max(n_match, 1),
+        "class_agreement": n_cls / max(n_match, 1),
+    }
+
+
+def main() -> None:
+    assert reference_available(), "torch reference not importable"
+    import torch
+
+    torch.manual_seed(0)
+
+    # ---- torch reference net + recipe (reference: yogo/train.py:127-223)
+    mod, mdefns = import_reference_model()
+    tnet = mod.YOGO(
+        img_size=(H, W),
+        anchor_w=ANCHOR_W,
+        anchor_h=ANCHOR_H,
+        num_classes=N_CLASSES,
+        model_func=mdefns.get_model_func("half_filters"),
+    )
+    for m in tnet.modules():
+        if isinstance(m, torch.nn.Dropout2d):
+            m.p = 0.0
+    topt = torch.optim.AdamW(tnet.parameters(), lr=LR, weight_decay=WD)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        topt, T_max=STEPS, eta_min=LR / DECAY
+    )
+
+    # ---- our net, initialized FROM the torch init via the bridge
+    model = YOGO.create(
+        (H, W),
+        ANCHOR_W,
+        ANCHOR_H,
+        N_CLASSES,
+        model_version="half_filters_nodrop",
+        compute_dtype=jnp.float32,
+    )
+    Sx, Sy = model.grid
+    variables = state_dict_to_variables(tnet.state_dict(), model.defn)
+    loss_kwargs = dict(
+        no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+        label_smoothing=0.01,
+    )
+
+    # ---- identical data + batch order
+    imgs, grids, _ = gen_split(N_TRAIN, seed=1, Sx=Sx, Sy=Sy)
+    held_imgs, _, held_boxes = gen_split(N_HELD, seed=2, Sx=Sx, Sy=Sy)
+    batches = batch_indices(7, STEPS)
+
+    # ---- torch training (reference loop: yogo/train.py:310-326)
+    torch_losses = []
+    tnet.train()
+    for bi in batches:
+        x_np = imgs[bi].astype(np.float32)[:, None]  # (B, 1, H, W)
+        topt.zero_grad(set_to_none=True)
+        t_out = tnet(torch.from_numpy(x_np))
+        t_loss, _ = torch_reference_yogo_loss(
+            t_out, torch.from_numpy(grids[bi]), **loss_kwargs
+        )
+        t_loss.backward()
+        topt.step()
+        tsched.step()
+        torch_losses.append(float(t_loss.detach()))
+
+    # ---- our training, same init/order, plus a CONTROL run from the same
+    # init with a different batch order: cross-framework agreement is judged
+    # against the within-framework agreement under an equally-sized
+    # perturbation (data order), not against an arbitrary absolute bar.
+    ours_losses, state = run_ours(
+        model, variables, imgs, grids, batches, loss_kwargs
+    )
+    _, state_ctrl = run_ours(
+        model, variables, imgs, grids, batch_indices(8, STEPS), loss_kwargs
+    )
+
+    ours = np.asarray(ours_losses)
+    theirs = np.asarray(torch_losses)
+    rel = np.abs(ours - theirs) / (np.abs(theirs) + 1e-9)
+
+    # ---- held-out detections from the three TRAINED nets
+    tnet.eval()
+    tnet.inference = True  # reference eval path softmaxes classes
+    with torch.no_grad():
+        t_preds = tnet(
+            torch.from_numpy(held_imgs.astype(np.float32)[:, None])
+        ).numpy()
+
+    def our_preds(st):
+        return np.asarray(
+            model.apply(
+                {"params": st.params, "batch_stats": st.batch_stats},
+                jnp.asarray(held_imgs.astype(np.float32)[:, None]),
+                train=False,
+                inference=True,
+            )
+        )
+
+    dets_torch = detections_of(t_preds)
+    dets_ours = detections_of(our_preds(state))
+    dets_ctrl = detections_of(our_preds(state_ctrl))
+    cross = agreement(dets_torch, dets_ours)
+    control = agreement(dets_ours, dets_ctrl)
+
+    receipt = {
+        "steps": STEPS,
+        "bs": BS,
+        "loss_first_ours": ours[0],
+        "loss_first_torch": theirs[0],
+        "loss_final_ours": float(ours[-5:].mean()),
+        "loss_final_torch": float(theirs[-5:].mean()),
+        "rel_gap_first10_max": float(rel[:10].max()),
+        "rel_gap_median": float(np.median(rel)),
+        "rel_gap_p95": float(np.quantile(rel, 0.95)),
+        "held_out_gt_boxes": int(sum(len(b) for b in held_boxes)),
+        "cross_framework": cross,
+        "self_parity_control": control,
+        "trajectory_ours": [round(v, 5) for v in ours_losses],
+        "trajectory_torch": [round(v, 5) for v in torch_losses],
+    }
+    out_path = os.environ.get("H2H_JSON")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(receipt, f, indent=1)
+    compact = {k: v for k, v in receipt.items() if not k.startswith("trajectory")}
+    print(json.dumps(compact, indent=1))
+
+    # step 0 is pure forward+loss parity (no update yet): tight. Later
+    # steps compound framework f32 summation-order noise through the CIoU
+    # exp(tw) amplifier (docs/perf-notes.md), so the trajectory gates are
+    # statistical, not per-step.
+    assert rel[0] < 1e-4, f"step-0 loss gap {rel[0]:.2e} - init/forward/loss mismatch"
+    assert rel[:10].max() < 5e-2, (
+        f"early trajectories diverge: {rel[:10].max():.2%} in first 10 steps"
+    )
+    # the gap grows smoothly with steps (chaotic compounding, measured
+    # medians: 0.1% @10, 2.2% @50, 8.4% @300) - gate the coupled phase
+    # and leave the full-trajectory stats to the receipt; the end state is
+    # gated behaviorally below
+    n_gate = min(50, STEPS)
+    assert np.median(rel[:n_gate]) < 0.05, (
+        f"median loss gap over first {n_gate} steps "
+        f"{np.median(rel[:n_gate]):.2%}"
+    )
+    assert ours[-5:].mean() < 0.5 * ours[:3].mean(), "our loss did not descend"
+    assert theirs[-5:].mean() < 0.5 * theirs[:3].mean(), "torch loss did not descend"
+    # parity bar: the torch-trained and jax-trained nets must agree at least
+    # as well as two jax-trained nets whose only difference is data order
+    # (minus a small margin for the residual per-step numeric gap)
+    assert cross["match_jaccard"] >= 0.9 * control["match_jaccard"], (
+        f"cross-framework detection agreement {cross['match_jaccard']:.2f} "
+        f"below self-parity control {control['match_jaccard']:.2f}"
+    )
+    assert cross["match_jaccard"] > 0.6, (
+        f"absolute agreement floor: {cross['match_jaccard']:.2f}"
+    )
+    assert cross["class_agreement"] > 0.95, (
+        f"matched detections disagree on class: {cross['class_agreement']:.2f}"
+    )
+    print("HEAD-TO-HEAD PARITY PASSED")
+
+
+if __name__ == "__main__":
+    main()

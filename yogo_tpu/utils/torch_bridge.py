@@ -176,7 +176,13 @@ def state_dict_to_variables(
     batch_stats: Dict[str, Any] = {}
 
     def np_of(t):
-        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+        # copy=True: torch's .numpy() returns a VIEW of the live parameter
+        # buffer - without the copy, optimizer steps on a still-training
+        # torch net would silently mutate the converted variables
+        # (caught by tools/head_to_head.py's side-by-side training)
+        return np.array(
+            t.detach().cpu().numpy() if hasattr(t, "detach") else t, copy=True
+        )
 
     if defn.family == "convnext":
         return {"params": _convnext_state_dict_to_params(state_dict, np_of)}
