@@ -76,34 +76,42 @@ def measure(
 ) -> float:
     from yogo_tpu.ops.postprocess import (
         INFER_COUNT_MAX_DETECTIONS,
-        count_class_predictions,
+        count_class_predictions_raw,
     )
 
     if quant_params is not None:
         from yogo_tpu.ops.quant import quantized_forward
 
-        def fwd(imgs):
-            return quantized_forward(model, quant_params, imgs)
+        def fwd(imgs, decode=True):
+            return quantized_forward(
+                model, quant_params, imgs, decode=decode
+            )
 
     else:
 
-        def fwd(imgs):
-            return model.apply(variables, imgs, inference=True)
+        def fwd(imgs, decode=True):
+            return model.apply(
+                variables, imgs, inference=True, decode=decode
+            )
 
     @jax.jit
     def run_all(stack):
         def body(carry, batch):
-            out = fwd(batch)
             if with_count:
-                # the full product inference path: filter -> top-K -> NMS
-                # -> per-class count, fused on device (yogo infer --count)
-                counts = count_class_predictions(
-                    out,
+                # the full product inference path as `yogo infer --count`
+                # runs it (round 4): undecoded forward -> filter -> top-K
+                # -> survivor decode -> NMS -> per-class count, fused on
+                # device
+                counts = count_class_predictions_raw(
+                    fwd(batch, decode=False),
+                    model.anchor_w,
+                    model.anchor_h,
                     obj_thresh=0.5,
                     iou_thresh=0.5,
                     max_detections=INFER_COUNT_MAX_DETECTIONS,
                 )
                 return carry + counts.sum().astype(jnp.float32), None
+            out = fwd(batch)
             return carry + out[:, 4].sum(), None
 
         total, _ = jax.lax.scan(body, jnp.float32(0), stack)

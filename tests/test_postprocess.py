@@ -458,3 +458,99 @@ def test_format_preds_and_labels_deprecated():
 
     with pytest.raises(ValueError, match="objectness_thresh"):
         format_preds_and_labels(pred, label, objectness_thresh=1.5)
+
+
+# ------------------------------------------- selection-first raw-head path
+# (format_preds_batched_raw / count_class_predictions_raw must be
+# indistinguishable from decode-everything + format_preds_batched)
+
+
+def _small_model_and_raw(compute_dtype, hw=(64, 96), b=4, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from yogo_tpu.models.yogo import YOGO
+
+    model = YOGO.create(
+        hw, 0.1, 0.12, 3,
+        model_version="quarter_filters", compute_dtype=compute_dtype,
+    )
+    variables = model.init(jax.random.key(seed))
+    # bias objectness up so a healthy fraction of cells pass 0.5
+    bias = np.asarray(variables["params"]["conv7"]["bias"]).copy()
+    bias[4] = 0.5
+    variables["params"]["conv7"]["bias"] = jnp.asarray(bias)
+    x = np.random.default_rng(seed).integers(
+        0, 256, (b, 1, *hw), np.uint8
+    )
+    raw = model.apply(variables, jnp.asarray(x), decode=False)
+    decoded = model.apply(variables, jnp.asarray(x), inference=True)
+    return model, np.asarray(raw), np.asarray(decoded)
+
+
+@pytest.mark.parametrize("dtype_name", ["float32", "bfloat16"])
+def test_raw_formatter_equals_decoded_formatter(dtype_name):
+    import jax.numpy as jnp
+
+    from yogo_tpu.ops.postprocess import format_preds_batched_raw
+
+    model, raw, decoded = _small_model_and_raw(getattr(jnp, dtype_name))
+    a = format_preds_batched(jnp.asarray(decoded), max_detections=64)
+    b = format_preds_batched_raw(
+        jnp.asarray(raw), model.anchor_w, model.anchor_h,
+        max_detections=64,
+    )
+    np.testing.assert_array_equal(np.asarray(a["valid"]), np.asarray(b["valid"]))
+    v = np.asarray(a["valid"])
+    for key in ("boxes_cxcywh", "boxes_xyxy", "objectness", "class_probs"):
+        np.testing.assert_allclose(
+            np.asarray(a[key])[v], np.asarray(b[key])[v], rtol=2e-6, atol=2e-7,
+            err_msg=key,
+        )
+
+
+def test_raw_count_equals_decoded_count_with_mask_and_resize():
+    import jax
+    import jax.numpy as jnp
+
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.ops.postprocess import count_class_predictions_raw
+
+    base = YOGO.create(
+        (64, 96), 0.1, 0.12, 3,
+        model_version="quarter_filters", compute_dtype=jnp.bfloat16,
+    )
+    model = base.resize(32, 64)  # non-unit width/height multipliers
+    variables = model.init(jax.random.key(1))
+    bias = np.asarray(variables["params"]["conv7"]["bias"]).copy()
+    bias[4] = 0.5
+    variables["params"]["conv7"]["bias"] = jnp.asarray(bias)
+    x = jnp.asarray(
+        np.random.default_rng(1).integers(0, 256, (4, 1, 32, 64), np.uint8)
+    )
+    mask = jnp.asarray([1.0, 1.0, 0.0, 1.0])
+    decoded = model.apply(variables, x, inference=True)
+    raw = model.apply(variables, x, decode=False)
+    want = count_class_predictions(
+        decoded, max_detections=32, image_mask=mask
+    )
+    got = count_class_predictions_raw(
+        raw, model.anchor_w, model.anchor_h,
+        width_multiplier=model.width_multiplier,
+        height_multiplier=model.height_multiplier,
+        max_detections=32, image_mask=mask,
+    )
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_cell_offsets_bitmatch_arithmetic_form():
+    """The raw path computes cell offsets as i/Sx; pin bit-equality with
+    cell_offsets' linspace for every grid size the models can produce."""
+    from yogo_tpu.ops.grid import cell_offsets
+
+    for s in (1, 2, 3, 8, 12, 97, 129, 516, 1032, 4096):
+        cxs, _ = cell_offsets(s, 1)
+        arith = (np.arange(s, dtype=np.float32) / np.float32(s)).astype(
+            np.float32
+        )
+        np.testing.assert_array_equal(cxs[0], arith)

@@ -34,6 +34,7 @@ from yogo_tpu.data.loader import choose_dataloader_num_workers
 from yogo_tpu.ops.postprocess import (
     INFER_COUNT_MAX_DETECTIONS,
     count_class_predictions,
+    count_class_predictions_raw,
     format_preds,
     format_to_numpy,
 )
@@ -419,6 +420,33 @@ def predict(
         return_full_predictions or save_npy or save_preds or draw_boxes
     )
 
+    # Count-only runs skip the full-grid decode entirely: the forward
+    # returns undecoded NHWC head logits and count_class_predictions_raw
+    # decodes only the top-K surviving cells (identical counts, pinned in
+    # tests/test_postprocess.py; ~6 ms/batch-512 of decode+gather saved at
+    # 772x1032, per-op device profile in docs/perf-notes.md round 4). The
+    # experimental Pallas-stem path keeps the decoded route.
+    forward_raw = None
+    if count_predictions and not needs_full and stem_mode is None:
+        if quantize:
+
+            def _fwd_raw(imgs):
+                return fwd_quant(model, qp, imgs, decode=False)
+
+        else:
+
+            def _fwd_raw(imgs):
+                return model.apply(variables, imgs, decode=False)
+
+        if mesh is not None:
+            forward_raw = jax.jit(
+                _fwd_raw,
+                in_shardings=space_sharded(mesh, 4),
+                out_shardings=data_sharded(mesh, 4),
+            )
+        else:
+            forward_raw = jax.jit(_fwd_raw)
+
     # Candidate fetch for the host-formatting paths: every consumer below
     # filters at an objectness threshold, so per image the top-K candidate
     # set is provably complete whenever the K-th candidate's objectness is
@@ -562,18 +590,33 @@ def predict(
                 # Multi-host the mask must be a GLOBAL array like the batch
                 # (each process masks its own padding rows), and the counts
                 # that come back are already the GLOBAL per-round totals.
-                counts = count_class_predictions(
-                    forward(imgs_j),
-                    obj_thresh=obj_thresh,
-                    iou_thresh=iou_thresh,
-                    min_class_confidence_threshold=min_class_confidence_threshold,
-                    max_detections=max_detections,
-                    image_mask=(
-                        shard_batch(mesh, np.arange(batch_size) < real)[0]
-                        if mh
-                        else jnp.arange(batch_size) < real
-                    ),
+                count_mask = (
+                    shard_batch(mesh, np.arange(batch_size) < real)[0]
+                    if mh
+                    else jnp.arange(batch_size) < real
                 )
+                if forward_raw is not None:
+                    counts = count_class_predictions_raw(
+                        forward_raw(imgs_j),
+                        model.anchor_w,
+                        model.anchor_h,
+                        width_multiplier=model.width_multiplier,
+                        height_multiplier=model.height_multiplier,
+                        obj_thresh=obj_thresh,
+                        iou_thresh=iou_thresh,
+                        min_class_confidence_threshold=min_class_confidence_threshold,
+                        max_detections=max_detections,
+                        image_mask=count_mask,
+                    )
+                else:
+                    counts = count_class_predictions(
+                        forward(imgs_j),
+                        obj_thresh=obj_thresh,
+                        iou_thresh=iou_thresh,
+                        min_class_confidence_threshold=min_class_confidence_threshold,
+                        max_detections=max_detections,
+                        image_mask=count_mask,
+                    )
                 tot_counts += np.asarray(counts, np.int64)
                 if pbar:
                     pbar.update(real)

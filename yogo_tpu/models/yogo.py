@@ -27,11 +27,11 @@ from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
 from yogo_tpu.models.defns import ConvSpec, ModelDefn, get_model_defn
-from yogo_tpu.ops.grid import cell_offsets, grid_size
+from yogo_tpu.ops.grid import WH_CLAMP, cell_offsets, grid_size  # noqa: F401
+# WH_CLAMP re-exported for backward compatibility (utils.export_model)
 
 Array = jax.Array
 
-WH_CLAMP = 80.0  # exp overflow guard (reference: yogo/model.py:284-287)
 
 
 def kaiming_normal_fan_out(a: float = 0.01):
@@ -465,6 +465,7 @@ class YOGO:
         mutable: bool = False,
         channels_last: bool = False,
         tuning: bool = False,
+        decode: bool = True,
     ):
         """Forward pass: raw input -> decoded (B, 5+C, Sy, Sx) predictions.
 
@@ -472,6 +473,13 @@ class YOGO:
         tuning=True freezes BatchNorm for fine-tuning: running stats are used
         for normalization and never updated (reference: yogo/model.py:67-70,
         loaded checkpoints are constructed with tuning=True at model.py:134).
+
+        decode=False returns the UNDECODED NHWC head output
+        (B, Sy, Sx, 5+C) in compute dtype - the input contract of
+        ops.postprocess.format_preds_batched_raw, which decodes only the
+        top-K surviving cells instead of the whole grid (the decoded path
+        materializes sigmoid/exp/concat over every cell; `inference` is
+        ignored since class softmax also moves after selection).
         """
         if not channels_last:
             x = self._to_nhwc(x)
@@ -516,7 +524,7 @@ class YOGO:
                     variables, x, train=train, bn_frozen=tuning, rngs=rngs
                 )
 
-        out = self._decode_raw(raw, inference)
+        out = raw if not decode else self._decode_raw(raw, inference)
         if mutable:
             return out, new_state
         return out

@@ -13,6 +13,11 @@ from typing import Iterable, Tuple
 
 import numpy as np
 
+# exp overflow guard in the w/h decode (reference: yogo/model.py:284-287);
+# lives here (not models.yogo) so ops.postprocess's survivor-decode can
+# share it without an ops -> models import cycle
+WH_CLAMP = 80.0
+
 
 def conv_out_size(
     size: int, kernel: int, stride: int, padding: int, dilation: int = 1

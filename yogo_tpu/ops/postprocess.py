@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from yogo_tpu.ops.grid import WH_CLAMP
 from yogo_tpu.ops.nms import batched_nms, nms_numpy
 
 Array = jax.Array
@@ -200,6 +201,155 @@ def format_preds_batched(
         "class_probs": class_probs,
         "valid": valid,
     }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "anchor_w",
+        "anchor_h",
+        "width_multiplier",
+        "height_multiplier",
+        "obj_thresh",
+        "iou_thresh",
+        "min_class_confidence_threshold",
+        "max_detections",
+    ),
+)
+def format_preds_batched_raw(
+    raw: Array,
+    anchor_w: float,
+    anchor_h: float,
+    width_multiplier: float = 1.0,
+    height_multiplier: float = 1.0,
+    obj_thresh: float = 0.5,
+    iou_thresh: float = 0.5,
+    min_class_confidence_threshold: float = 0.0,
+    max_detections: int = DEFAULT_MAX_DETECTIONS,
+    image_mask: Optional[Array] = None,
+) -> Dict[str, Array]:
+    """Selection-first batched formatter over the UNDECODED head output:
+    (B, Sy, Sx, 5+C) NHWC raw (model.apply(..., decode=False)) -> the same
+    padded-detections dict as `format_preds_batched`.
+
+    Identical results, restructured for TPU: the decoded path materializes
+    sigmoid/exp/concat over every grid cell and then gathers f32 payload
+    rows (per-op device profile: 2.7 ms concat + 2.3 ms decode divs +
+    2.7 ms f32 gather per 512-image batch at 772x1032); here selection
+    runs directly on the objectness plane, the gather moves half the
+    bytes (compute-dtype raw rows), and the YOLO9000 decode
+    (reference: yogo/model.py:277-313) runs on K survivors only.
+
+    Exactness vs the decoded path: decode_predictions upcasts the same
+    compute-dtype raw values to f32 before sigmoid/exp, so survivor-decode
+    here is the same f32 math on the same inputs; selection keys
+    (sigmoid of the f32-upcast objectness) are identical too. Cell
+    offsets use i/Sx, bit-equal to cell_offsets' linspace for every
+    grid size to 4096 (tests/test_postprocess.py pins full-pipeline
+    equality).
+    """
+    b, sy, sx, pred_dim = raw.shape
+    cells = sy * sx
+    k = max(1, min(max_detections, cells))
+    flat = raw.reshape(b, cells, pred_dim)
+
+    obj = jax.nn.sigmoid(flat[..., 4].astype(jnp.float32))
+    passing = obj > obj_thresh
+    if image_mask is not None:
+        passing = passing & image_mask.astype(bool)[:, None]
+    sort_key = jnp.where(passing, obj, -1.0)
+    # approx_max_k(recall_target=1.0) is EXACT here (see
+    # format_preds_batched's note); ties are re-ordered but re-broken by
+    # original cell index in the NMS below
+    top_val, top_idx = jax.lax.approx_max_k(sort_key, k, recall_target=1.0)
+    valid = (top_val > 0) & (top_val > obj_thresh)
+    if max_detections == 0:
+        valid = jnp.zeros_like(valid)
+
+    sel = jnp.take_along_axis(flat, top_idx[..., None], axis=1)
+    sel = sel.astype(jnp.float32)  # (B, K, D) - decode math is f32
+
+    # YOLO9000 survivor decode; i/Sx == cell_offsets' linspace bit-for-bit
+    cxs = (top_idx % sx).astype(jnp.float32) / sx
+    cys = (top_idx // sx).astype(jnp.float32) / sy
+    cx = jax.nn.sigmoid(sel[..., 0]) * (1.0 / sx) + cxs
+    cy = jax.nn.sigmoid(sel[..., 1]) * (1.0 / sy) + cys
+    w = anchor_w * jnp.exp(jnp.minimum(sel[..., 2], WH_CLAMP)) * width_multiplier
+    h = anchor_h * jnp.exp(jnp.minimum(sel[..., 3], WH_CLAMP)) * height_multiplier
+    objectness = jax.nn.sigmoid(sel[..., 4])
+    class_probs = jax.nn.softmax(sel[..., 5:], axis=-1)
+
+    boxes_cxcywh = jnp.stack([cx, cy, w, h], axis=-1)
+    boxes_xyxy = jnp.stack(
+        [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1
+    )
+
+    if iou_thresh > 0:
+        scores = class_probs.max(axis=-1) * objectness
+        keep = batched_nms(
+            boxes_xyxy, scores, valid, iou_thresh, tiebreak=top_idx
+        )
+        valid = valid & keep
+
+    if min_class_confidence_threshold > 0:
+        valid = valid & (
+            class_probs.max(axis=-1) > min_class_confidence_threshold
+        )
+
+    return {
+        "boxes_cxcywh": boxes_cxcywh,
+        "boxes_xyxy": boxes_xyxy,
+        "objectness": objectness,
+        "class_probs": class_probs,
+        "valid": valid,
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "anchor_w",
+        "anchor_h",
+        "width_multiplier",
+        "height_multiplier",
+        "obj_thresh",
+        "iou_thresh",
+        "min_class_confidence_threshold",
+        "max_detections",
+    ),
+)
+def count_class_predictions_raw(
+    raw: Array,
+    anchor_w: float,
+    anchor_h: float,
+    width_multiplier: float = 1.0,
+    height_multiplier: float = 1.0,
+    obj_thresh: float = 0.5,
+    iou_thresh: float = 0.5,
+    min_class_confidence_threshold: float = 0.0,
+    max_detections: int = DEFAULT_MAX_DETECTIONS,
+    image_mask: Optional[Array] = None,
+) -> Array:
+    """`count_class_predictions` over the undecoded NHWC head output -
+    the `yogo infer --count` hot path (selection-first; see
+    format_preds_batched_raw). (B, Sy, Sx, 5+C) -> (C,) int32 counts,
+    identical to the decoded path's counts."""
+    f = format_preds_batched_raw(
+        raw,
+        anchor_w,
+        anchor_h,
+        width_multiplier=width_multiplier,
+        height_multiplier=height_multiplier,
+        obj_thresh=obj_thresh,
+        iou_thresh=iou_thresh,
+        min_class_confidence_threshold=min_class_confidence_threshold,
+        max_detections=max_detections,
+        image_mask=image_mask,
+    )
+    num_classes = f["class_probs"].shape[-1]
+    cls = jnp.argmax(f["class_probs"], axis=-1)  # (B, K)
+    onehot = jax.nn.one_hot(cls, num_classes, dtype=jnp.int32)
+    return jnp.sum(onehot * f["valid"][..., None].astype(jnp.int32), axis=(0, 1))
 
 
 @partial(

@@ -376,6 +376,7 @@ def quantized_forward(
     *,
     inference: bool = True,
     intermediate_dtype: Any = jnp.float32,
+    decode: bool = True,
 ):
     """Int8 inference forward: raw input -> decoded (B, 5+C, Sy, Sx).
 
@@ -384,6 +385,8 @@ def quantized_forward(
     block specs are static. intermediate_dtype is the dequantized
     activation dtype between blocks (bf16 halves the HBM traffic of the
     requant chain; the int8 rounding noise dominates either way).
+    decode=False returns the undecoded NHWC head logits (f32), the
+    format_preds_batched_raw input contract (same as YOGO.apply).
     """
     specs = model.defn.blocks
     x = model._to_nhwc(x)
@@ -419,4 +422,6 @@ def quantized_forward(
         h = acc.astype(jnp.float32) * blk["deq"] + blk["b"]
         h = _act_fn(spec.act)(h).astype(out_dtype)
 
+    if not decode:
+        return h
     return model._decode_raw(h, inference)

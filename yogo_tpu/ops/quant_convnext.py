@@ -388,6 +388,7 @@ def quantized_convnext_forward(
     *,
     inference: bool = True,
     intermediate_dtype: Any = jnp.float32,
+    decode: bool = True,
 ):
     """Int8 inference forward: raw input -> decoded (B, 5+C, Sy, Sx).
 
@@ -395,7 +396,8 @@ def quantized_convnext_forward(
     models, with the wide pointwise/downsample matmuls in s8 x s8 -> s32.
     Jittable; `model` and the site set are static. intermediate_dtype is
     the residual-stream dtype between blocks (bf16 halves its HBM
-    traffic)."""
+    traffic). decode=False returns the undecoded NHWC head logits (f32),
+    the format_preds_batched_raw input contract."""
     int8 = qp["int8"]
     # forward-order index of each quantized site into qp["scales"]: the
     # full site enumeration is static, membership says which were kept
@@ -459,7 +461,10 @@ def quantized_convnext_forward(
         compute_dtype=jnp.bfloat16,
         res_dtype=intermediate_dtype,
     )
-    return model._decode_raw(raw.astype(jnp.float32), inference)
+    raw = raw.astype(jnp.float32)
+    if not decode:
+        return raw
+    return model._decode_raw(raw, inference)
 
 
 # placeholder leaf for int8-site kernels/biases removed from the float
