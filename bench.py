@@ -248,11 +248,11 @@ def main() -> None:
         print(f"int8 measurement failed at bs={bs}: {e!r}", file=sys.stderr)
 
     # the FULL inference pipeline: forward + fused on-device
-    # filter/top-K/NMS/count, i.e. what `yogo infer --count` actually
-    # executes per batch, at the production detection density. 0.95x the 5k
-    # target: the residual gap is XLA postprocess primitives (exact selection
-    # >=2.5 ms even at k=32 vs the 2.0 ms budget) - floor analysis in
-    # docs/perf-notes.md "Round 3: end-to-end inference".
+    # filter/top-K/survivor-decode/NMS/count, i.e. what `yogo infer
+    # --count` actually executes per batch, at the production detection
+    # density. Cleared 1.0x in round 4 via the selection-first restructure
+    # (decode only the K survivors; per-op device profile receipts in
+    # docs/perf-notes.md "Round 4").
     if e2e > 0.0:
         print(
             json.dumps(

@@ -834,7 +834,7 @@ class Trainer:
                     "params": self.state.params,
                     "batch_stats": self.state.batch_stats,
                 }),
-                fast_eval=self.config.get("fast_eval", False),
+                fast_eval=self.config.get("fast_eval", True),
                 fast_eval_max_detections=self.config.get(
                     "fast_eval_max_detections", 256
                 ),
@@ -970,6 +970,18 @@ class Trainer:
 
         mesh = get_mesh()
         if fast_eval:
+            # the engines agree except in constructed cases; say so once
+            # per eval so a user comparing against reference numbers knows
+            # which knob to turn (divergence constructions:
+            # tests/test_device_metrics.py)
+            print(
+                "fast-eval: device metrics engine (greedy max-IoU "
+                "matching, mAP scores binned to 1/4096; integer counters "
+                "exact). Engines can differ only when detections compete "
+                "for overlapping ground truths - --no-fast-eval restores "
+                "the host-exact Hungarian engine.",
+                file=sys.stderr,
+            )
             # SPMD metrics: predictions stay batch-sharded on the mesh (no
             # all-gather of the prediction tensor) and every device
             # scatter-adds its shard into the replicated accumulators

@@ -332,10 +332,12 @@ def train_parser(parser=None):
         ),
     )
     parser.add_argument(
-        "--fast-eval", action=boolean_action, default=False,
+        "--fast-eval", action=boolean_action, default=True,
         help=(
             "accumulate the post-training test metrics on device "
-            "(extension; see `yogo test --fast-eval`)"
+            "(extension; default since round 4 - see `yogo test "
+            "--fast-eval`). --no-fast-eval restores the host-exact "
+            "Hungarian engine"
         ),
     )
     _add_fast_eval_capacity_args(parser)
@@ -394,12 +396,17 @@ def test_parser(parser=None):
         ),
     )
     parser.add_argument(
-        "--fast-eval", action=boolean_action, default=False,
+        "--fast-eval", action=boolean_action, default=True,
         help=(
-            "accumulate metrics on device (extension): greedy-matched, "
-            "fixed-capacity jitted accumulation instead of per-image host "
-            "Hungarian matching - eval tracks the forward pass; exact for "
-            "the integer counters, mAP scores are binned to 1/4096"
+            "accumulate metrics on device (extension; DEFAULT since round "
+            "4): greedy-matched, fixed-capacity jitted accumulation "
+            "instead of per-image host Hungarian matching - eval tracks "
+            "the forward pass (6-14x faster). Integer counters "
+            "(precision/recall/confusion) are exact; mAP scores are "
+            "binned to 1/4096 and matching is greedy max-IoU, which can "
+            "differ from Hungarian only when detections COMPETE for "
+            "overlapping ground truths. --no-fast-eval restores the "
+            "host-exact Hungarian engine"
         ),
     )
     _add_fast_eval_capacity_args(parser)
