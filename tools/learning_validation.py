@@ -23,19 +23,33 @@ root.mkdir(parents=True, exist_ok=True)
 classes = ["cell", "parasite"]
 rng = np.random.default_rng(0)
 
+# LV_HW="H,W" trains at another resolution. At the canonical 772,1032
+# (the full-resolution golden, tests/test_golden_fullres.py) the scene
+# switches to PRODUCTION-like statistics: ~36px objects (matching the
+# default anchors 0.0425x0.0555 of the real instrument) at 20-60 per
+# image, instead of the 2-4 proportionally-huge blobs of the 96x128
+# smoke recipe. Default (LV_HW unset) is bit-identical to the original
+# recipe - the committed 96x128 receipts and goldens are unaffected.
+HW = tuple(int(v) for v in os.environ.get("LV_HW", "96,128").split(","))
+H, W = HW
+FULLRES = H >= 400
+BLOBS = {0: (36, 36), 1: (24, 48)} if FULLRES else {0: (12, 12), 1: (8, 16)}
+COUNT_RANGE = (20, 61) if FULLRES else (2, 5)
+
 def gen(name, n, seed):
     imgd, lbld = root / f"img_{name}", root / f"lbl_{name}"
     imgd.mkdir(exist_ok=True), lbld.mkdir(exist_ok=True)
     r = np.random.default_rng(seed)
     for i in range(n):
-        arr = np.full((96, 128), 225, np.uint8)
+        arr = np.full((H, W), 225, np.uint8)
         rows = []
-        for _ in range(int(r.integers(2, 5))):
+        for _ in range(int(r.integers(*COUNT_RANGE))):
             cls = int(r.integers(0, 2))
-            h, w = (12, 12) if cls == 0 else (8, 16)
-            y, x = int(r.integers(2, 94 - h)), int(r.integers(2, 126 - w))
+            h, w = BLOBS[cls]
+            y = int(r.integers(2, H - 2 - h))
+            x = int(r.integers(2, W - 2 - w))
             arr[y:y+h, x:x+w] = 60 if cls == 0 else 130
-            rows.append(f"{cls} {(x+w/2)/128:.5f} {(y+h/2)/96:.5f} {w/128:.5f} {h/96:.5f}")
+            rows.append(f"{cls} {(x+w/2)/W:.5f} {(y+h/2)/H:.5f} {w/W:.5f} {h/H:.5f}")
         arr += r.integers(0, 12, arr.shape).astype(np.uint8)
         Image.fromarray(arr).save(imgd / f"i{i:03d}.png")
         (lbld / f"i{i:03d}.txt").write_text("\n".join(rows))
@@ -55,10 +69,13 @@ config = {
     "label_smoothing": 0.01, "iou_weight": 5.0, "no_obj_weight": 0.5,
     "classify_weight": 1.0, "epochs": int(os.environ.get("LV_EPOCHS", "150")),
     "batch_size": 32,
-    "anchor_w": 0.1, "anchor_h": 0.12,
+    # full-res scenes use the production anchors (36px objects); the
+    # 96x128 smoke recipe keeps its original proportionally-large ones
+    "anchor_w": 0.0425010 if FULLRES else 0.1,
+    "anchor_h": 0.0555177 if FULLRES else 0.12,
     "model": os.environ.get("LV_MODEL", "half_filters"),
     "half": os.environ.get("LV_HALF", "0") not in ("", "0"),
-    "rgb": False, "image_hw": (96, 128),
+    "rgb": False, "image_hw": HW,
     "pretrained_path": None, "normalize_images": False,
     "dataset_split_override": None, "dataset_descriptor_file": str(root/"d.yml"),
     "use_wandb": False, "name": "learn", "model_save_dir": str(root/"run"),
