@@ -27,6 +27,17 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _unregister_nodrop_variant():
+    """Importing tools.head_to_head registers its zero-dropout model
+    variant; pop it afterwards so the product registry-count test
+    (tests/test_model.py) sees exactly the reference's 12 models."""
+    yield
+    from yogo_tpu.models import defns
+
+    defns.MODELS.pop("half_filters_nodrop", None)
+
+
 def test_training_trajectories_track():
     import tools.head_to_head as h2h
 
