@@ -179,3 +179,30 @@ def test_from_pth_classmethod(tmp_path):
     save_checkpoint(p, m, v, classes=["a", "b", "c", "d"])
     m2, v2, meta = type(m).from_pth(p)
     assert m2.grid == m.grid and meta["classes"] == ["a", "b", "c", "d"]
+
+
+def test_space_to_depth_conv_equivalent():
+    """SpaceToDepthConv (research artifact, default OFF - measured
+    negative result on v5e, see its docstring) must stay mathematically
+    equivalent to the strided conv and param-tree-identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from yogo_tpu.models.defns import get_model_defn
+    from yogo_tpu.models.yogo import ConvStack
+
+    blocks = get_model_defn("base_model")(3, False).blocks
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 48, 64, 1)).astype(np.float32)
+    )
+    native = ConvStack(blocks=blocks, compute_dtype=jnp.float32, s2d=False)
+    s2d = ConvStack(blocks=blocks, compute_dtype=jnp.float32, s2d=True)
+    v = native.init({"params": jax.random.key(0)}, x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        s2d.init({"params": jax.random.key(0)}, x, train=False)
+    )
+    a = native.apply(v, x, train=False)
+    b = s2d.apply(v, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+    )

@@ -64,11 +64,77 @@ def _activation(name: Optional[str]):
     raise ValueError(f"unknown activation {name}")
 
 
+class SpaceToDepthConv(nn.Module):
+    """conv(k=3, s=2, pad=1) computed as conv(k=2, s=1, VALID) over the
+    space-to-depth input (H/2, W/2, 4C) - mathematically identical (each
+    2x2 output-window's 4x4 input region covers the 3x3 taps; the 7
+    uncovered positions are zero).
+
+    MEASURED NEGATIVE RESULT on v5e (round 4, docs/perf-notes.md): keep
+    OFF. Standalone the rewrite looked 3.5-8.4x faster
+    (tools/perf_s2d_conv.py), but that baseline was an argument-layout
+    artifact - the IN-MODEL strided convs already run as fast as the
+    rewrite's best case, and the pad+transpose relayout adds activation-
+    sized HBM copies: whole-model forward 2,270 img/s vs 5,096 native at
+    772x1032 (and OOMs at bs=512). Kept as a tested research artifact;
+    YOGO_S2D=1 re-enables for future backends.
+
+    Param-compatible with nn.Conv: declares the SAME "kernel" (3,3,C,K)
+    [+ "bias" (K,)] and derives the (2,2,4C,K) compute kernel inside the
+    forward, so checkpoints and bridges are untouched. Results differ
+    from the strided conv only in f32-accumulation order.
+    """
+
+    features: int
+    use_bias: bool
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        kern = self.param(
+            "kernel", kaiming_normal_fan_out(), (3, 3, c, self.features)
+        )
+        kpad = jnp.pad(kern, ((0, 1), (0, 1), (0, 0), (0, 0)))  # (4,4,C,K)
+        # (di=2bi+pi, dj=2bj+pj) -> [bi, bj, (pi*2+pj)*C + c, K]
+        k2 = (
+            kpad.reshape(2, 2, 2, 2, c, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(2, 2, 4 * c, self.features)
+        )
+        pad_h = 1 + (h % 2)  # top/left pad 1 (the conv's pad), then
+        pad_w = 1 + (w % 2)  # zero-fill bottom/right to even dims
+        xp = jnp.pad(x, ((0, 0), (1, pad_h), (1, pad_w), (0, 0)))
+        hb, wb = xp.shape[1] // 2, xp.shape[2] // 2
+        xb = (
+            xp.reshape(b, hb, 2, wb, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, hb, wb, 4 * c)
+        )
+        y = jax.lax.conv_general_dilated(
+            xb.astype(self.compute_dtype),
+            k2.astype(self.compute_dtype),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, hb-1, wb-1, K) == the strided conv's output shape
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ConvStack(nn.Module):
-    """Spec-driven conv backbone (covers 11 of the 12 reference architectures)."""
+    """Spec-driven conv backbone (covers 11 of the 12 reference architectures).
+
+    s2d=True computes interior stride-2 3x3 convs via SpaceToDepthConv
+    (identical math, TPU-friendly shapes; see its docstring)."""
 
     blocks: Tuple[ConvSpec, ...]
     compute_dtype: Any = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(
@@ -85,19 +151,35 @@ class ConvStack(nn.Module):
         for i, s in enumerate(self.blocks):
             if i < start_block:
                 continue
-            conv_cls = nn.ConvTranspose if s.transpose else nn.Conv
-            x = conv_cls(
-                features=s.out,
-                kernel_size=(s.kernel, s.kernel),
-                strides=(s.stride, s.stride),
-                padding=[(s.padding, s.padding), (s.padding, s.padding)],
-                use_bias=s.bias,
-                kernel_init=kaiming_normal_fan_out(),
-                bias_init=nn.initializers.zeros,
-                dtype=self.compute_dtype,
-                param_dtype=jnp.float32,
-                name=f"conv{i}",
-            )(x)
+            use_s2d = (
+                self.s2d
+                and not s.transpose
+                and s.kernel == 3
+                and s.stride == 2
+                and s.padding == 1
+                and x.shape[-1] >= 16  # stem stays native (C=1: no win)
+            )
+            if use_s2d:
+                x = SpaceToDepthConv(
+                    features=s.out,
+                    use_bias=s.bias,
+                    compute_dtype=self.compute_dtype,
+                    name=f"conv{i}",
+                )(x)
+            else:
+                conv_cls = nn.ConvTranspose if s.transpose else nn.Conv
+                x = conv_cls(
+                    features=s.out,
+                    kernel_size=(s.kernel, s.kernel),
+                    strides=(s.stride, s.stride),
+                    padding=[(s.padding, s.padding), (s.padding, s.padding)],
+                    use_bias=s.bias,
+                    kernel_init=kaiming_normal_fan_out(),
+                    bias_init=nn.initializers.zeros,
+                    dtype=self.compute_dtype,
+                    param_dtype=jnp.float32,
+                    name=f"conv{i}",
+                )(x)
             if s.bn:
                 # bn_frozen: fine-tune BN-freeze - normalize with running
                 # stats and never update them, even in training
@@ -297,12 +379,23 @@ class YOGO:
         return self.grid[1]
 
     def module(self) -> nn.Module:
+        import os
+
         defn = self.defn
         if defn.family == "convnext":
             return ConvNeXtSmall(
                 num_outputs=5 + self.num_classes, compute_dtype=self.compute_dtype
             )
-        return ConvStack(blocks=defn.blocks, compute_dtype=self.compute_dtype)
+        # YOGO_S2D=1 opts into the space-to-depth stride-2 conv
+        # formulation - identical math but measured 2.2x SLOWER
+        # whole-model on v5e (see SpaceToDepthConv: negative result,
+        # default off). Read at TRACE time: flipping it after a function
+        # was jitted does not retrace that function.
+        return ConvStack(
+            blocks=defn.blocks,
+            compute_dtype=self.compute_dtype,
+            s2d=os.environ.get("YOGO_S2D", "0") not in ("", "0"),
+        )
 
     # ------------------------------------------------------------- param init
     def init(self, rng: jax.Array) -> Dict[str, Any]:
