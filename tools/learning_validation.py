@@ -65,7 +65,10 @@ yaml.safe_dump({
 
 from yogo_tpu.train import Trainer
 config = {
-    "learning_rate": 2e-3, "decay_factor": 10.0, "weight_decay": 5e-2,
+    # LV_LR: the 2e-3 default suits the BN conv stacks; the from-scratch
+    # convnext receipt uses 4e-4 (LayerNorm nets diverge at 2e-3 here)
+    "learning_rate": float(os.environ.get("LV_LR", "2e-3")),
+    "decay_factor": 10.0, "weight_decay": 5e-2,
     "label_smoothing": 0.01, "iou_weight": 5.0, "no_obj_weight": 0.5,
     "classify_weight": 1.0, "epochs": int(os.environ.get("LV_EPOCHS", "150")),
     "batch_size": 32,
