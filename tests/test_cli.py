@@ -135,3 +135,21 @@ def test_device_flag_actually_switches_backend():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "BACKEND=cpu" in r.stdout
+
+
+def test_fast_eval_is_default_and_opt_out_works():
+    """Round 4: the device metrics engine is the default on both train's
+    post-test pass and `yogo test`; --no-fast-eval restores the
+    host-exact Hungarian engine."""
+    from yogo_tpu.utils.argparsers import test_parser, train_parser
+
+    t = test_parser().parse_args(["m.ckpt", "d.yml"])
+    assert t.fast_eval is True
+    assert test_parser().parse_args(
+        ["m.ckpt", "d.yml", "--no-fast-eval"]
+    ).fast_eval is False
+    tr = train_parser().parse_args(["d.yml"])
+    assert tr.fast_eval is True
+    assert train_parser().parse_args(
+        ["d.yml", "--no-fast-eval"]
+    ).fast_eval is False
