@@ -554,3 +554,40 @@ def test_cell_offsets_bitmatch_arithmetic_form():
             np.float32
         )
         np.testing.assert_array_equal(cxs[0], arith)
+
+
+@pytest.mark.parametrize("dtype_name", ["float32", "bfloat16"])
+def test_select_top_candidates_raw_equals_decoded(dtype_name):
+    import jax.numpy as jnp
+
+    from yogo_tpu.ops.postprocess import (
+        decode_raw_slice,
+        select_top_candidates,
+        select_top_candidates_raw,
+    )
+
+    model, raw, decoded = _small_model_and_raw(getattr(jnp, dtype_name))
+    k = 16
+    rows_a, idx_a = select_top_candidates(jnp.asarray(decoded), k)
+    rows_b, idx_b = select_top_candidates_raw(
+        jnp.asarray(raw), k, model.anchor_w, model.anchor_h,
+        width_multiplier=model.width_multiplier,
+        height_multiplier=model.height_multiplier,
+    )
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+    np.testing.assert_allclose(
+        np.asarray(rows_a), np.asarray(rows_b), rtol=2e-6, atol=2e-7
+    )
+    # the fallback slice+decode reproduces the decoded full grid
+    for i in (0, raw.shape[0] - 1):
+        got = np.asarray(
+            decode_raw_slice(
+                jnp.asarray(raw), jnp.int32(i), model.anchor_w,
+                model.anchor_h,
+                width_multiplier=model.width_multiplier,
+                height_multiplier=model.height_multiplier,
+            )
+        )
+        np.testing.assert_allclose(
+            got, decoded[i], rtol=2e-6, atol=2e-7
+        )

@@ -420,32 +420,6 @@ def predict(
         return_full_predictions or save_npy or save_preds or draw_boxes
     )
 
-    # Count-only runs skip the full-grid decode entirely: the forward
-    # returns undecoded NHWC head logits and count_class_predictions_raw
-    # decodes only the top-K surviving cells (identical counts, pinned in
-    # tests/test_postprocess.py; ~6 ms/batch-512 of decode+gather saved at
-    # 772x1032, per-op device profile in docs/perf-notes.md round 4). The
-    # experimental Pallas-stem path keeps the decoded route.
-    forward_raw = None
-    if count_predictions and not needs_full and stem_mode is None:
-        if quantize:
-
-            def _fwd_raw(imgs):
-                return fwd_quant(model, qp, imgs, decode=False)
-
-        else:
-
-            def _fwd_raw(imgs):
-                return model.apply(variables, imgs, decode=False)
-
-        if mesh is not None:
-            forward_raw = jax.jit(
-                _fwd_raw,
-                in_shardings=space_sharded(mesh, 4),
-                out_shardings=data_sharded(mesh, 4),
-            )
-        else:
-            forward_raw = jax.jit(_fwd_raw)
 
     # Candidate fetch for the host-formatting paths: every consumer below
     # filters at an objectness threshold, so per image the top-K candidate
@@ -471,23 +445,76 @@ def predict(
         and not mh
         and 0 < fetch_top_k < n_cells
     )
+    # The selection-first raw-head programs (round 4): count-only runs
+    # and the candidate-fetch artifact paths run the forward WITHOUT the
+    # full-grid decode - selection happens on the objectness plane of the
+    # NHWC head output and only the K survivors (or, for counts, the NMS
+    # winners) are decoded. Identical results (pinned in
+    # tests/test_postprocess.py; ~6 ms/batch-512 saved at 772x1032, per-op
+    # device profile in docs/perf-notes.md round 4). The experimental
+    # Pallas-stem path keeps the decoded route.
+    use_raw_candidates = use_candidates and stem_mode is None
+    forward_raw = None
+    if stem_mode is None and (
+        (count_predictions and not needs_full) or use_raw_candidates
+    ):
+        if quantize:
+
+            def _fwd_raw(imgs):
+                return fwd_quant(model, qp, imgs, decode=False)
+
+        else:
+
+            def _fwd_raw(imgs):
+                return model.apply(variables, imgs, decode=False)
+
+        if mesh is not None:
+            forward_raw = jax.jit(
+                _fwd_raw,
+                in_shardings=space_sharded(mesh, 4),
+                out_shardings=data_sharded(mesh, 4),
+            )
+        else:
+            forward_raw = jax.jit(_fwd_raw)
+
     if use_candidates:
         from yogo_tpu.ops.postprocess import (
+            decode_raw_slice,
             scatter_candidates,
             select_top_candidates,
+            select_top_candidates_raw,
         )
 
         thresh_floor = min(_consumer_threshes)
-        select_fn = jax.jit(
-            lambda out: select_top_candidates(out, fetch_top_k)
-        )
-        # traced slot index: a Python-int slot would compile one
-        # executable per slot value (same trick as serve.py)
-        slice_fn = jax.jit(
-            lambda full, i: jax.lax.dynamic_index_in_dim(
-                full, i, axis=0, keepdims=False
+        if use_raw_candidates:
+            select_fn = jax.jit(
+                lambda raw: select_top_candidates_raw(
+                    raw, fetch_top_k, model.anchor_w, model.anchor_h,
+                    width_multiplier=model.width_multiplier,
+                    height_multiplier=model.height_multiplier,
+                )
             )
-        )
+
+            # fallback: slice + decode the one image on device (the full
+            # handle is raw); slot is traced - a Python-int slot would
+            # compile one executable per slot value (same trick as serve)
+            def slice_fn(full, i):
+                return decode_raw_slice(
+                    full, jnp.asarray(i, jnp.int32), model.anchor_w,
+                    model.anchor_h,
+                    width_multiplier=model.width_multiplier,
+                    height_multiplier=model.height_multiplier,
+                )
+
+        else:
+            select_fn = jax.jit(
+                lambda out: select_top_candidates(out, fetch_top_k)
+            )
+            slice_fn = jax.jit(
+                lambda full, i: jax.lax.dynamic_index_in_dim(
+                    full, i, axis=0, keepdims=False
+                )
+            )
         n_full_fallbacks = 0
 
     results = (
@@ -622,11 +649,16 @@ def predict(
                     pbar.update(real)
                 continue
 
-            out = forward(imgs_j)
+            out = (
+                forward_raw(imgs_j)
+                if use_raw_candidates
+                else forward(imgs_j)
+            )
             if use_candidates:
                 # fetch only the top-K candidate rows + cell indices (the
-                # full tensor stays an unfetched device handle, sliced per
-                # image iff its candidate set can't prove completeness)
+                # full tensor stays an unfetched device handle - raw on
+                # the selection-first path - sliced [+ decoded] per image
+                # iff its candidate set can't prove completeness)
                 rows, idx = select_fn(out)
                 rows_np = np.asarray(rows, np.float32)
                 idx_np = np.asarray(idx)

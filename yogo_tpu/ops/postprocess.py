@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yogo_tpu.ops.grid import WH_CLAMP
+from yogo_tpu.ops.grid import WH_CLAMP, cell_offsets
 from yogo_tpu.ops.nms import batched_nms, nms_numpy
 
 Array = jax.Array
@@ -244,9 +244,11 @@ def format_preds_batched_raw(
     compute-dtype raw values to f32 before sigmoid/exp, so survivor-decode
     here is the same f32 math on the same inputs; selection keys
     (sigmoid of the f32-upcast objectness) are identical too. Cell
-    offsets use i/Sx, bit-equal to cell_offsets' linspace for every
-    grid size to 4096 (tests/test_postprocess.py pins full-pipeline
-    equality).
+    offsets are GATHERED from the same cell_offsets constant tables the
+    decoded path adds (a (B, K) gather from a cells-sized constant -
+    computing i/Sx on device instead is 1 ulp off: XLA rewrites the
+    division as reciprocal-multiply under --xla_allow_excess_precision).
+    tests/test_postprocess.py pins full-pipeline equality.
     """
     b, sy, sx, pred_dim = raw.shape
     cells = sy * sx
@@ -269,9 +271,10 @@ def format_preds_batched_raw(
     sel = jnp.take_along_axis(flat, top_idx[..., None], axis=1)
     sel = sel.astype(jnp.float32)  # (B, K, D) - decode math is f32
 
-    # YOLO9000 survivor decode; i/Sx == cell_offsets' linspace bit-for-bit
-    cxs = (top_idx % sx).astype(jnp.float32) / sx
-    cys = (top_idx // sx).astype(jnp.float32) / sy
+    # YOLO9000 survivor decode; offsets gathered from the shared tables
+    cxs_t, cys_t = cell_offsets(sx, sy)
+    cxs = jnp.asarray(cxs_t.reshape(-1))[top_idx]
+    cys = jnp.asarray(cys_t.reshape(-1))[top_idx]
     cx = jax.nn.sigmoid(sel[..., 0]) * (1.0 / sx) + cxs
     cy = jax.nn.sigmoid(sel[..., 1]) * (1.0 / sy) + cys
     w = anchor_w * jnp.exp(jnp.minimum(sel[..., 2], WH_CLAMP)) * width_multiplier
@@ -416,6 +419,95 @@ def select_top_candidates(out: Array, k: int):
     )
     rows = jnp.take_along_axis(flat, idx[:, None, :], axis=2)
     return rows.transpose(0, 2, 1), idx
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "anchor_w",
+        "anchor_h",
+        "width_multiplier",
+        "height_multiplier",
+    ),
+)
+def select_top_candidates_raw(
+    raw: Array,
+    k: int,
+    anchor_w: float,
+    anchor_h: float,
+    width_multiplier: float = 1.0,
+    height_multiplier: float = 1.0,
+):
+    """`select_top_candidates` over the UNDECODED NHWC head output
+    (model.apply(..., decode=False)): selection on the objectness plane,
+    gather of compute-dtype raw rows (half the D2H-prep bytes of the f32
+    decoded gather), then the YOLO9000 inference decode (sigmoid/exp +
+    class softmax) on the K survivors only - the full-grid decode
+    disappears from the serving program, and the retained full-tensor
+    handle (serve's fallback source) is the bf16 raw, half the HBM of
+    the decoded f32 (see format_preds_batched_raw for the exactness
+    argument; same (rows, idx) contract and completeness proof via
+    rows[:, -1, 4])."""
+    b, sy, sx, pred_dim = raw.shape
+    flat = raw.reshape(b, sy * sx, pred_dim)
+    obj = jax.nn.sigmoid(flat[..., 4].astype(jnp.float32))
+    _, idx = jax.lax.approx_max_k(obj, k, recall_target=1.0)
+    sel = jnp.take_along_axis(flat, idx[..., None], axis=1).astype(jnp.float32)
+    # offsets gathered from the shared constant tables (NOT i/Sx on
+    # device - 1 ulp off, see format_preds_batched_raw)
+    cxs_t, cys_t = cell_offsets(sx, sy)
+    cxs = jnp.asarray(cxs_t.reshape(-1))[idx]
+    cys = jnp.asarray(cys_t.reshape(-1))[idx]
+    cx = jax.nn.sigmoid(sel[..., 0]) * (1.0 / sx) + cxs
+    cy = jax.nn.sigmoid(sel[..., 1]) * (1.0 / sy) + cys
+    w = anchor_w * jnp.exp(jnp.minimum(sel[..., 2], WH_CLAMP)) * width_multiplier
+    h = anchor_h * jnp.exp(jnp.minimum(sel[..., 3], WH_CLAMP)) * height_multiplier
+    o = jax.nn.sigmoid(sel[..., 4])
+    probs = jax.nn.softmax(sel[..., 5:], axis=-1)
+    rows = jnp.concatenate(
+        [jnp.stack([cx, cy, w, h, o], axis=-1), probs], axis=-1
+    )
+    return rows, idx
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "anchor_w",
+        "anchor_h",
+        "width_multiplier",
+        "height_multiplier",
+    ),
+)
+def decode_raw_slice(
+    raw: Array,
+    slot: Array,
+    anchor_w: float,
+    anchor_h: float,
+    width_multiplier: float = 1.0,
+    height_multiplier: float = 1.0,
+) -> Array:
+    """One image's decoded (5+C, Sy, Sx) inference grid from the batched
+    NHWC raw handle - the candidate paths' full-fetch FALLBACK (rare:
+    only when a request's threshold undercuts the K-th candidate).
+    `slot` is traced so one executable serves every batch index."""
+    one = jax.lax.dynamic_index_in_dim(raw, slot, axis=0, keepdims=False)
+    one = one.astype(jnp.float32)
+    sy, sx, _ = one.shape
+    cxs_t, cys_t = cell_offsets(sx, sy)
+    cxs = jnp.asarray(cxs_t)
+    cys = jnp.asarray(cys_t)
+    cx = jax.nn.sigmoid(one[..., 0]) * (1.0 / sx) + cxs
+    cy = jax.nn.sigmoid(one[..., 1]) * (1.0 / sy) + cys
+    w = anchor_w * jnp.exp(jnp.minimum(one[..., 2], WH_CLAMP)) * width_multiplier
+    h = anchor_h * jnp.exp(jnp.minimum(one[..., 3], WH_CLAMP)) * height_multiplier
+    o = jax.nn.sigmoid(one[..., 4])
+    probs = jax.nn.softmax(one[..., 5:], axis=-1)
+    out = jnp.concatenate(
+        [jnp.stack([cx, cy, w, h, o], axis=-1), probs], axis=-1
+    )
+    return jnp.transpose(out, (2, 0, 1))
 
 
 def scatter_candidates(

@@ -66,9 +66,11 @@ import numpy as np
 
 from yogo_tpu.ops.postprocess import (  # noqa: F401  (scatter_candidates
     _cxcywh_to_xyxy_np,  # re-exported: it grew up here and tests/users
-    format_preds,  # import it from yogo_tpu.serve)
+    decode_raw_slice,  # import it from yogo_tpu.serve)
+    format_preds,
     scatter_candidates,
-    select_top_candidates,
+    select_top_candidates,  # kept importable (tests/users)
+    select_top_candidates_raw,
 )
 from yogo_tpu.utils.checkpoint import load_any
 
@@ -396,15 +398,15 @@ def build_server(
         qp = build_qp(calib)
         weights = qp
 
-        def _fwd(w, imgs):
-            return _q_forward(model, w, _scale(imgs))
+        def _fwd_raw(w, imgs):
+            return _q_forward(model, w, _scale(imgs), decode=False)
 
     else:
         calib = None
         weights = variables
 
-        def _fwd(w, imgs):
-            return model.apply(w, _scale(imgs), inference=True)
+        def _fwd_raw(w, imgs):
+            return model.apply(w, _scale(imgs), decode=False)
 
     # Device-side candidate selection: fetching the full (B, 5+C, Sy, Sx)
     # prediction tensor is the server's D2H bandwidth hog (~600 KB/image
@@ -427,10 +429,17 @@ def build_server(
 
     def _fwd_select(w, imgs):
         # exactness argument + v5e numbers: ops/postprocess.py
-        # select_top_candidates docstring (shared with `yogo infer`)
-        out = _fwd(w, imgs)
-        rows, idx = select_top_candidates(out, K)
-        return rows, idx, out  # (B,K,D), (B,K), unfetched handle
+        # select_top_candidates_raw docstring (shared with `yogo infer`).
+        # Round 4: selection-first over the UNDECODED head - no full-grid
+        # decode in the program, and the retained fallback handle is the
+        # compute-dtype raw (half the HBM of the decoded f32)
+        raw = _fwd_raw(w, imgs)
+        rows, idx = select_top_candidates_raw(
+            raw, K, model.anchor_w, model.anchor_h,
+            width_multiplier=model.width_multiplier,
+            height_multiplier=model.height_multiplier,
+        )
+        return rows, idx, raw  # (B,K,D), (B,K), unfetched raw handle
 
     if (data_parallel or spatial_parallel > 1) and jax.process_count() > 1:
         raise ValueError(
@@ -504,15 +513,18 @@ def build_server(
         rows, idx, full = handles
         return np.asarray(rows, np.float32), np.asarray(idx), full
 
-    # the fallback's per-image slice as ONE jitted program with a traced
-    # slot index: `full[slot]` with a Python-int slot would compile a
-    # distinct executable per slot value (up to batch_size uncached remote
-    # compiles hiding in first low-threshold requests)
-    _slice_full = jax.jit(
-        lambda full, i: jax.lax.dynamic_index_in_dim(
-            full, i, axis=0, keepdims=False
+    # the fallback's per-image slice+decode as ONE jitted program with a
+    # traced slot index: a Python-int slot would compile a distinct
+    # executable per slot value (up to batch_size uncached remote
+    # compiles hiding in first low-threshold requests). The full handle
+    # is RAW, so the fallback decodes the one sliced image on device
+    def _slice_full(full, i):
+        return decode_raw_slice(
+            full, jnp.asarray(i, jnp.int32), model.anchor_w,
+            model.anchor_h,
+            width_multiplier=model.width_multiplier,
+            height_multiplier=model.height_multiplier,
         )
-    )
 
     # compile + warm NOW (the selection program AND the fallback slice):
     # the first request must not pay tracing/compile. FETCH results rather
