@@ -244,11 +244,16 @@ def format_preds_batched_raw(
     compute-dtype raw values to f32 before sigmoid/exp, so survivor-decode
     here is the same f32 math on the same inputs; selection keys
     (sigmoid of the f32-upcast objectness) are identical too. Cell
-    offsets are GATHERED from the same cell_offsets constant tables the
-    decoded path adds (a (B, K) gather from a cells-sized constant -
-    computing i/Sx on device instead is 1 ulp off: XLA rewrites the
-    division as reciprocal-multiply under --xla_allow_excess_precision).
-    tests/test_postprocess.py pins full-pipeline equality.
+    offsets are computed as i/Sx on device, which XLA rewrites to
+    reciprocal-multiply (--xla_allow_excess_precision): box centers can
+    differ from the decoded path's table constants by 1 ulp (~6e-8).
+    That cannot move an integer count or a validity decision except on
+    exact floating-point ties, and is invisible at every test tolerance
+    (tests/test_postprocess.py pins full-pipeline equality at 2e-6) -
+    while gathering the constant tables instead measurably costs ~1.8
+    ms/batch-512 on v5e (the gather-bound postprocess story again).
+    The candidate-fetch paths (select_top_candidates_raw), whose rows
+    feed BIT-compared host artifacts, do pay for the table gather.
     """
     b, sy, sx, pred_dim = raw.shape
     cells = sy * sx
@@ -271,10 +276,9 @@ def format_preds_batched_raw(
     sel = jnp.take_along_axis(flat, top_idx[..., None], axis=1)
     sel = sel.astype(jnp.float32)  # (B, K, D) - decode math is f32
 
-    # YOLO9000 survivor decode; offsets gathered from the shared tables
-    cxs_t, cys_t = cell_offsets(sx, sy)
-    cxs = jnp.asarray(cxs_t.reshape(-1))[top_idx]
-    cys = jnp.asarray(cys_t.reshape(-1))[top_idx]
+    # YOLO9000 survivor decode; arithmetic offsets (1-ulp caveat above)
+    cxs = (top_idx % sx).astype(jnp.float32) / sx
+    cys = (top_idx // sx).astype(jnp.float32) / sy
     cx = jax.nn.sigmoid(sel[..., 0]) * (1.0 / sx) + cxs
     cy = jax.nn.sigmoid(sel[..., 1]) * (1.0 / sy) + cys
     w = anchor_w * jnp.exp(jnp.minimum(sel[..., 2], WH_CLAMP)) * width_multiplier
