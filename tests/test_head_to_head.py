@@ -27,17 +27,6 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _unregister_nodrop_variant():
-    """Importing tools.head_to_head registers its zero-dropout model
-    variant; pop it afterwards so the product registry-count test
-    (tests/test_model.py) sees exactly the reference's 12 models."""
-    yield
-    from yogo_tpu.models import defns
-
-    defns.MODELS.pop("half_filters_nodrop", None)
-
-
 def test_training_trajectories_track():
     import tools.head_to_head as h2h
 
@@ -60,45 +49,51 @@ def test_training_trajectories_track():
 
     import jax.numpy as jnp
 
+    from yogo_tpu.models import defns
     from yogo_tpu.models.yogo import YOGO
     from yogo_tpu.utils.torch_bridge import state_dict_to_variables
 
-    model = YOGO.create(
-        (h2h.H, h2h.W),
-        h2h.ANCHOR_W,
-        h2h.ANCHOR_H,
-        h2h.N_CLASSES,
-        model_version="half_filters_nodrop",
-        compute_dtype=jnp.float32,
-    )
-    Sx, Sy = model.grid
-    variables = state_dict_to_variables(tnet.state_dict(), model.defn)
-    loss_kwargs = dict(
-        no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
-        label_smoothing=0.01,
-    )
-
-    imgs, grids, _ = h2h.gen_split(64, seed=1, Sx=Sx, Sy=Sy)
-    rng = np.random.default_rng(7)
-    batches = [rng.permutation(64)[:16] for _ in range(STEPS)]
-
-    torch_losses = []
-    tnet.train()
-    for bi in batches:
-        x_np = imgs[bi].astype(np.float32)[:, None]
-        topt.zero_grad(set_to_none=True)
-        t_out = tnet(torch.from_numpy(x_np))
-        t_loss, _ = torch_reference_yogo_loss(
-            t_out, torch.from_numpy(grids[bi]), **loss_kwargs
+    # scoped registration: model.defn resolves from the registry on every
+    # apply, so the context must span training; the registry is guaranteed
+    # back to the reference's 12 models afterwards, regardless of import
+    # order
+    with defns.temporary_model(h2h.half_filters_nodrop):
+        model = YOGO.create(
+            (h2h.H, h2h.W),
+            h2h.ANCHOR_W,
+            h2h.ANCHOR_H,
+            h2h.N_CLASSES,
+            model_version="half_filters_nodrop",
+            compute_dtype=jnp.float32,
         )
-        t_loss.backward()
-        topt.step()
-        tsched.step()
-        torch_losses.append(float(t_loss.detach()))
+        Sx, Sy = model.grid
+        variables = state_dict_to_variables(tnet.state_dict(), model.defn)
+        loss_kwargs = dict(
+            no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+            label_smoothing=0.01,
+        )
 
-    ours_losses, _ = h2h.run_ours(
-        model, variables, imgs, grids, batches, loss_kwargs
-    )
+        imgs, grids, _ = h2h.gen_split(64, seed=1, Sx=Sx, Sy=Sy)
+        rng = np.random.default_rng(7)
+        batches = [rng.permutation(64)[:16] for _ in range(STEPS)]
+
+        torch_losses = []
+        tnet.train()
+        for bi in batches:
+            x_np = imgs[bi].astype(np.float32)[:, None]
+            topt.zero_grad(set_to_none=True)
+            t_out = tnet(torch.from_numpy(x_np))
+            t_loss, _ = torch_reference_yogo_loss(
+                t_out, torch.from_numpy(grids[bi]), **loss_kwargs
+            )
+            t_loss.backward()
+            topt.step()
+            tsched.step()
+            torch_losses.append(float(t_loss.detach()))
+
+        ours_losses, _ = h2h.run_ours(
+            model, variables, imgs, grids, batches, loss_kwargs
+        )
 
     ours = np.asarray(ours_losses)
     theirs = np.asarray(torch_losses)

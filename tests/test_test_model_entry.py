@@ -211,3 +211,39 @@ def test_test_model_quantize_fast_eval_composition(tmp_path):
     assert abs(q_host[0] - q_fast[0]) < 1e-6  # identical eval program
     assert q_host[2].sum() == q_fast[2].sum()  # confusion total mass
     assert int(q_host[10][0]) == int(q_fast[10][0])  # total true objects
+
+
+def test_test_model_class_mismatch_fails_fast(tmp_path):
+    """A checkpoint evaluated against a dataset with a different class
+    count must raise a clear error up front, not an opaque broadcast
+    failure deep in the metrics engine (the reference silently builds
+    metrics from the dataset's classes, yogo/utils/test_model.py:32-34)."""
+    model = YOGO.create(
+        (40, 56), 0.15, 0.2, len(CLASSES), model_version="quarter_filters"
+    )
+    variables = model.init(jax.random.key(0))
+    ckpt = tmp_path / "m.ckpt"
+    save_checkpoint(ckpt, model, variables, classes=CLASSES)
+
+    pairs = [make_pair_dirs(tmp_path, "tr", n_images=4)]
+    defn = write_defn(
+        tmp_path / "d.yml",
+        dataset_pairs=pairs,
+        split={"train": 0.5, "val": 0.25, "test": 0.25},
+        classes=CLASSES + ["extra"],
+    )
+    args = SimpleNamespace(
+        ckpt_path=ckpt,
+        dataset_defn_path=defn,
+        wandb=False,
+        wandb_entity=None,
+        wandb_project=None,
+        wandb_resume_id=None,
+        dump_to_disk=False,
+        include_mAP=False,
+        include_background=True,
+        note=None,
+        tags=None,
+    )
+    with pytest.raises(ValueError, match="classes"):
+        run_test_model(args)

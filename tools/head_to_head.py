@@ -9,9 +9,12 @@ tests/test_optimizer_parity.py) - this experiment runs the two FULL
 training loops side by side and compares what actually matters:
 
   - per-step loss trajectories (identical batches, identical init,
-    dropout zeroed, flips off, f32 both sides, CPU), and
+    dropout zeroed, f32 both sides, CPU),
   - detections of the two trained nets on a held-out set, matched
-    greedily by IoU.
+    greedily by IoU, and
+  - mAP@0.5 of each trained net against the held-out ground truth
+    (the metric the reference itself reports, reference:
+    yogo/metrics.py:44-49), gated against the self-parity control.
 
 Torch side mirrors the reference's loop exactly (reference:
 yogo/train.py:295-341): forward in train mode -> YOGOLoss -> backward
@@ -23,6 +26,15 @@ reference imports for complete_box_iou_loss, is absent in this env).
 Our side is the production make_train_step/make_optimizer path, not a
 test double.
 
+With H2H_FLIPS=1 the production augmentation path runs too: our side
+trains with augment=True (paired random flips inside the jitted step,
+data/transforms.py), and the torch side applies the SAME per-step flip
+decisions with the reference's own flip semantics (reference:
+yogo/data/data_transforms.py:51-98, per-batch coin flips
+yogo/data/yogo_dataloader.py:203-210). The decisions are pre-derived on
+host by replaying the production step's PRNG chain, so our side runs the
+untouched production path and the torch side follows it.
+
 Known benign divergence sources (documented, measured by this tool):
   - f32 conv summation order differs between frameworks; differences are
     ~1e-6 per step and compound slowly through 2 BN layers + AdamW.
@@ -30,10 +42,15 @@ Known benign divergence sources (documented, measured by this tool):
     flax stores the biased one (factor n/(n-1), n = B*Sy*Sx ~ 1e5 here);
     train-mode normalization (what the trajectory sees) is identical.
 
+Importing this module has NO side effects (no jax.config mutation, no
+registry mutation): the zero-dropout model variants register via
+defns.temporary_model only for the duration of a run.
+
 Run (CPU, ~4 min warm):
   PYTHONPATH=/root/repo:/root/.axon_site python tools/head_to_head.py
-Env knobs: H2H_STEPS (default 150), H2H_BS (16), H2H_JSON (receipt path).
-Prints a JSON receipt; asserts trajectory + detection agreement.
+Env knobs: H2H_STEPS (default 150), H2H_BS (16), H2H_JSON (receipt path),
+H2H_FLIPS (0), H2H_MODEL (half_filters), H2H_H/H2H_W (64/96).
+Prints a JSON receipt; asserts trajectory + detection + mAP agreement.
 """
 
 from __future__ import annotations
@@ -41,55 +58,61 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-
-import jax.numpy as jnp
 import numpy as np
 
-from tests.data_fixtures import torch_reference_yogo_loss
-from tests.reference_helper import import_reference_model, reference_available
-
-from yogo_tpu.models import defns
-from yogo_tpu.models.yogo import YOGO
-from yogo_tpu.ops.grid import encode_label_grid_np
-from yogo_tpu.ops.postprocess import format_preds
-from yogo_tpu.train import TrainState, make_optimizer, make_train_step
-from yogo_tpu.utils.torch_bridge import state_dict_to_variables
-
-H, W = 64, 96
+H = int(os.environ.get("H2H_H", "64"))
+W = int(os.environ.get("H2H_W", "96"))
 N_CLASSES = 2
 ANCHOR_W, ANCHOR_H = 0.10, 0.12
 LR, WD, DECAY = 2e-3, 5e-2, 10.0
 STEPS = int(os.environ.get("H2H_STEPS", "150"))
 BS = int(os.environ.get("H2H_BS", "16"))
+FLIPS = os.environ.get("H2H_FLIPS", "0") == "1"
+MODEL = os.environ.get("H2H_MODEL", "half_filters")
 N_TRAIN, N_HELD = 128, 24
 
+LOSS_KWARGS = dict(
+    no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
+    label_smoothing=0.01,
+)
 
-@defns.register_model
+
+def nodrop_variant(base_name: str):
+    """Builder for `<base>_nodrop`: the named architecture with every
+    channel-dropout zeroed. The torch side zeroes its Dropout2d p in
+    place, so both forwards are deterministic and identically scaled
+    (train-mode dropout rescales by 1/(1-p)). Register it via
+    defns.temporary_model - never globally."""
+    from yogo_tpu.models import defns
+
+    def builder(num_classes: int, rgb_input: bool = False):
+        d = defns.get_model_defn(base_name)(num_classes, rgb_input)
+        return dataclasses.replace(
+            d,
+            name=f"{base_name}_nodrop",
+            blocks=tuple(
+                dataclasses.replace(b, dropout=0.0) for b in d.blocks
+            ),
+        )
+
+    builder.__name__ = f"{base_name}_nodrop"
+    return builder
+
+
 def half_filters_nodrop(num_classes: int, rgb_input: bool = False):
-    """half_filters with every channel-dropout zeroed: the torch side zeroes
-    its Dropout2d p in place, so both forwards are deterministic and
-    identically scaled (train-mode dropout rescales by 1/(1-p))."""
-    d = defns.get_model_defn("half_filters")(num_classes, rgb_input)
-    return dataclasses.replace(
-        d,
-        name="half_filters_nodrop",
-        blocks=tuple(
-            dataclasses.replace(b, dropout=0.0) for b in d.blocks
-        ),
-    )
+    """Back-compat alias used by tests/test_head_to_head.py."""
+    return nodrop_variant("half_filters")(num_classes, rgb_input)
+
+
+half_filters_nodrop.__name__ = "half_filters_nodrop"
 
 
 def gen_split(n: int, seed: int, Sx: int, Sy: int):
     """Synthetic blob images + label grids (same recipe as
-    tools/learning_validation.py, scaled to 64x96)."""
+    tools/learning_validation.py, scaled to the configured shape)."""
+    from yogo_tpu.ops.grid import encode_label_grid_np
+
     r = np.random.default_rng(seed)
     imgs = np.empty((n, H, W), np.uint8)
     grids = np.empty((n, 6, Sy, Sx), np.float32)
@@ -165,11 +188,70 @@ def batch_indices(seed: int, steps: int) -> list:
     return out
 
 
-def run_ours(model, variables, imgs, grids, batches, loss_kwargs):
+def flip_decisions(steps: int, base_seed: int = 0):
+    """Replay the production train step's PRNG chain on host to extract the
+    (do_hflip, do_vflip) decision the jitted step will take at each step:
+    step s folds the base key with s, splits once for (flip, dropout), and
+    random_flips splits the flip key into (kh, kv) (train.py:193-199,
+    data/transforms.py:61-63). Our side then runs the UNTOUCHED production
+    augment path while the torch side follows the same decisions."""
+    import jax
+
+    base = jax.random.key(base_seed)
+    out = []
+    for s in range(steps):
+        r = jax.random.fold_in(base, s)
+        rng_flip, _ = jax.random.split(r)
+        kh, kv = jax.random.split(rng_flip)
+        out.append(
+            (
+                bool(jax.random.uniform(kh) < 0.5),
+                bool(jax.random.uniform(kv) < 0.5),
+            )
+        )
+    return out
+
+
+def torch_apply_flips(x, labels, do_h: bool, do_v: bool):
+    """Reference flip semantics on a torch batch (reference:
+    yogo/data/data_transforms.py:63-75 hflip, :87-98 vflip): swap the
+    x1/x2 (resp. y1/y2) label channels through 1-v and reverse the grid
+    axis; dead cells pick up garbage coords exactly as the reference's
+    transform leaves them (the loss masks them)."""
+    import torch
+
+    if do_h:
+        labels = labels.clone()
+        labels[:, 1, :, :], labels[:, 3, :, :] = (
+            1 - labels[:, 3, :, :].clone(),
+            1 - labels[:, 1, :, :].clone(),
+        )
+        x = torch.flip(x, dims=(3,))
+        labels = torch.flip(labels, dims=(3,))
+    if do_v:
+        labels = labels.clone()
+        labels[:, 2, :, :], labels[:, 4, :, :] = (
+            1 - labels[:, 4, :, :].clone(),
+            1 - labels[:, 2, :, :].clone(),
+        )
+        x = torch.flip(x, dims=(2,))
+        labels = torch.flip(labels, dims=(2,))
+    return x, labels
+
+
+def run_ours(model, variables, imgs, grids, batches, loss_kwargs,
+             augment: bool = False):
     """Train our production step over the given batch sequence; returns
     (per-step losses, final TrainState)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yogo_tpu.train import TrainState, make_optimizer, make_train_step
+
     tx, _ = make_optimizer(LR, WD, DECAY, total_steps=len(batches))
-    step_fn = jax.jit(make_train_step(model, tx, loss_kwargs, augment=False))
+    step_fn = jax.jit(
+        make_train_step(model, tx, loss_kwargs, augment=augment)
+    )
     state = TrainState(
         params=variables["params"],
         batch_stats=variables["batch_stats"],
@@ -177,7 +259,7 @@ def run_ours(model, variables, imgs, grids, batches, loss_kwargs):
         step=jnp.zeros((), jnp.int32),
     )
     img_mask = jnp.ones((BS,), jnp.float32)
-    rng = jax.random.key(0)  # flips off + dropout 0: consumed but inert
+    rng = jax.random.key(0)  # flips (when augment) + dropout (inert at p=0)
     losses = []
     for bi in batches:
         x_np = imgs[bi].astype(np.float32)[:, None]
@@ -189,6 +271,8 @@ def run_ours(model, variables, imgs, grids, batches, loss_kwargs):
 
 
 def detections_of(preds: np.ndarray):
+    from yogo_tpu.ops.postprocess import format_preds
+
     return [format_preds(p) for p in preds]
 
 
@@ -214,7 +298,46 @@ def agreement(dets_a, dets_b):
     }
 
 
+def map50_vs_gt(preds: np.ndarray, gt_grids: np.ndarray) -> float:
+    """mAP@0.5 of decoded inference predictions against ground-truth label
+    grids - the reference's own headline metric (reference:
+    yogo/metrics.py:44-49), computed by the production Metrics engine."""
+    from yogo_tpu.metrics.metrics import Metrics
+
+    m = Metrics(
+        classes=[f"c{i}" for i in range(N_CLASSES)],
+        include_background=False,
+    )
+    m.update(preds, gt_grids)
+    return float(m.mAP.compute()["map_50"])
+
+
 def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from yogo_tpu.models import defns
+
+    # model.defn resolves from the registry on every apply, so the scoped
+    # registration must span the whole run; it unwinds when main() returns,
+    # keeping import of this module side-effect-free.
+    with defns.temporary_model(nodrop_variant(MODEL)):
+        _run()
+
+
+def _run() -> None:
+    import jax.numpy as jnp
+
+    from tests.data_fixtures import torch_reference_yogo_loss
+    from tests.reference_helper import (
+        import_reference_model,
+        reference_available,
+    )
+    from yogo_tpu.models.yogo import YOGO
+    from yogo_tpu.utils.torch_bridge import state_dict_to_variables
+
     assert reference_available(), "torch reference not importable"
     import torch
 
@@ -227,7 +350,7 @@ def main() -> None:
         anchor_w=ANCHOR_W,
         anchor_h=ANCHOR_H,
         num_classes=N_CLASSES,
-        model_func=mdefns.get_model_func("half_filters"),
+        model_func=mdefns.get_model_func(MODEL),
     )
     for m in tnet.modules():
         if isinstance(m, torch.nn.Dropout2d):
@@ -243,31 +366,29 @@ def main() -> None:
         ANCHOR_W,
         ANCHOR_H,
         N_CLASSES,
-        model_version="half_filters_nodrop",
+        model_version=f"{MODEL}_nodrop",
         compute_dtype=jnp.float32,
     )
     Sx, Sy = model.grid
     variables = state_dict_to_variables(tnet.state_dict(), model.defn)
-    loss_kwargs = dict(
-        no_obj_weight=0.5, iou_weight=5.0, classify_weight=1.0,
-        label_smoothing=0.01,
-    )
 
-    # ---- identical data + batch order
+    # ---- identical data + batch order (+ identical flip decisions)
     imgs, grids, _ = gen_split(N_TRAIN, seed=1, Sx=Sx, Sy=Sy)
-    held_imgs, _, held_boxes = gen_split(N_HELD, seed=2, Sx=Sx, Sy=Sy)
+    held_imgs, held_grids, held_boxes = gen_split(N_HELD, seed=2, Sx=Sx, Sy=Sy)
     batches = batch_indices(7, STEPS)
+    flips = flip_decisions(STEPS) if FLIPS else [(False, False)] * STEPS
 
     # ---- torch training (reference loop: yogo/train.py:310-326)
     torch_losses = []
     tnet.train()
-    for bi in batches:
-        x_np = imgs[bi].astype(np.float32)[:, None]  # (B, 1, H, W)
+    for bi, (do_h, do_v) in zip(batches, flips):
+        x = torch.from_numpy(imgs[bi].astype(np.float32)[:, None])
+        lab = torch.from_numpy(grids[bi])
+        if do_h or do_v:
+            x, lab = torch_apply_flips(x, lab, do_h, do_v)
         topt.zero_grad(set_to_none=True)
-        t_out = tnet(torch.from_numpy(x_np))
-        t_loss, _ = torch_reference_yogo_loss(
-            t_out, torch.from_numpy(grids[bi]), **loss_kwargs
-        )
+        t_out = tnet(x)
+        t_loss, _ = torch_reference_yogo_loss(t_out, lab, **LOSS_KWARGS)
         t_loss.backward()
         topt.step()
         tsched.step()
@@ -278,10 +399,11 @@ def main() -> None:
     # against the within-framework agreement under an equally-sized
     # perturbation (data order), not against an arbitrary absolute bar.
     ours_losses, state = run_ours(
-        model, variables, imgs, grids, batches, loss_kwargs
+        model, variables, imgs, grids, batches, LOSS_KWARGS, augment=FLIPS
     )
     _, state_ctrl = run_ours(
-        model, variables, imgs, grids, batch_indices(8, STEPS), loss_kwargs
+        model, variables, imgs, grids, batch_indices(8, STEPS), LOSS_KWARGS,
+        augment=FLIPS,
     )
 
     ours = np.asarray(ours_losses)
@@ -306,13 +428,23 @@ def main() -> None:
             )
         )
 
+    preds_ours = our_preds(state)
+    preds_ctrl = our_preds(state_ctrl)
     dets_torch = detections_of(t_preds)
-    dets_ours = detections_of(our_preds(state))
-    dets_ctrl = detections_of(our_preds(state_ctrl))
+    dets_ours = detections_of(preds_ours)
+    dets_ctrl = detections_of(preds_ctrl)
     cross = agreement(dets_torch, dets_ours)
     control = agreement(dets_ours, dets_ctrl)
 
+    # ---- mAP@0.5 vs held-out GT: the BASELINE wording, verbatim
+    map50_torch = map50_vs_gt(t_preds, held_grids)
+    map50_ours = map50_vs_gt(preds_ours, held_grids)
+    map50_control = map50_vs_gt(preds_ctrl, held_grids)
+
     receipt = {
+        "model": MODEL,
+        "hw": [H, W],
+        "flips": FLIPS,
         "steps": STEPS,
         "bs": BS,
         "loss_first_ours": ours[0],
@@ -323,6 +455,9 @@ def main() -> None:
         "rel_gap_median": float(np.median(rel)),
         "rel_gap_p95": float(np.quantile(rel, 0.95)),
         "held_out_gt_boxes": int(sum(len(b) for b in held_boxes)),
+        "map50_torch": map50_torch,
+        "map50_ours": map50_ours,
+        "map50_control": map50_control,
         "cross_framework": cross,
         "self_parity_control": control,
         "trajectory_ours": [round(v, 5) for v in ours_losses],
@@ -367,8 +502,24 @@ def main() -> None:
     assert cross["class_agreement"] > 0.95, (
         f"matched detections disagree on class: {cross['class_agreement']:.2f}"
     )
+    # mAP@0.5 parity, in the BASELINE's own words: the torch-trained and
+    # jax-trained nets must score within the self-parity control's spread
+    # (plus a small absolute slack for the 24-image eval's quantization)
+    ctrl_delta = abs(map50_ours - map50_control)
+    cross_delta = abs(map50_ours - map50_torch)
+    assert cross_delta <= ctrl_delta + 0.03, (
+        f"mAP@0.5 gap torch-vs-ours {cross_delta:.3f} exceeds self-parity "
+        f"control {ctrl_delta:.3f} + 0.03 "
+        f"(torch {map50_torch:.3f}, ours {map50_ours:.3f}, "
+        f"control {map50_control:.3f})"
+    )
     print("HEAD-TO-HEAD PARITY PASSED")
 
 
 if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     main()

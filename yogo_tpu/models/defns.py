@@ -12,8 +12,9 @@ unknown names fall back to base_model (reference: yogo/model_defns.py:11-18).
 
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Iterator, Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -54,6 +55,25 @@ MODELS: Dict[str, DefnBuilder] = {}
 def register_model(builder: DefnBuilder) -> DefnBuilder:
     MODELS[builder.__name__] = builder
     return builder
+
+
+@contextlib.contextmanager
+def temporary_model(builder: DefnBuilder) -> Iterator[DefnBuilder]:
+    """Scoped registration for experiment-only architectures (e.g. the
+    zero-dropout head-to-head variant): the builder is visible to
+    get_model_defn inside the block and guaranteed gone afterwards, so the
+    process-wide registry always ends with exactly the reference's 12
+    models regardless of tool/test import order."""
+    name = builder.__name__
+    prev = MODELS.get(name)
+    MODELS[name] = builder
+    try:
+        yield builder
+    finally:
+        if prev is None:
+            MODELS.pop(name, None)
+        else:  # pragma: no cover - shadowed registration
+            MODELS[name] = prev
 
 
 def get_model_defn(model_name: Optional[str]) -> DefnBuilder:

@@ -432,7 +432,9 @@ def build_server(
         # select_top_candidates_raw docstring (shared with `yogo infer`).
         # Round 4: selection-first over the UNDECODED head - no full-grid
         # decode in the program, and the retained fallback handle is the
-        # compute-dtype raw (half the HBM of the decoded f32)
+        # compute-dtype raw (for bf16 serving that halves the HBM of the
+        # decoded f32; the --quantize path emits its head in f32, so there
+        # the saving is only the dropped decoded concat, not a halving)
         raw = _fwd_raw(w, imgs)
         rows, idx = select_top_candidates_raw(
             raw, K, model.anchor_w, model.anchor_h,

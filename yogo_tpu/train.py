@@ -1144,6 +1144,14 @@ class Trainer:
             },
             "test confusion": confusion.tolist(),
             "test accuracy": accuracy.tolist(),
+            # archived metric files must record which engine produced them:
+            # fast-eval (default) = device greedy matching with 1/4096-
+            # binned mAP scores; host = reference-exact Hungarian
+            "eval engine": (
+                "device-fast-eval"
+                if self.config.get("fast_eval", True)
+                else "host-hungarian"
+            ),
         }
         self.logger.summary(summary)
 

@@ -25,6 +25,18 @@ def test_model(args) -> None:
     model = model.with_compute_dtype(jnp.bfloat16)
     data_defn = DatasetDefinition.from_yaml(args.dataset_defn_path)
 
+    # fail fast on a class-count mismatch: the reference silently builds
+    # metrics from the dataset's classes (yogo/utils/test_model.py:32-34)
+    # and a 2-class checkpoint on a 1-class dataset dies as an opaque
+    # broadcast error deep inside the metrics engine
+    if int(model.num_classes) != len(data_defn.classes):
+        raise ValueError(
+            f"checkpoint predicts {int(model.num_classes)} classes but the "
+            f"dataset definition lists {len(data_defn.classes)} "
+            f"({data_defn.classes}) - evaluate against the dataset the "
+            "model was trained for"
+        )
+
     config: Dict[str, Any] = {
         "class_names": data_defn.classes,
         "no_classify": False,
@@ -112,6 +124,13 @@ def test_model(args) -> None:
                 "test loss": mean_loss,
                 "test mAP": mAP.get("map"),
                 "calibration error": calibration_error,
+                # archived metric files record which engine scored them
+                # (fast-eval device greedy vs reference-exact Hungarian)
+                "eval engine": (
+                    "device-fast-eval"
+                    if getattr(args, "fast_eval", False)
+                    else "host-hungarian"
+                ),
             }
         )
     logger.finish()
