@@ -86,9 +86,10 @@ class ObjectDetectionDataset:
     def __len__(self) -> int:
         return len(self._image_paths)
 
-    def __getitem__(
-        self, index: int
-    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    def load_image(self, index: int) -> Optional[np.ndarray]:
+        """Decode + resize one image to uint8 (C, H, W); None on failure.
+        Shared by __getitem__ and the packed-cache builder
+        (data/packed_cache.py)."""
         # fast path: fused native decode+antialias-resize (C++, libpng/libjpeg)
         from yogo_tpu import native
 
@@ -103,6 +104,14 @@ class ObjectDetectionDataset:
             if image is None:
                 return None
             image = resize_image(image, self.image_hw)
+        return image
+
+    def __getitem__(
+        self, index: int
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        image = self.load_image(index)
+        if image is None:
+            return None
         labels = label_file_to_grid(
             self._label_paths[index],
             self.Sx,
@@ -150,6 +159,31 @@ class ConcatDataset:
             if hasattr(d, "set_epoch"):
                 d.set_epoch(epoch)
 
+    def get_batch(self, indices):
+        """Vectorized batch read (see PackedDataset.get_batch), routing
+        each index to its child; None when any child lacks the fast path
+        (e.g. the per-epoch-resampling BlobDataset) - the caller then
+        falls back to per-item reads."""
+        if not all(hasattr(d, "get_batch") for d in self.datasets):
+            return None
+        idxs = np.asarray(indices, np.int64)
+        ds_idx = np.searchsorted(self.cumulative_sizes, idxs, side="right")
+        starts = np.concatenate([[0], self.cumulative_sizes[:-1]])
+        imgs = labels = valid = None
+        for d in np.unique(ds_idx):
+            sel = ds_idx == d
+            res = self.datasets[int(d)].get_batch(idxs[sel] - starts[int(d)])
+            if res is None:
+                return None
+            if imgs is None:
+                imgs = np.empty((len(idxs), *res[0].shape[1:]), res[0].dtype)
+                labels = np.empty(
+                    (len(idxs), *res[1].shape[1:]), res[1].dtype
+                )
+                valid = np.empty(len(idxs), bool)
+            imgs[sel], labels[sel], valid[sel] = res
+        return imgs, labels, valid
+
 
 class Subset:
     """Index-selected view of a dataset (like torch's Subset)."""
@@ -163,3 +197,13 @@ class Subset:
 
     def __getitem__(self, idx: int):
         return self.dataset[int(self.indices[idx])]
+
+    def get_batch(self, indices):
+        """Vectorized batch read through the index view (see
+        PackedDataset.get_batch); None when the wrapped dataset has no
+        fast path."""
+        if not hasattr(self.dataset, "get_batch"):
+            return None
+        return self.dataset.get_batch(
+            self.indices[np.asarray(indices, np.int64)]
+        )

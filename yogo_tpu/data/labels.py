@@ -112,10 +112,11 @@ def read_notes_json(label_dir: Union[str, Path]) -> Optional[Dict[str, Any]]:
 
 
 def labels_to_grid(
-    labels: List[List[float]], Sx: int, Sy: int
+    labels: Union[List[List[float]], np.ndarray], Sx: int, Sy: int
 ) -> np.ndarray:
-    """[[cls, xc, yc, w, h], ...] -> (6, Sy, Sx) grid (cxcywh -> xyxy first)."""
-    if not labels:
+    """[[cls, xc, yc, w, h], ...] (list or (k, 5) array) -> (6, Sy, Sx)
+    grid (cxcywh -> xyxy first)."""
+    if len(labels) == 0:
         return np.zeros((LABEL_TENSOR_PRED_DIM_SIZE, Sy, Sx), np.float32)
     arr = np.asarray(labels, np.float32)
     xyxy = np.empty_like(arr)

@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 import warnings
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Optional, Tuple, Union
 
 import numpy as np
 
@@ -156,6 +156,11 @@ class DataLoader:
         def fetch(i: int):
             return self.dataset[int(i)]
 
+        # vectorized fast path (packed caches): one gather per batch
+        # instead of per-item python reads; batches are bit-identical to
+        # the per-item path (tests/test_packed_cache.py)
+        use_get_batch = hasattr(self.dataset, "get_batch")
+
         pool = (
             ThreadPoolExecutor(max_workers=self.num_workers)
             if self.num_workers > 0
@@ -165,6 +170,19 @@ class DataLoader:
             for b in range(num_batches):
                 idxs = padded[b * self.batch_size : (b + 1) * self.batch_size]
                 mask = real[b * self.batch_size : (b + 1) * self.batch_size].copy()
+                if use_get_batch:
+                    res = self.dataset.get_batch(idxs)
+                    if res is None:
+                        use_get_batch = False  # no fast path; stop probing
+                    else:
+                        imgs, labels, valid = res
+                        if not valid.any():
+                            warnings.warn(
+                                "entire batch failed to load; skipping"
+                            )
+                            continue
+                        yield imgs, labels, (mask & valid).astype(np.float32)
+                        continue
                 if pool is not None:
                     samples = list(pool.map(fetch, idxs))
                 else:
@@ -203,24 +221,41 @@ def get_datasets(
     image_hw: Tuple[int, int] = (772, 1032),
     normalize_images: bool = False,
     split_fraction_override: Optional[SplitFractions] = None,
+    packed_cache: Union[bool, str, os.PathLike, None] = None,
 ) -> Dict[str, object]:
     """Dataset definition -> designation -> dataset, reproducing the
     reference's split topology (reference: yogo/data/yogo_dataloader.py:72-154):
     explicit test_paths stay a dedicated test set unless overridden; the
     thumbnail-augmentation BlobDataset is appended to train with
-    length = len(train) // 2."""
+    length = len(train) // 2.
+
+    packed_cache (extension): truthy enables the decode-once packed image
+    cache (data/packed_cache.py) - first epoch decodes to uint8 memmap
+    shards, later reads are page-cache memcpys at device rate. True uses
+    the default cache root (YOGO_CACHE_DIR or ~/.cache/yogo_tpu/packed);
+    a path uses that root."""
+
+    def maybe_pack(ds: ObjectDetectionDataset):
+        if not packed_cache:
+            return ds
+        from yogo_tpu.data.packed_cache import PackedDataset
+
+        root = None if packed_cache is True else packed_cache
+        return PackedDataset(ds, Sx=Sx, Sy=Sy, cache_root=root)
 
     def build(specs):
         return ConcatDataset(
-            ObjectDetectionDataset(
-                s.image_path,
-                s.label_path,
-                Sx,
-                Sy,
-                image_hw=image_hw,
-                rgb=rgb,
-                classes=dataset_definition.classes,
-                normalize_images=normalize_images,
+            maybe_pack(
+                ObjectDetectionDataset(
+                    s.image_path,
+                    s.label_path,
+                    Sx,
+                    Sy,
+                    image_hw=image_hw,
+                    rgb=rgb,
+                    classes=dataset_definition.classes,
+                    normalize_images=normalize_images,
+                )
             )
             for s in specs
         )
@@ -280,6 +315,7 @@ def get_dataloader(
     split_fraction_override: Optional[SplitFractions] = None,
     requested_num_workers: Optional[int] = None,
     shard: Optional[Tuple[int, int]] = None,
+    packed_cache: Union[bool, str, os.PathLike, None] = None,
 ) -> Dict[str, DataLoader]:
     """Per-split loaders (reference: yogo/data/yogo_dataloader.py:182-241).
 
@@ -296,6 +332,7 @@ def get_dataloader(
         image_hw=image_hw,
         normalize_images=normalize_images,
         split_fraction_override=split_fraction_override,
+        packed_cache=packed_cache,
     )
     out: Dict[str, DataLoader] = {}
     for designation, ds in split.items():

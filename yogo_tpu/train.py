@@ -430,6 +430,7 @@ class Trainer:
             normalize_images=self.config.get("normalize_images", False),
             split_fraction_override=self.config.get("dataset_split_override"),
             shard=(jax.process_index(), jax.process_count()),
+            packed_cache=self.config.get("packed_cache"),
         )
         self.train_dataloader = loaders["train"]
         self.validate_dataloader = loaders.get("val")
@@ -1196,6 +1197,7 @@ def do_training(args) -> None:
         "spatial_parallel": getattr(args, "spatial_parallel", 1),
         "fsdp": getattr(args, "fsdp", False),
         "accumulate_grad_batches": getattr(args, "accumulate_grad_batches", 1),
+        "packed_cache": getattr(args, "packed_cache", None),
         "fast_eval": getattr(args, "fast_eval", False),
         "fast_eval_max_detections": getattr(
             args, "fast_eval_max_detections", 256

@@ -322,6 +322,19 @@ def train_parser(parser=None):
         ),
     )
     parser.add_argument(
+        "--packed-cache", nargs="?", const=True, default=None,
+        metavar="DIR",
+        help=(
+            "decode-once packed image cache (extension): the first epoch "
+            "decodes + resizes every image into uint8 memmap shards "
+            "(content-hash keyed, invalidated when sources change); later "
+            "epochs read at page-cache speed instead of re-decoding PNGs, "
+            "so disk-backed training feeds the chip at device rate. "
+            "Optional DIR sets the cache root (default: $YOGO_CACHE_DIR "
+            "or ~/.cache/yogo_tpu/packed)"
+        ),
+    )
+    parser.add_argument(
         "--accumulate-grad-batches", type=positive_int, default=1,
         help=(
             "accumulate gradients over N loader batches before each "
