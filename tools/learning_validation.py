@@ -54,7 +54,9 @@ def gen(name, n, seed):
         Image.fromarray(arr).save(imgd / f"i{i:03d}.png")
         (lbld / f"i{i:03d}.txt").write_text("\n".join(rows))
 
-gen("train", 160, 1)
+# LV_NTRAIN: bigger disk datasets for long runs (convnext needs ~20k
+# steps; more images = fewer epoch boundaries/evals per step)
+gen("train", int(os.environ.get("LV_NTRAIN", "160")), 1)
 gen("test", 32, 2)
 yaml.safe_dump({
     "class_names": classes,
@@ -83,6 +85,14 @@ config = {
     "dataset_split_override": None, "dataset_descriptor_file": str(root/"d.yml"),
     "use_wandb": False, "name": "learn", "model_save_dir": str(root/"run"),
     "seed": 0,
+    # LV_PACKED=1: decode-once packed image cache (data/packed_cache.py) -
+    # the round-5 disk->device pipeline; the receipt then reports achieved
+    # train img/s so loader-bound runs are visible
+    "packed_cache": (
+        str(root / "cache")
+        if os.environ.get("LV_PACKED", "0") not in ("", "0")
+        else None
+    ),
 }
 if os.environ.get("LV_FINETUNE", "0") not in ("", "0"):
     # two-stage proof for the --from-pretrained path: half the epochs from
@@ -110,7 +120,10 @@ if os.environ.get("LV_FINETUNE", "0") not in ("", "0"):
 t.init()
 if config.get("pretrained_path"):
     assert t.tuning is True  # BN-freeze fine-tune semantics engaged
+import time as _time
+_t0 = _time.perf_counter()
 result = t.train()
+_wall = _time.perf_counter() - _t0
 mean_loss, mAP, confusion, acc, roc, prec, rec, ece, missed, extra, total, names = result
 print(json.dumps({
     "test_loss": float(mean_loss), "map": float(mAP["map"]),
@@ -118,6 +131,14 @@ print(json.dumps({
     "recall": [float(r) for r in rec],
     "missed": missed.tolist(), "extra": extra.tolist(), "total": int(total[0]),
     "confusion": confusion.tolist(),
+    # achieved end-to-end training throughput INCLUDING the disk loader
+    # (and epoch evals): loader-starved runs show up here directly
+    "packed_cache": bool(config.get("packed_cache")),
+    "train_steps": int(t.global_step),
+    "train_wall_s": round(_wall, 1),
+    "achieved_img_s": round(
+        t.global_step * config["batch_size"] / max(_wall, 1e-9), 1
+    ),
 }))
 assert mAP["map_50"] > 0.5, f"detector failed to learn: mAP@0.5 = {mAP['map_50']}"
 print("LEARNING VALIDATION PASSED")
