@@ -125,3 +125,17 @@ def test_loader_integration_batches_match(tmp_path):
             np.testing.assert_array_equal(li, pi)
             np.testing.assert_array_equal(ll, pl)
             np.testing.assert_array_equal(lm, pm)
+
+
+def test_incomplete_cache_dir_recovered(tmp_path):
+    """A crashed build (cache dir present, meta.json missing) must not
+    poison future constructions - it is cleared and rebuilt."""
+    src = make_source(tmp_path)
+    root = tmp_path / "cache"
+    sig = dataset_signature(src)
+    stale = root / sig[:24]
+    stale.mkdir(parents=True)
+    (stale / "images.npy").write_bytes(b"garbage")
+    packed = PackedDataset(src, Sx=SX, Sy=SY, cache_root=root)
+    assert packed[0] is not None
+    assert (stale / "meta.json").exists()

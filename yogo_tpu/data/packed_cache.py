@@ -175,6 +175,12 @@ class PackedDataset:
 
         if not _is_complete(cache_dir, sig):
             root.mkdir(parents=True, exist_ok=True)
+            # a crashed builder can leave a meta-less cache_dir behind
+            # (builds are tmp+rename, so only a crash mid-rename or an
+            # interrupted legacy layout gets here); clear it or every
+            # future construction would fail the rename forever
+            if cache_dir.exists():
+                shutil.rmtree(cache_dir, ignore_errors=True)
             tmp = Path(
                 tempfile.mkdtemp(prefix=f".build-{sig[:8]}-", dir=root)
             )
