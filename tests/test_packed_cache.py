@@ -11,7 +11,6 @@ import pytest
 
 from tests.data_fixtures import (
     CLASSES,
-    make_image,
     make_label_file,
     make_pair_dirs,
     write_defn,

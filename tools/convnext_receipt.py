@@ -110,6 +110,25 @@ def main() -> None:
     rng = jax.random.key(0)
     order = np.random.default_rng(7)
 
+    # CR_EVAL_EVERY > 0: held-out mAP@0.5 every N steps - the plateau
+    # trajectory the round-5 receipt needs (is 20k steps converged, or
+    # still climbing?)
+    eval_every = int(os.environ.get("CR_EVAL_EVERY", "0"))
+    map_traj = []
+
+    from yogo_tpu.metrics.metrics import Metrics
+
+    def map50_now(st) -> float:
+        v = {"params": st.params, "batch_stats": st.batch_stats}
+        m = Metrics(classes=CLASSES, include_mAP=True)
+        for start in range(0, N_TEST, BS):
+            xb = jnp.asarray(test_imgs[start : start + BS, None])
+            m.update(
+                np.asarray(model.apply(v, xb, inference=True), np.float32),
+                test_grids[start : start + BS],
+            )
+        return float(m.compute()[0]["map_50"])
+
     losses = []
     idx_pool: list = []
     for s in range(STEPS):
@@ -125,9 +144,12 @@ def main() -> None:
             v = float(loss)  # fetch fences the chain, keeps dispatch async
             losses.append(round(v, 3))
             print(f"step {s}: loss {v:.3f}", flush=True)
+        if eval_every and s > 0 and s % eval_every == 0:
+            m50 = map50_now(state)
+            map_traj.append({"step": s, "map_50": round(m50, 4)})
+            print(f"step {s}: mAP@0.5 {m50:.4f}", flush=True)
 
     # ---- held-out eval through the host-exact engine
-    from yogo_tpu.metrics.metrics import Metrics
 
     final_vars = {"params": state.params, "batch_stats": state.batch_stats}
     metrics = Metrics(classes=CLASSES, include_mAP=True)
@@ -147,6 +169,7 @@ def main() -> None:
         "steps": STEPS,
         "lr": LR,
         "loss_trajectory": losses,
+        "map50_trajectory": map_traj,
         "map_50": round(float(mAP["map_50"]), 4),
         "map": round(float(mAP["map"]), 4),
         "precision": [round(float(p), 4) for p in prec],

@@ -409,6 +409,15 @@ def test_parser(parser=None):
         ),
     )
     parser.add_argument(
+        "--packed-cache", nargs="?", const=True, default=None,
+        metavar="DIR",
+        help=(
+            "decode-once packed image cache (extension; see `yogo train "
+            "--help`) - repeated evaluations over the same dataset skip "
+            "the per-run PNG decode"
+        ),
+    )
+    parser.add_argument(
         "--fast-eval", action=boolean_action, default=True,
         help=(
             "accumulate metrics on device (extension; DEFAULT since round "

@@ -57,6 +57,7 @@ def test_model(args) -> None:
         image_hw=tuple(int(d) for d in model.img_size),
         rgb=bool(model.is_rgb),  # RGB checkpoints need 3-channel batches
         normalize_images=bool(cfg.get("normalize_images", model.normalize_images)),
+        packed_cache=getattr(args, "packed_cache", None),
     )
     if "test" not in loaders:
         raise ValueError(
