@@ -142,9 +142,15 @@ def test_quantized_forward_shape_layout_determinism():
 
 
 def test_trained_model_detection_parity(tmp_path):
-    """End gate: int8 detections == float detections on the trained
-    checkpoint at production thresholds (obj 0.5, iou 0.5) - same boxes
-    (IoU > 0.8), same classes, same per-class counts."""
+    """Stress gate: every BACKBONE block quantized (all the narrow blocks
+    the product's cin>=128 rule would keep in bf16) on the trained
+    checkpoint at production thresholds - same detection counts, same
+    classes, matched boxes tight. The head stays bf16 as in the product
+    rule (round 5: head int8 noise feeds the decode directly and is the
+    dominant box-error source - see default_skip_blocks; quantizing it
+    here too flipped a class under the equalized calibration). The
+    PRODUCT configuration's parity is gated on real int8 blocks at
+    772x1032 by tests/test_golden_fullres_int8.py."""
     from tests.test_golden_detections import gen_test_images
     from yogo_tpu.ops.boxes import box_iou
     from yogo_tpu.ops.postprocess import format_preds
@@ -155,7 +161,10 @@ def test_trained_model_detection_parity(tmp_path):
     x = np.stack(imgs)[:, None]  # (B, 1, H, W) uint8
 
     # calibrate on the FIRST HALF, evaluate on all (held-out generalization)
-    qp = quant.quantize_conv_stack(model, variables, [x[:8]])
+    qp = quant.quantize_conv_stack(
+        model, variables, [x[:8]],
+        skip_blocks=(len(model.defn.blocks) - 1,),
+    )
     out_q = np.asarray(
         quant.quantized_forward(model, qp, jnp.asarray(x)), np.float32
     )
@@ -182,7 +191,10 @@ def test_trained_model_detection_parity(tmp_path):
             order = np.argsort(-iou[:, j])
             i = next(int(i) for i in order if int(i) not in used)
             used.add(i)
-            assert iou[i, j] > 0.8
+            # measured under the round-5 equalized auto-clip calibration
+            # (dense scenes keep absmax): matched IoU mean 0.985, min
+            # 0.963, zero class flips
+            assert iou[i, j] > 0.9
             assert int(np.argmax(dq[i, 5:])) == int(np.argmax(df[j, 5:]))
             assert abs(float(dq[i, 4]) - float(df[j, 4])) < 0.1
             n_match += 1
@@ -246,21 +258,26 @@ def test_skip_blocks_bf16_fallback():
 
 def test_default_skip_blocks_rule():
     """cin >= 128 quantizes; everything below stays bf16 (measured rule,
-    tools/perf_quant_forward.py)."""
+    tools/perf_quant_forward.py); the head always stays bf16 (round 5:
+    its noise feeds the decode directly - measured IoU impact in the
+    default_skip_blocks docstring)."""
     from yogo_tpu.models.defns import get_model_defn
 
     base = get_model_defn("base_model")(7)
     # base_model channels: 16,32,64,128,128,128,128,head -> cin of blocks
-    # 1..7 = 16,32,64,128,128,128,128 -> skip 1,2,3
-    assert quant.default_skip_blocks(base, 1) == (1, 2, 3)
+    # 1..7 = 16,32,64,128,128,128,128 -> skip 1,2,3 + the head (7)
+    assert quant.default_skip_blocks(base, 1) == (1, 2, 3, 7)
     half = get_model_defn("half_filters")(2)
     # half_filters tops out at 64 channels: nothing quantizes
     assert quant.default_skip_blocks(half, 1) == tuple(
         range(1, len(half.blocks))
     )
     double = get_model_defn("double_filters")(7)
-    # double_filters: 32,64,128,256... -> cin>=128 from block 3 on
-    assert quant.default_skip_blocks(double, 1) == (1, 2)
+    # double_filters: 32,64,128,256... -> cin>=128 from block 3 on;
+    # head (last block) bf16
+    assert quant.default_skip_blocks(double, 1) == (
+        1, 2, len(double.blocks) - 1,
+    )
 
 
 def test_predict_quantize_end_to_end(tmp_path):
@@ -355,7 +372,9 @@ def test_quantized_forward_int8_sharded_matches_single_device():
     batches = calib_batches(b=8)
     qp = quant.quantize_conv_stack(model, v, batches, skip_blocks=skip)
     n_int8 = sum("w8" in b for b in qp["blocks"])
-    assert n_int8 >= 4, "this test must exercise real int8 convs"
+    # base_model under the default rule quantizes blocks 4-6 (the head
+    # stays bf16 since round 5)
+    assert n_int8 >= 3, "this test must exercise real int8 convs"
 
     x = np.asarray(batches[0])  # (8, 1, 48, 64) uint8
 

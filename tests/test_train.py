@@ -949,3 +949,45 @@ def test_sigterm_real_signal(tmp_path):
     _, _, meta = load_checkpoint((tmp_path / "run_sig") / "latest.ckpt")
     # flush fires at the end of epoch 0 -> boundary stop, epoch 0 complete
     assert meta["next_epoch"] == 1
+
+
+def test_checkpoint_interval_throttles_latest(tmp_path, monkeypatch):
+    """--checkpoint-interval N writes latest.ckpt only every N epochs
+    (plus the final epoch): on big models the per-epoch state fetch+write
+    dominates wall time (docs/perf-notes.md round 5)."""
+    pairs = [make_pair_dirs(tmp_path, "ci", n_images=6)]
+    defn = write_defn(
+        tmp_path / "d.yml", dataset_pairs=pairs,
+        split={"train": 0.75, "val": 0.25},
+    )
+    config = {
+        "learning_rate": 1e-3, "decay_factor": 10.0, "weight_decay": 5e-2,
+        "label_smoothing": 0.01, "iou_weight": 5.0, "no_obj_weight": 0.5,
+        "classify_weight": 1.0, "epochs": 5, "batch_size": 4,
+        "anchor_w": 0.1, "anchor_h": 0.15, "model": "quarter_filters",
+        "half": False, "rgb": False, "image_hw": (40, 56),
+        "pretrained_path": None, "normalize_images": False,
+        "dataset_split_override": None,
+        "dataset_descriptor_file": str(defn),
+        "name": "ci", "note": None, "tags": None,
+        "wandb_entity": None, "wandb_project": None, "use_wandb": False,
+        "model_save_dir": str(tmp_path / "run"),
+        "checkpoint_interval": 3,
+    }
+    trainer = Trainer(config)
+    trainer.init()
+
+    writes = []
+    real_ckpt = Trainer.checkpoint
+
+    def spy(self, path, **kw):
+        from pathlib import Path
+
+        writes.append(Path(path).name)
+        return real_ckpt(self, path, **kw)
+
+    monkeypatch.setattr(Trainer, "checkpoint", spy)
+    trainer.train()
+    # 5 epochs at interval 3: latest at epoch 3 and at the final epoch 5
+    assert writes.count("latest.ckpt") == 2
+    assert (tmp_path / "run" / "latest.ckpt").exists()

@@ -93,6 +93,9 @@ config = {
         if os.environ.get("LV_PACKED", "0") not in ("", "0")
         else None
     ),
+    # LV_CKPT_INTERVAL: throttle the per-epoch latest.ckpt (convnext's
+    # 594 MB state costs ~58 s/epoch to write - see --checkpoint-interval)
+    "checkpoint_interval": int(os.environ.get("LV_CKPT_INTERVAL", "1")),
 }
 if os.environ.get("LV_FINETUNE", "0") not in ("", "0"):
     # two-stage proof for the --from-pretrained path: half the epochs from

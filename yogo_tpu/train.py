@@ -750,8 +750,20 @@ class Trainer:
             # every-epoch latest.ckpt: the preemption-recovery anchor (the
             # reference writes latest only at non-best validations). State
             # is unchanged since _validate, so this supersedes rather than
-            # duplicates a latest write there.
-            if self.model_save_dir is not None:
+            # duplicates a latest write there. checkpoint_interval
+            # (extension, default 1) throttles the cadence: on big nets
+            # with short epochs the D2H fetch + disk write of hundreds of
+            # MB per epoch can dominate wall time (measured: 594 MB
+            # convnext state at ~58 s/epoch overhead vs a 1.7 s compute
+            # epoch - docs/perf-notes.md round 5); a preemption between
+            # writes just replays at most interval-1 epochs on --resume.
+            ckpt_interval = max(
+                1, int(self.config.get("checkpoint_interval", 1) or 1)
+            )
+            is_last = epoch + 1 >= self.config["epochs"]
+            if self.model_save_dir is not None and (
+                (epoch + 1) % ckpt_interval == 0 or is_last
+            ):
                 self.checkpoint(
                     self.model_save_dir / "latest.ckpt",
                     model_name=self.logger.run_name or "recent_run_latest",
@@ -783,12 +795,22 @@ class Trainer:
             # without the best-reload/test pass (the grace window is short)
             if self.model_save_dir is not None and mid_epoch_stop:
                 # a mid-epoch stop leaves this epoch unfinished: a --resume
-                # must replay it from the top (the epoch-boundary stop path
-                # already wrote latest.ckpt with next_epoch=epoch+1)
+                # must replay it from the top
                 self.checkpoint(
                     self.model_save_dir / "latest.ckpt",
                     model_name=self.logger.run_name or "recent_run_latest",
                     next_epoch=self.epoch,
+                )
+            elif self.model_save_dir is not None and (
+                (self.epoch + 1)
+                % max(1, int(self.config.get("checkpoint_interval", 1) or 1))
+                != 0
+            ):
+                # boundary stop on an epoch the checkpoint_interval
+                # throttle skipped: write now so --resume loses nothing
+                self.checkpoint(
+                    self.model_save_dir / "latest.ckpt",
+                    model_name=self.logger.run_name or "recent_run_latest",
                 )
             print(
                 "training interrupted by SIGTERM: state saved to "
@@ -1198,6 +1220,7 @@ def do_training(args) -> None:
         "fsdp": getattr(args, "fsdp", False),
         "accumulate_grad_batches": getattr(args, "accumulate_grad_batches", 1),
         "packed_cache": getattr(args, "packed_cache", None),
+        "checkpoint_interval": getattr(args, "checkpoint_interval", 1),
         "fast_eval": getattr(args, "fast_eval", False),
         "fast_eval_max_detections": getattr(
             args, "fast_eval_max_detections", 256

@@ -322,6 +322,17 @@ def train_parser(parser=None):
         ),
     )
     parser.add_argument(
+        "--checkpoint-interval", type=positive_int, default=1,
+        metavar="N",
+        help=(
+            "write latest.ckpt every N epochs instead of every epoch "
+            "(extension): on large models with short epochs the per-epoch "
+            "state fetch + write can dominate wall time (measured 58 s "
+            "per 1.7 s-compute epoch on convnext); preemption recovery "
+            "then replays at most N-1 epochs (default: 1)"
+        ),
+    )
+    parser.add_argument(
         "--packed-cache", nargs="?", const=True, default=None,
         metavar="DIR",
         help=(
