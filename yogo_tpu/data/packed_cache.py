@@ -109,18 +109,34 @@ def _build(dataset, out_dir: Path, signature: str) -> None:
         r = all_rows[i][:m]
         rows_arr[i, : len(r)] = r
         counts[i] = len(r)
+
+    # decode with a thread pool: the native decoder releases the GIL, so
+    # the one-time build scales with host cores (the same reason the
+    # reference sizes its DataLoader worker pool)
+    try:
+        workers = max(1, min(len(os.sched_getaffinity(0)), 32))
+    except (AttributeError, OSError):  # pragma: no cover
+        workers = max(1, min(os.cpu_count() or 1, 32))
+
+    def decode(i: int) -> bool:
         img = dataset.load_image(i)
         if img is None:
             # failed decode: row stays zero, masked out at read time (the
             # live dataset's robust-read path has the same semantics)
-            continue
+            return False
         imgs[i] = img
-        valid[i] = True
-        if (i + 1) % 500 == 0 or i + 1 == n:
-            print(
-                f"packed-cache: decoded {i + 1}/{n} images",
-                file=sys.stderr,
-            )
+        return True
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for i, ok in enumerate(pool.map(decode, range(n))):
+            valid[i] = ok
+            if (i + 1) % 500 == 0 or i + 1 == n:
+                print(
+                    f"packed-cache: decoded {i + 1}/{n} images",
+                    file=sys.stderr,
+                )
 
     np.save(out_dir / "counts.npy", counts)
     np.save(out_dir / "valid.npy", valid)
