@@ -450,3 +450,33 @@ def test_predict_quantize_convnext_end_to_end(tmp_path):
     assert np.max(np.abs(pq[:, 4] - pf[:, 4])) < 0.01  # objectness
     assert np.max(np.abs(pq[:, 5:] - pf[:, 5:])) < 0.01  # class probs
     assert np.max(np.abs(pq[:, :2] - pf[:, :2])) < 0.01  # centers
+
+
+def test_calibration_payload_roundtrip_bitwise():
+    """Multi-host identity: a rank that assembles its program from the
+    broadcast payload (act_scales=qp0['scales']) must produce a BITWISE
+    identical qp to the calibrating rank - including the round-5
+    equalization fold, whose vectors ride in the payload tail."""
+    model = YOGO.create((48, 64), 0.08, 0.1, 2, model_version="base_model")
+    v = model.init(jax.random.key(5))
+    skip = quant.default_skip_blocks(model.defn, model.input_channels)
+    batches = calib_batches(b=4)
+    qp0 = quant.quantize_conv_stack(model, v, batches, skip_blocks=skip)
+
+    # payload is longer than the per-tensor scales: it carries eq vectors
+    layout = quant.equalization_layout(model.defn, model.input_channels, skip)
+    assert layout, "base_model must have equalization-eligible blocks"
+    n_payload = (len(model.defn.blocks) - 1) + sum(c for _, c in layout)
+    assert np.asarray(qp0["scales"]).shape == (n_payload,)
+
+    qp1 = quant.quantize_conv_stack(
+        model, v, [], skip_blocks=skip,
+        act_scales=np.asarray(qp0["scales"]),
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        qp0,
+        qp1,
+    )
