@@ -115,10 +115,17 @@ def main() -> None:
 
     env = dict(os.environ,
                PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}")
+    cmd = [sys.executable, "-m", "yogo_tpu", "serve", str(ckpt),
+           "--port", str(port), "--batch-size", str(args.batch_size),
+           "--linger-ms", str(args.linger_ms)]
+    if args.device == "cpu":
+        cmd += ["--device", "cpu"]
+    # --device tpu: let the server take the environment's default
+    # platform (the accelerator) - the platform NAME differs per harness
+    # ("tpu" on a real TPU VM, "axon" through this dev relay), so forcing
+    # the literal string would fail on one of them
     server = subprocess.Popen(
-        [sys.executable, "-m", "yogo_tpu", "serve", str(ckpt),
-         "--port", str(port), "--batch-size", str(args.batch_size),
-         "--linger-ms", str(args.linger_ms), "--device", args.device],
+        cmd,
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, cwd=str(REPO),
     )
