@@ -115,6 +115,14 @@ def main() -> None:
 
     env = dict(os.environ,
                PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}")
+    # persistent XLA compile cache for the server subprocess (shell-level
+    # env DOES work for a fresh process): without it every soak pays the
+    # full cold compile - >20 min for the TPU serve program through the
+    # dev relay
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(REPO / (".jax_cache" if args.device == "cpu" else ".jax_cache_tpu")),
+    )
     cmd = [sys.executable, "-m", "yogo_tpu", "serve", str(ckpt),
            "--port", str(port), "--batch-size", str(args.batch_size),
            "--linger-ms", str(args.linger_ms)]
@@ -137,7 +145,10 @@ def main() -> None:
     from yogo_tpu.serve_client import ServeClient
 
     client = None
-    for _ in range(240):  # first compile can take a while
+    # first compile can take a while - and on the TPU through the dev
+    # relay a COLD serve program can take many minutes to compile
+    startup_tries = 240 if args.device == "cpu" else 3600
+    for _ in range(startup_tries):
         if server.poll() is not None:
             print("".join(server_log[-40:]), file=sys.stderr)
             sys.exit(f"server died during startup rc={server.returncode}")
